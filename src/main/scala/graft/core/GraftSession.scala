@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the scale-oriented defaults every entry point uses.
+  *
+  * The knobs are cluster-size-relative (AQE, broadcast threshold), never
+  * hard-coded to local mode, so the same plans hold on a 1000-executor
+  * cluster; `shufflePartitions` is the only local-mode concession.
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

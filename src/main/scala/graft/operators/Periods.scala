@@ -1,0 +1,44 @@
+package graft.operators
+
+import java.time.YearMonth
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, IntegerType}
+
+/** Period (yyyyMM) engine + "magic date" integer encoding.
+  *
+  * The reference filters every transactional job to a trailing list of
+  * yyyyMM periods (reference: artifacts/aws-glue/layer/
+  * common_jobs_functions.py:358-378 `get_periods`), and converts the source
+  * system's integer dates: an integer is days-since-2008-01-01 plus a fixed
+  * 733042 offset (common_jobs_functions.py:405-424). All expressions here
+  * are built-in date arithmetic — codegen'd, partition-prunable when the
+  * lake partitions by period.
+  */
+object Periods {
+  /** reference: common_jobs_functions.py:421 `(date - date(2008,1,1)).days + 733042` */
+  val MagicOffset = 733042
+  val MagicPivot  = "2008-01-01"
+
+  /** yyyyMM string of a date/timestamp column (the reference's id_periodo). */
+  def periodOf(d: Column): Column = date_format(d, "yyyyMM")
+
+  /** First day of the month, as DateType. */
+  def monthStart(d: Column): Column = trunc(d.cast(DateType), "month")
+
+  /** Months since year 0 — integer month index for RANGE window frames. */
+  def monthIndex(d: Column): Column =
+    (year(d.cast(DateType)) * 12 + month(d.cast(DateType))).cast(IntegerType)
+
+  /** date/timestamp -> BigMagic integer day. */
+  def toMagic(d: Column): Column =
+    (datediff(d.cast(DateType), to_date(lit(MagicPivot))) + lit(MagicOffset)).cast(IntegerType)
+
+  /** BigMagic integer day -> DateType. */
+  def fromMagic(m: Column): Column =
+    date_add(to_date(lit(MagicPivot)), (m - lit(MagicOffset)).cast(IntegerType))
+
+  /** Trailing period list ending at `end` inclusive, like get_periods(). */
+  def periods(n: Int, end: YearMonth): Seq[String] =
+    (0 until n).map(i => end.minusMonths(i.toLong)).map(ym => f"${ym.getYear}%04d${ym.getMonthValue}%02d")
+}

@@ -1,0 +1,252 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DecimalType, IntegerType}
+import graft.core.Tables
+import graft.operators._
+
+/** Core relational wave — the reference's conformance/star/rollup patterns
+  * re-expressed on the testdata star schema (SURVEY.md §2 A, rows 1–8).
+  *
+  * Numeric policy: money aggregates are summed as decimal(38,6) (cast from
+  * double AFTER any scalar arithmetic). Decimal sums are exact and
+  * order-independent, so results are stable under AQE re-planning and match
+  * the DuckDB oracle bit-for-bit; scalar double math is IEEE-identical in
+  * both engines. Averages are emitted as cast(sum as double)/count.
+  */
+object CoreQueries {
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  // ---------------------------------------------------------------- q1
+  /** Pricing summary: groupBy agg with exact money math (the reference's
+    * fact-rollup shape, reference: analytics/fact_cliente_venta.py:42-63). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  /** Star join: fact ⋈ dims, broadcast small dims, revenue per region/nation
+    * (reference: analytics/fact_venta_detalle.py:27-108). At 100 TB the
+    * lineitem⋈orders join shuffles on orderkey; nation/region broadcast. */
+  def q2StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val cst = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .select(col("region_name"), col("nation_name"), col("revenue"), col("n_orders"))
+  }
+
+  val q2Sql: String =
+    """SELECT r_name AS region_name, n_name AS nation_name,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue,
+      |  count(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** Dim conformance: surrogate keys + defaults + normalization + casts
+    * (reference: domain/t_venta.py:86-165, analytics/dim_cliente.py). */
+  def q3DimConform(spark: SparkSession, dir: String): DataFrame = {
+    val cst = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    cst.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"), "left")
+      .select(
+        Keys.surrogate(col("c_custkey"), col("c_nationkey")).as("id_cliente"),
+        col("c_custkey").cast("long").as("cod_cliente"),
+        upper(trim(col("c_name"))).as("desc_cliente"),
+        Keys.orDefault(col("n_name"), "NATION DEFAULT").as("desc_nacion"),
+        Keys.orDefault(col("r_name"), "REGION DEFAULT").as("desc_region"),
+        upper(trim(col("c_mktsegment"))).as("desc_segmento"),
+        dec(col("c_acctbal")).as("imp_saldo"),
+        when(col("c_acctbal") < 0, lit(1)).otherwise(lit(0)).cast(IntegerType).as("es_moroso"))
+  }
+
+  val q3Sql: String =
+    """SELECT concat_ws('|', CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR)) AS id_cliente,
+      |  CAST(c_custkey AS BIGINT) AS cod_cliente,
+      |  upper(trim(c_name)) AS desc_cliente,
+      |  coalesce(n_name, 'NATION DEFAULT') AS desc_nacion,
+      |  coalesce(r_name, 'REGION DEFAULT') AS desc_region,
+      |  upper(trim(c_mktsegment)) AS desc_segmento,
+      |  CAST(c_acctbal AS DECIMAL(38,6)) AS imp_saldo,
+      |  CAST(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS INTEGER) AS es_moroso
+      |FROM customer
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  /** Latest order per customer via ranked-window dedup
+    * (reference: analytics/dim_cliente.py:44-64). */
+  def q4DedupLatest(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    DedupLatest.latest(ord, Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        dec(col("o_totalprice")).as("imp_total"), col("o_orderstatus"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(o_totalprice AS DECIMAL(38,6)) AS imp_total, o_orderstatus
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** Period (yyyyMM) rollup — the reference's id_periodo grain
+    * (reference: domain/t_venta.py:88, common_jobs_functions.py:358-378). */
+  def q5PeriodAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    ord.groupBy(Periods.periodOf(col("o_orderdate")).as("id_periodo"))
+      .agg(
+        count(lit(1)).as("cant_pedidos"),
+        sum(dec(col("o_totalprice"))).as("imp_total"),
+        countDistinct(col("o_custkey")).as("cant_clientes"))
+  }
+
+  val q5Sql: String =
+    """SELECT strftime(o_orderdate, '%Y%m') AS id_periodo,
+      |  count(*) AS cant_pedidos,
+      |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS imp_total,
+      |  count(DISTINCT o_custkey) AS cant_clientes
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  /** Trailing-3-month spend per customer. Reference does this as a
+    * period-range self-join (fact_cliente_venta.py:86-128); we use a RANGE
+    * window on a month index — same semantics, one shuffle (SURVEY §4). */
+  def q6Trailing3m(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val monthly = ord.groupBy(
+        col("o_custkey"),
+        Periods.monthStart(col("o_orderdate")).as("mes"))
+      .agg(sum(dec(col("o_totalprice"))).as("imp_mes"))
+      .withColumn("mes_idx", Periods.monthIndex(col("mes")))
+    TrailingAgg.trailingSums(monthly, Seq("o_custkey"), "mes_idx",
+        Seq("imp_mes" -> "imp_3m"), months = 3)
+      .select(col("o_custkey"), Periods.periodOf(col("mes")).as("id_periodo"),
+        col("imp_mes"), col("imp_3m"))
+  }
+
+  val q6Sql: String =
+    """WITH monthly0 AS (
+      |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+      |    sum(CAST(o_totalprice AS DECIMAL(38,6))) AS imp_mes
+      |  FROM orders GROUP BY 1, 2),
+      |monthly AS (
+      |  SELECT *, year(mes) * 12 + month(mes) AS mes_idx FROM monthly0)
+      |SELECT o_custkey, strftime(mes, '%Y%m') AS id_periodo, imp_mes,
+      |  sum(imp_mes) OVER (PARTITION BY o_custkey ORDER BY mes_idx
+      |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS imp_3m
+      |FROM monthly""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  /** Top-3 orders per customer (rank window with total order). */
+  def q7TopNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    TopN.perGroup(ord, Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), n = 3, rankCol = "rn")
+      .select(col("o_custkey"), col("rn").cast(IntegerType).as("rn"),
+        col("o_orderkey"), dec(col("o_totalprice")).as("imp_total"))
+  }
+
+  val q7Sql: String =
+    """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey,
+      |  CAST(o_totalprice AS DECIMAL(38,6)) AS imp_total
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  /** Customer metric block: countDistinct / max / datediff
+    * (reference: analytics/fact_cliente_venta.py:49-63). Fixed reference
+    * date instead of current_date so the result is deterministic. */
+  def q8CustomerMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        countDistinct(col("l_partkey")).as("cant_producto"),
+        countDistinct(col("l_suppkey")).as("cant_proveedor"),
+        countDistinct(col("o_orderkey")).as("cant_venta"),
+        count(lit(1)).as("cant_lineas"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("imp_neto"),
+        max(col("l_shipdate").cast(DateType)).as("ult_fecha_compra"),
+        datediff(lit("2002-01-01").cast(DateType),
+          max(col("l_shipdate").cast(DateType))).cast(IntegerType).as("ult_dia_compra"))
+  }
+
+  val q8Sql: String =
+    """SELECT o_custkey,
+      |  count(DISTINCT l_partkey) AS cant_producto,
+      |  count(DISTINCT l_suppkey) AS cant_proveedor,
+      |  count(DISTINCT o_orderkey) AS cant_venta,
+      |  count(*) AS cant_lineas,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS imp_neto,
+      |  max(CAST(l_shipdate AS DATE)) AS ult_fecha_compra,
+      |  CAST(date_diff('day', max(CAST(l_shipdate AS DATE)), DATE '2002-01-01') AS INTEGER) AS ult_dia_compra
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_star_join"       -> (q2StarJoin _),
+    "q3_dim_conform"     -> (q3DimConform _),
+    "q4_dedup_latest"    -> (q4DedupLatest _),
+    "q5_period_agg"      -> (q5PeriodAgg _),
+    "q6_trailing_3m"     -> (q6Trailing3m _),
+    "q7_topn_per_group"  -> (q7TopNPerGroup _),
+    "q8_customer_metrics" -> (q8CustomerMetrics _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_star_join"       -> q2Sql,
+    "q3_dim_conform"     -> q3Sql,
+    "q4_dedup_latest"    -> q4Sql,
+    "q5_period_agg"      -> q5Sql,
+    "q6_trailing_3m"     -> q6Sql,
+    "q7_topn_per_group"  -> q7Sql,
+    "q8_customer_metrics" -> q8Sql)
+}

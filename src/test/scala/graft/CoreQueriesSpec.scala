@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.CoreQueries
+
+object TestSpark {
+  lazy val spark: SparkSession = graft.core.GraftSession.local(cores = 4, shufflePartitions = 4)
+  val sf = "/root/testdata/sf0.001"
+}
+
+class CoreQueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("all core queries produce rows at sf0.001") {
+    CoreQueries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q1 aggregates are exact decimals") {
+    val row = CoreQueries.q1PricingSummary(spark, sf)
+      .filter("l_returnflag = 'R' and l_linestatus = 'F'").collect()
+    assert(row.length <= 1)
+    if (row.nonEmpty) {
+      val sumQty = row.head.getAs[java.math.BigDecimal]("sum_qty")
+      assert(sumQty.scale == 6)
+      assert(sumQty.doubleValue > 0)
+    }
+  }
+
+  test("q4 dedup keeps exactly one row per customer") {
+    val df = CoreQueries.q4DedupLatest(spark, sf)
+    assert(df.count() == df.select("o_custkey").distinct().count())
+  }
+
+  test("q7 rank never exceeds 3 and is dense from 1") {
+    val df = CoreQueries.q7TopNPerGroup(spark, sf)
+    assert(df.filter("rn > 3 or rn < 1").count() == 0)
+  }
+
+  test("q6 trailing window includes current month") {
+    val df = CoreQueries.q6Trailing3m(spark, sf)
+    assert(df.filter("imp_3m < imp_mes").count() == 0)
+  }
+
+  test("q2 plan broadcasts the dims") {
+    val plan = CoreQueries.q2StarJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+
+  test("q1 filter is pushed to the parquet scan") {
+    val plan = CoreQueries.q1PricingSummary(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "expected shipdate pushdown")
+  }
+}
