@@ -27,7 +27,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map to
+    * its µs TimestampType. Read it as long nanos (legacy conf) and convert
+    * explicitly — floor-division to µs, matching DuckDB's epoch_us. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

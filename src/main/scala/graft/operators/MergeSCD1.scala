@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD1 merge (upsert) semantics, storage-agnostic.
+  *
+  * The reference merges with Delta's `whenMatchedUpdateAll /
+  * whenNotMatchedInsertAll` (reference: artifacts/aws-glue/layer/
+  * common_jobs_functions.py:288-304 `update_table`). Re-expressed as a
+  * relational operator: union target+source and keep the source row per
+  * key. One shuffle on the merge key; equivalent to a full-outer-join
+  * merge but with half the shuffled payload (no wide join row).
+  *
+  * At lake scale this pairs with partition pruning: merge only the
+  * partitions the source touches (reference partitions by
+  * id_pais/id_periodo and overwrites dynamically — see LakeIO.upsert).
+  */
+object MergeSCD1 {
+  private val SIDE = "__graft_src"
+
+  /** Rows from `source` win over `target` on key equality; all other
+    * target rows pass through. Schemas must align by name. */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val tagged = source.withColumn(SIDE, lit(0))
+      .unionByName(target.withColumn(SIDE, lit(1)), allowMissingColumns = true)
+    DedupLatest.latest(tagged, keys, Seq(col(SIDE).asc)).drop(SIDE)
+  }
+}

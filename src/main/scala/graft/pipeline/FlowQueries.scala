@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DecimalType, IntegerType}
+import graft.core.Tables
+import graft.operators._
+
+/** Flow wave — temporal/merge/stream patterns (SURVEY.md §2 A, rows 9–14). */
+object FlowQueries {
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  // ---------------------------------------------------------------- q9
+  /** BigMagic integer-date encode/decode roundtrip
+    * (reference: common_jobs_functions.py:405-424). */
+  def q9MagicDate(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    ord.select(
+      col("o_orderkey"),
+      col("o_orderdate").cast(DateType).as("fecha"),
+      Periods.toMagic(col("o_orderdate")).as("fecha_magic"))
+      .withColumn("fecha_roundtrip", Periods.fromMagic(col("fecha_magic")))
+  }
+
+  val q9Sql: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS fecha,
+      |  CAST(date_diff('day', DATE '2008-01-01', CAST(o_orderdate AS DATE)) + 733042 AS INTEGER) AS fecha_magic,
+      |  DATE '2008-01-01' + CAST(date_diff('day', DATE '2008-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS fecha_roundtrip
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** As-of join: each purchase event picks up the user's most recent
+    * click value at-or-before it (rate-in-force pattern,
+    * reference: domain/t_venta.py:79-119 tipo_cambio). */
+  def q10AsofRate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOfJoin.lastValue(purchases, clicks, key = "user_id", time = "ts",
+        valueCols = Seq("value" -> "valor_click"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("valor_compra"), col("valor_click"))
+  }
+
+  val q10Sql: String =
+    """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+      |  p.value AS valor_compra, c.value AS valor_click
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** SCD1 merge: late-period rows (with a simulated price correction) merge
+    * over the historical snapshot (reference: common_jobs_functions.py:288
+    * Delta whenMatchedUpdateAll/whenNotMatchedInsertAll). */
+  def q11MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val target = ord.filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+    val source = ord.filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      .withColumn("o_orderstatus", lit("R"))
+    MergeSCD1.merge(target, source, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).as("imp_total"), col("o_orderdate"))
+  }
+
+  val q11Sql: String =
+    """WITH source AS (
+      |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+      |    o_totalprice * 1.1 AS o_totalprice, o_orderdate
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+      |target AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01')
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(o_totalprice AS DECIMAL(38,6)) AS imp_total, o_orderdate
+      |FROM (SELECT * FROM source UNION ALL
+      |      SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source))""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Multi-instance union with schema drift: instance B lacks the segment
+    * column; union tolerates it, conformance defaults it
+    * (reference: common_jobs_functions.py:246-268). */
+  def q12UnionInstances(spark: SparkSession, dir: String): DataFrame = {
+    val cst = Tables.customer(spark, dir)
+    val instA = cst.filter(col("c_nationkey") % 2 === 0)
+    val instB = cst.filter(col("c_nationkey") % 2 === 1).drop("c_mktsegment")
+    UnionInstances.unionTagged(Seq("inst_a" -> instA, "inst_b" -> instB))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        dec(col("c_acctbal")).as("imp_saldo"),
+        Keys.orDefault(col("c_mktsegment"), "SEGMENTO DEFAULT").as("desc_segmento"),
+        col("instancia"))
+  }
+
+  val q12Sql: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |  CAST(c_acctbal AS DECIMAL(38,6)) AS imp_saldo,
+      |  coalesce(c_mktsegment, 'SEGMENTO DEFAULT') AS desc_segmento,
+      |  instancia
+      |FROM (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |    'inst_a' AS instancia FROM customer WHERE c_nationkey % 2 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, NULL,
+      |    'inst_b' AS instancia FROM customer WHERE c_nationkey % 2 = 1)""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Gap-based sessionization (30 min) + per-session rollup. */
+  def q13Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Sessionize.byGap(ev, "user_id", "ts", gapSeconds = 1800,
+        tiebreak = col("event_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("inicio"),
+        max(col("ts")).as("fin"),
+        count(lit(1)).as("n_eventos"),
+        sum(dec(col("value"))).as("imp_valor"))
+  }
+
+  val q13Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS es_nueva
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, sum(es_nueva) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  CAST(min(ts) AS TIMESTAMP) AS inicio, CAST(max(ts) AS TIMESTAMP) AS fin,
+      |  count(*) AS n_eventos,
+      |  sum(CAST(value AS DECIMAL(38,6))) AS imp_valor
+      |FROM sessions GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Structured Streaming tumbling-window rollup, driven to completion with
+    * AvailableNow (SURVEY §2 row 14). Epoch-aligned == batch date_trunc. */
+  def q14StreamTumbling(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.tumblingCounts(spark, dir, "1 hour")
+
+  val q14Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ventana, event_type,
+      |  count(*) AS n_eventos,
+      |  sum(CAST(value AS DECIMAL(38,6))) AS imp_valor
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q9_magic_date"      -> (q9MagicDate _),
+    "q10_asof_rate"      -> (q10AsofRate _),
+    "q11_merge_upsert"   -> (q11MergeUpsert _),
+    "q12_union_instances" -> (q12UnionInstances _),
+    "q13_sessionize"     -> (q13Sessionize _),
+    "q14_stream_tumbling" -> (q14StreamTumbling _))
+
+  val oracles: Map[String, String] = Map(
+    "q9_magic_date"      -> q9Sql,
+    "q10_asof_rate"      -> q10Sql,
+    "q11_merge_upsert"   -> q11Sql,
+    "q12_union_instances" -> q12Sql,
+    "q13_sessionize"     -> q13Sql,
+    "q14_stream_tumbling" -> q14Sql)
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+
+/** Structured Streaming surface over the events table.
+  *
+  * The reference lands event-ish data in stage and rolls it up per period;
+  * here streams are first-class: `readStream` → watermarked windowed agg →
+  * sink. On a cluster this runs continuously against arriving files; in
+  * tests/Verify we drive it with Trigger.AvailableNow against the static
+  * lake and read the final result from the memory sink — same plan,
+  * bounded input.
+  */
+object EventsStream {
+  /** Tumbling-window rollup (window start, event_type) -> count + exact sum.
+    * Epoch-aligned windows, so results match a batch date_trunc rollup. */
+  def tumblingCounts(spark: SparkSession, dir: String,
+                     windowLength: String = "1 hour"): DataFrame = {
+    val path = Tables.path(dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    // The lake stores one parquet file per table; the file stream source
+    // expects a directory or glob, so address the file as a glob.
+    val globPath = s"$dir/events.parque[t]"
+    val raw = spark.readStream.schema(schema).option("basePath", dir).parquet(globPath)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = stream
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_eventos"),
+           sum(col("value").cast(DecimalType(38, 6))).as("imp_valor"))
+    val name = "graft_tumbling_" + java.lang.Integer.toHexString(dir.hashCode).replace('-', '_')
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("w.start").as("ventana"), col("event_type"),
+              col("n_eventos"), col("imp_valor"))
+  }
+}
