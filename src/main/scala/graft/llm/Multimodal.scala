@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata.
+  *
+  * The Spark-side mechanics are real — binary columns, content digests,
+  * per-batch iteration via mapPartitions — while the media decode itself is
+  * STUBBED deterministically (this environment has no image/audio codecs).
+  * Swap [[decodeStub]] for a real codec (e.g. a Pandas-UDF or JNI decoder)
+  * without touching the surrounding plan: schema, partitioning and batch
+  * shape stay identical.
+  */
+object Multimodal {
+  /** Treat a string column as the binary payload (in a real lake this is
+    * the raw image/audio bytes read from object storage). */
+  def asBinary(c: Column): Column = c.cast("binary")
+
+  def contentSha(bin: Column): Column = sha2(bin, 256)
+
+  def byteLength(bin: Column): Column = octet_length(bin).cast(IntegerType)
+
+  /** STUB decode: derives fake media dimensions/format purely from payload
+    * size, so pipelines exercising the decode path are deterministic.
+    * A real decoder replaces these three expressions (or the whole select)
+    * with a batch decode over `mapPartitions`. */
+  def decodeStub(bin: Column): (Column, Column, Column) = {
+    val n = byteLength(bin)
+    val width  = (lit(64) + pmod(n, lit(512))).cast(IntegerType)
+    val height = (lit(64) + pmod(n * 7, lit(512))).cast(IntegerType)
+    val fmt = when(pmod(n, lit(3)) === 0, lit("png"))
+      .when(pmod(n, lit(3)) === 1, lit("jpeg")).otherwise(lit("webp"))
+    (width, height, fmt)
+  }
+
+  /** Batch-decode plumbing: partition-at-a-time iteration with the same
+    * row shape a vectorized decoder would use. The per-row `decode` is
+    * injected so tests can observe batching; the default is the stub. */
+  def decodeBatches(df: DataFrame, binCol: String)(
+      decode: Array[Byte] => (Int, Int, String)): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(df.schema.fields ++ Array(
+      StructField("ancho", IntegerType), StructField("alto", IntegerType),
+      StructField("formato", StringType)))
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, f) = decode(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq ++ Seq(w, h, f))
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,287 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import graft.core.Tables
+import graft.llm._
+import graft.operators.TopN
+
+/** LLM-pipeline wave (SURVEY.md §2 B, rows 15–26): corpus dedup, text
+  * analysis, similarity search, multimodal plumbing over documents /
+  * embeddings. */
+object LLMQueries {
+
+  // ---------------------------------------------------------------- q15
+  def q15DedupExact(spark: SparkSession, dir: String): DataFrame =
+    ExactDedup.summary(Tables.documents(spark, dir), "text", "doc_id")
+
+  val q15Sql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copias
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  def q16TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = col("text")
+    d.select(
+      col("doc_id"),
+      TextAnalysis.wordCount(t).as("n_palabras"),
+      TextAnalysis.punctCount(t).as("n_puntuacion"),
+      (TextAnalysis.markerCount(t, TextAnalysis.EnglishStopwords).cast(DoubleType) /
+        TextAnalysis.wordCount(t).cast(DoubleType)).as("ratio_stopwords"),
+      TextAnalysis.qualityScore(t).as("calidad"))
+      .withColumn("es_alta_calidad",
+        when(col("calidad") >= 0.5, lit(1)).otherwise(lit(0)).cast(IntegerType))
+  }
+
+  private val swPat = "\\b(" + TextAnalysis.EnglishStopwords.mkString("|") + ")\\b"
+
+  val q16Sql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_palabras,
+      |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INTEGER) AS n_puntuacion,
+      |    CAST(len(regexp_extract_all(text, '$swPat')) AS INTEGER) AS n_stop,
+      |    CAST(length(text) AS INTEGER) AS n_chars
+      |  FROM documents)
+      |SELECT doc_id, n_palabras, n_puntuacion,
+      |  CAST(n_stop AS DOUBLE) / CAST(n_palabras AS DOUBLE) AS ratio_stopwords,
+      |  (CAST(n_stop AS DOUBLE) / n_palabras) * 0.5
+      |    + (1.0 - CAST(n_puntuacion AS DOUBLE) / n_chars) * 0.3
+      |    + least(CAST(n_palabras AS DOUBLE) / 200.0, 1.0) * 0.2 AS calidad,
+      |  CAST(CASE WHEN (CAST(n_stop AS DOUBLE) / n_palabras) * 0.5
+      |    + (1.0 - CAST(n_puntuacion AS DOUBLE) / n_chars) * 0.3
+      |    + least(CAST(n_palabras AS DOUBLE) / 200.0, 1.0) * 0.2 >= 0.5
+      |    THEN 1 ELSE 0 END AS INTEGER) AS es_alta_calidad
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  def q17TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = col("text")
+    d.select(col("doc_id"),
+      TextAnalysis.wsTokens(t).as("tokens_ws"),
+      TextAnalysis.reTokens(t).as("tokens_re"),
+      TextAnalysis.bpeEstimate(t).as("tokens_bpe"))
+  }
+
+  val q17Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS tokens_ws,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS tokens_re,
+      |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS INTEGER) AS tokens_bpe
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  def q18LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = col("text")
+    val scoreCols = TextAnalysis.langScores(t).map { case (l, c) => c.as(s"s_$l") }
+    d.select((Seq(col("doc_id"), col("lang").as("lang_declarado")) ++ scoreCols
+      :+ TextAnalysis.predictLang(t).as("lang_pred")): _*)
+  }
+
+  val q18Sql: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (l, ws) =>
+      s"CAST(len(regexp_extract_all(text, '\\b(${ws.mkString("|")})\\b')) AS INTEGER) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(l2 => s"s_$l >= s_$l2").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH m AS (
+      |  SELECT doc_id, lang AS lang_declarado,
+      |    $scores
+      |  FROM documents)
+      |SELECT doc_id, lang_declarado, s_en, s_es, s_fr, s_de, s_zh,
+      |  CASE $cases ELSE '${langs.last}' END AS lang_pred
+      |FROM m""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** MinHash LSH plumbing surfaced per-doc: shingle count + candidate
+    * partners found via band buckets (rows-only oracle). */
+  def q19MinhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sig = d.select(col("doc_id"), col("text"))
+      .withColumn("n_shingles", size(Shingles.shingles(col("text"), 5)).cast(IntegerType))
+      .withColumn("sig", MinHashLSH.signature(col("text"), k = 5, numHashes = 64))
+    val banded = MinHashLSH.bands(sig, "sig", numBands = 16, rowsPerBand = 4)
+      .select("doc_id", "band_idx", "band_hash")
+    val pairs = MinHashLSH.candidatePairs(banded, "doc_id")
+    val partners = pairs.select(col("id_a").as("doc_id"), col("id_b").as("partner"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("partner")))
+      .groupBy("doc_id").agg(countDistinct("partner").as("n_candidatos"))
+    sig.select("doc_id", "n_shingles")
+      .join(partners, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidatos"))
+  }
+
+  // ---------------------------------------------------------------- q20
+  /** SimHash fingerprint + hamming-band candidates (rows-only oracle). */
+  def q20Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val fp = d.select(col("doc_id"), SimHash.simhash64(col("text")).as("simhash"))
+    val withBands = fp.select((col("doc_id") +: col("simhash") +:
+      SimHash.bandColumns(col("simhash"), numBands = 4)): _*)
+    val banded = withBands.selectExpr("doc_id",
+      "stack(4, 0, band_0, 1, band_1, 2, band_2, 3, band_3) as (band_idx, band_val)")
+    val a = banded.select(col("band_idx"), col("band_val"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_val"), col("doc_id").as("id_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    val partners = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidatos"))
+    withBands.join(partners, Seq("doc_id"), "left").na.fill(0L, Seq("n_candidatos"))
+      .withColumn("bits_activos", bit_count(col("simhash")))
+  }
+
+  // ---------------------------------------------------------------- q21
+  /** Exact word-3-gram Jaccard over adjacent doc pairs (the verify stage
+    * that follows LSH candidate generation). */
+  def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sh = d.select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sh_a")).cast(IntegerType).as("n_shingles_a"),
+        size(col("sh_b")).cast(IntegerType).as("n_shingles_b"),
+        NgramJaccard.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
+  val q21Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 3, 0) + 2),
+      |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(a.sh) AS INTEGER) AS n_shingles_a,
+      |  CAST(len(b.sh) AS INTEGER) AS n_shingles_b,
+      |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+      |       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |            / len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Brute-force cosine top-10 for the first five vectors as queries. */
+  def q22AnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+  }
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private val normSql =
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  val q22Sql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    $dotSql / (a.nrm * b.nrm) AS cosine
+      |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+      |SELECT query_id, CAST(rango AS INTEGER) AS rango, neighbor_id, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS rango FROM scored)
+      |WHERE rango <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** LSH-bucketed ANN scale path: sign-pattern buckets (rows-only). */
+  def q23AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val bucketed = Similarity.lshBuckets(emb, "vec_id", "embedding", numPlanes = 8)
+    bucketed.select(col("vec_id"), col("bucket"))
+      .withColumn("tam_bucket",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+  }
+
+  // ---------------------------------------------------------------- q24
+  /** Nearest neighbor per vector + near-dup flag (embedding dedup). */
+  def q24EmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"),
+        col("cosine"),
+        when(col("cosine") >= 0.95, lit(1)).otherwise(lit(0)).cast(IntegerType).as("es_duplicado"))
+  }
+
+  val q24Sql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id, b.vec_id AS nn_id, $dotSql / (a.nrm * b.nrm) AS cosine
+      |  FROM n a JOIN n b ON b.vec_id <> a.vec_id)
+      |SELECT vec_id, nn_id, cosine,
+      |  CAST(CASE WHEN cosine >= 0.95 THEN 1 ELSE 0 END AS INTEGER) AS es_duplicado
+      |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY cosine DESC, nn_id ASC) AS rn FROM scored)
+      |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Rolling-hash fingerprint via the native codegen expression
+    * (rows-only oracle; graft.functions.RollingMinHashExpr). */
+  def q25Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RollingMinHashExpr
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_min_hash",
+      exprs => RollingMinHashExpr(exprs.head, 16), "built-in")
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "rolling_min_hash(text) AS huella",
+        "CAST(greatest(length(text) - 16 + 1, 1) AS INT) AS n_ventanas")
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** Multimodal plumbing: binary payloads + digests + stubbed decode. */
+  def q26MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bin = Multimodal.asBinary(col("text"))
+    val (w, h, f) = Multimodal.decodeStub(bin)
+    d.select(col("doc_id"),
+      Multimodal.byteLength(bin).as("n_bytes"),
+      Multimodal.contentSha(bin).as("content_sha"),
+      w.as("ancho"), h.as("alto"), f.as("formato"))
+  }
+
+  val q26Sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  sha256(text) AS content_sha,
+      |  CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS ancho,
+      |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS alto,
+      |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+      |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
+      |       ELSE 'webp' END AS formato
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_dedup_exact"    -> (q15DedupExact _),
+    "q16_text_quality"   -> (q16TextQuality _),
+    "q17_token_count"    -> (q17TokenCount _),
+    "q18_lang_id"        -> (q18LangId _),
+    "q19_minhash_dedup"  -> (q19MinhashDedup _),
+    "q20_simhash"        -> (q20Simhash _),
+    "q21_ngram_jaccard"  -> (q21NgramJaccard _),
+    "q22_ann_topk"       -> (q22AnnTopK _),
+    "q23_ann_lsh"        -> (q23AnnLsh _),
+    "q24_embedding_dedup" -> (q24EmbeddingDedup _),
+    "q25_fingerprint"    -> (q25Fingerprint _),
+    "q26_multimodal_meta" -> (q26MultimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q15_dedup_exact"    -> q15Sql,
+    "q16_text_quality"   -> q16Sql,
+    "q17_token_count"    -> q17Sql,
+    "q18_lang_id"        -> q18Sql,
+    "q21_ngram_jaccard"  -> q21Sql,
+    "q22_ann_topk"       -> q22Sql,
+    "q24_embedding_dedup" -> q24Sql,
+    "q26_multimodal_meta" -> q26Sql)
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm._
+import graft.pipeline.LLMQueries
+
+class LLMSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("all llm queries produce rows at sf0.001") {
+    LLMQueries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("exact dedup collapses identical content") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = ExactDedup.summary(df, "text", "doc_id")
+      .select("doc_id", "n_copias").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+    assert(ExactDedup.dropExact(df, "text", "doc_id").count() == 2)
+  }
+
+  test("minhash LSH finds a near-duplicate pair") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "X" else s"w$i").mkString(" ")
+    val distinctDoc = (100 to 160).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, distinctDoc)).toDF("doc_id", "text")
+    val sig = df.withColumn("sig", MinHashLSH.signature(col("text"), k = 5, numHashes = 64))
+    val banded = MinHashLSH.bands(sig, "sig", numBands = 16, rowsPerBand = 4)
+    val pairs = MinHashLSH.candidatePairs(banded, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: identical -> distance 0, near-dup -> small, distinct -> large") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "X" else s"w$i").mkString(" ")
+    val distinctDoc = (100 to 160).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, distinctDoc)).toDF("id", "text")
+      .withColumn("fp", SimHash.simhash64(col("text")))
+    val fps = df.select("id", "fp").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) == 0)
+    assert(ham(fps(1L), fps(3L)) < ham(fps(1L), fps(4L)))
+    assert(ham(fps(1L), fps(3L)) <= 8)
+  }
+
+  test("ngram jaccard on a known pair") {
+    val df = Seq(("a b c d", "b c d e")).toDF("x", "y")
+    val j = df.select(NgramJaccard.jaccard(
+      Shingles.shingles(col("x"), 2), Shingles.shingles(col("y"), 2)))
+      .as[Double].head()
+    // x 2-grams: {a b, b c, c d}; y: {b c, c d, d e}; inter 2, union 4
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("brute-force topk: identical vector ranks first with cosine 1") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df.filter($"vec_id" === 0), df, "vec_id", "embedding", 3)
+      .orderBy("rango").as[(Long, Int, Long, Double)].collect()
+    assert(top.head._3 == 1L && math.abs(top.head._4 - 1.0) < 1e-12)
+    assert(top.last._3 == 3L && math.abs(top.last._4 + 1.0) < 1e-12)
+  }
+
+  test("lsh buckets put identical vectors together") {
+    val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(df, "vec_id", "embedding").select("bucket")
+      .as[Long].collect()
+    assert(b(0) == b(1))
+  }
+
+  test("rolling min hash: superset text can only lower the min") {
+    import graft.functions.RollingMinHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val a = UTF8String.fromString("the quick brown fox jumps over the lazy dog")
+    val b = UTF8String.fromString("PREFIX " + a.toString + " SUFFIX")
+    assert(RollingMinHash.compute(b, 16) <= RollingMinHash.compute(a, 16))
+    assert(RollingMinHash.compute(a, 16) == RollingMinHash.compute(a, 16))
+  }
+
+  test("q18 predicted language is deterministic and in range") {
+    val langs = Set("en", "es", "fr", "de", "zh")
+    val preds = LLMQueries.q18LangId(spark, sf).select("lang_pred").distinct()
+      .as[String].collect().toSet
+    assert(preds.subsetOf(langs))
+  }
+
+  test("multimodal decodeBatches matches the stub expressions") {
+    val df = LLMQueries.q26MultimodalMeta(spark, sf)
+    val viaBatch = Multimodal.decodeBatches(
+      graft.core.Tables.documents(spark, sf)
+        .select(col("doc_id"), Multimodal.asBinary(col("text")).as("payload")),
+      "payload") { bytes =>
+      val n = bytes.length
+      (64 + n % 512, 64 + (n * 7) % 512, n % 3 match {
+        case 0 => "png"; case 1 => "jpeg"; case _ => "webp" })
+    }
+    val a = df.select("doc_id", "ancho", "alto", "formato").as[(Long, Int, Int, String)].collect().toSet
+    val b = viaBatch.select("doc_id", "ancho", "alto", "formato").as[(Long, Int, Int, String)].collect().toSet
+    assert(a == b)
+  }
+}
