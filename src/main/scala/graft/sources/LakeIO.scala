@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.MergeSCD1
+
+/** Layered parquet lake: the reference's SPARK_CONTROLLER storage surface
+  * (reference: artifacts/aws-glue/layer/common_jobs_functions.py:109-356)
+  * re-expressed on plain parquet + Spark-native merge.
+  *
+  * Layers mirror the reference (stage → domain → analytics); tables are
+  * directories of parquet partitioned by business keys (the reference
+  * partitions facts by id_pais/id_periodo). Writes use DYNAMIC partition
+  * overwrite so a periodic job rewrites only the partitions it produced —
+  * at 100 TB that is the difference between touching this month's
+  * partitions and rewriting years of history.
+  *
+  * The reference gets transactional upsert from Delta; on raw parquet we
+  * scope the merge to affected partitions (partition pruning on read,
+  * dynamic overwrite on write) with a staging dir for read/write isolation.
+  * Swapping in a transactional table format changes only this class.
+  */
+final case class LakeIO(spark: SparkSession, root: String) {
+  object layers {
+    val Stage = "stage"; val Domain = "domain"; val Analytics = "analytics"
+  }
+
+  def tablePath(layer: String, table: String): String = s"$root/$layer/$table"
+
+  def exists(layer: String, table: String): Boolean =
+    new java.io.File(tablePath(layer, table)).exists()
+
+  def read(layer: String, table: String): DataFrame =
+    spark.read.parquet(tablePath(layer, table))
+
+  /** External CSV read, reference: common_jobs_functions.py:227-229. */
+  def readCsv(path: String, sep: String = ";"): DataFrame =
+    spark.read.option("sep", sep).option("header", "true").csv(path)
+
+  /** Overwrite write; with partition columns, only partitions present in
+    * `df` are replaced (dynamic mode), like the reference's
+    * partitionOverwriteMode=dynamic (common_jobs_functions.py:312). */
+  def write(df: DataFrame, layer: String, table: String,
+            partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tablePath(layer, table))
+  }
+
+  def append(df: DataFrame, layer: String, table: String,
+             partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tablePath(layer, table))
+  }
+
+  /** SCD1 upsert scoped to the partitions the source touches.
+    *
+    * 1. Find the source's partition values (tiny aggregate).
+    * 2. Read ONLY those target partitions (partition pruning).
+    * 3. Merge (source wins per key) — single shuffle on the keys.
+    * 4. Stage the merged slice, then dynamically overwrite just those
+    *    partitions.
+    * Unpartitioned tables fall back to a full-table merge.
+    * reference: common_jobs_functions.py:279-304 (Delta merge upsert). */
+  def upsert(df: DataFrame, layer: String, table: String, keys: Seq[String],
+             partitionBy: Seq[String] = Nil): Unit = {
+    if (!exists(layer, table)) { write(df, layer, table, partitionBy); return }
+    val target = read(layer, table)
+    val scopedTarget =
+      if (partitionBy.isEmpty) target
+      else {
+        val parts = df.select(partitionBy.map(col): _*).distinct().collect()
+        val cond = parts.map { r =>
+          partitionBy.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        target.filter(cond)
+      }
+    val merged = MergeSCD1.merge(scopedTarget, df.select(target.columns.map(col): _*), keys)
+    val staging = tablePath(layer, s"__staging_$table")
+    val w0 = merged.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0).parquet(staging)
+    val stagedBack = spark.read.parquet(staging)
+    if (partitionBy.isEmpty) {
+      // full replace: the staging copy isolates the read path
+      stagedBack.write.mode(SaveMode.Overwrite).parquet(tablePath(layer, table))
+    } else {
+      stagedBack.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionBy: _*).parquet(tablePath(layer, table))
+    }
+    deleteRecursively(new java.io.File(staging))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{JdbcServing, LakeIO, SchemaRegistry}
+
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("lake write/read/append roundtrip with dynamic partition overwrite") {
+    val root = Files.createTempDirectory("graft_lake").toString
+    val lake = LakeIO(spark, root)
+    val v1 = Seq((1L, "202401", 10.0), (2L, "202402", 20.0)).toDF("id", "periodo", "imp")
+    lake.write(v1, lake.layers.Domain, "t", Seq("periodo"))
+    assert(lake.read(lake.layers.Domain, "t").count() == 2)
+
+    // dynamic overwrite: rewriting only 202402 must leave 202401 intact
+    val v2 = Seq((3L, "202402", 30.0)).toDF("id", "periodo", "imp")
+    lake.write(v2, lake.layers.Domain, "t", Seq("periodo"))
+    val after = lake.read(lake.layers.Domain, "t")
+    assert(after.filter($"periodo" === "202401").count() == 1)
+    assert(after.filter($"periodo" === "202402").select("id").as[Long].collect().toSet == Set(3L))
+  }
+
+  test("partition-scoped upsert merges keys and preserves untouched partitions") {
+    val root = Files.createTempDirectory("graft_lake").toString
+    val lake = LakeIO(spark, root)
+    val base = Seq((1L, "202401", 10.0), (2L, "202402", 20.0), (3L, "202402", 30.0))
+      .toDF("id", "periodo", "imp")
+    lake.write(base, lake.layers.Domain, "t", Seq("periodo"))
+    // update id=2 and insert id=4, both in 202402; 202401 untouched
+    val delta = Seq((2L, "202402", 99.0), (4L, "202402", 40.0)).toDF("id", "periodo", "imp")
+    lake.upsert(delta, lake.layers.Domain, "t", keys = Seq("id"), partitionBy = Seq("periodo"))
+    val out = lake.read(lake.layers.Domain, "t")
+    assert(out.count() == 4)
+    assert(out.filter($"id" === 2L).select("imp").as[Double].head() == 99.0)
+    assert(out.filter($"periodo" === "202401").count() == 1)
+  }
+
+  test("upsert on unpartitioned table") {
+    val root = Files.createTempDirectory("graft_lake").toString
+    val lake = LakeIO(spark, root)
+    lake.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), lake.layers.Stage, "u")
+    lake.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), lake.layers.Stage, "u", Seq("id"))
+    val out = lake.read(lake.layers.Stage, "u").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("jdbc preaction SQL mirrors the reference delete-by-slice") {
+    assert(JdbcServing.deletePreaction("fact_venta",
+      Seq("id_pais" -> Seq("PE", "CO"), "id_periodo" -> Seq("202401"))) ==
+      Some("DELETE FROM fact_venta WHERE id_pais IN ('PE', 'CO') AND id_periodo IN ('202401');"))
+    assert(JdbcServing.deletePreaction("t", Nil).isEmpty)
+    // values are quoted against injection
+    assert(JdbcServing.deletePreaction("t", Seq("c" -> Seq("x'y"))).get.contains("'x''y'"))
+  }
+
+  test("schema registry builds typed empty frames") {
+    import SchemaRegistry._
+    val reg = Registry(Map("m_cliente" -> Seq(
+      ColumnSpec("id_cliente", "string"), ColumnSpec("saldo", "double"),
+      ColumnSpec("alta", "date"))))
+    val df = reg.emptyFrame(spark, "m_cliente")
+    assert(df.count() == 0)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("id_cliente", "string"), ("saldo", "double"), ("alta", "date")))
+  }
+}
