@@ -46,10 +46,14 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def wsTokens(text: Column): Column = wordCount(text)
 
-  /** BPE-ish regex token count: runs of alphanumerics or single symbols —
-    * the standard pre-tokenizer shape. */
-  def reTokens(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast(IntegerType)
+  /** BPE-ish token count: runs of alphanumerics or single symbols — the
+    * standard pre-tokenizer shape. Native byte-scan expression with the
+    * exact semantics of regex `[A-Za-z0-9]+|[^A-Za-z0-9\s]` but without a
+    * regex engine pass (graft.functions.TokenCount). */
+  def reTokens(text: Column): Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function("token_count", text)
+  }
 
   /** Crude BPE estimate: ~4 chars/token. */
   def bpeEstimate(text: Column): Column =

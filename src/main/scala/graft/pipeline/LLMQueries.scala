@@ -228,10 +228,7 @@ object LLMQueries {
   /** Rolling-hash fingerprint via the native codegen expression
     * (rows-only oracle; graft.functions.RollingMinHashExpr). */
   def q25Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.RollingMinHashExpr
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_min_hash",
-      exprs => RollingMinHashExpr(exprs.head, 16), "built-in")
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "rolling_min_hash(text) AS huella",
         "CAST(greatest(length(text) - 16 + 1, 1) AS INT) AS n_ventanas")
