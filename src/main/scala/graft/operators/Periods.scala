@@ -41,4 +41,19 @@ object Periods {
   /** Trailing period list ending at `end` inclusive, like get_periods(). */
   def periods(n: Int, end: YearMonth): Seq[String] =
     (0 until n).map(i => end.minusMonths(i.toLong)).map(ym => f"${ym.getYear}%04d${ym.getMonthValue}%02d")
+
+  /** All days of the trailing `n` periods, as (dates, magic ints, periods) —
+    * the reference's pushdown-filter lists for date- and integer-dated
+    * sources (reference: common_jobs_functions.py:380-424
+    * `get_dates_filter`). */
+  def datesFilter(n: Int, end: YearMonth): (Seq[java.time.LocalDate], Seq[Int], Seq[String]) = {
+    val ps = periods(n, end)
+    val dates = ps.flatMap { p =>
+      val ym = YearMonth.of(p.take(4).toInt, p.drop(4).toInt)
+      (1 to ym.lengthOfMonth).map(d => ym.atDay(d))
+    }
+    val pivot = java.time.LocalDate.parse(MagicPivot)
+    val magic = dates.map(d => java.time.temporal.ChronoUnit.DAYS.between(pivot, d).toInt + MagicOffset)
+    (dates, magic, ps)
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import java.time.YearMonth
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Periods
+import graft.sources.LakeIO
+
+class OperatorsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("periods list mirrors the reference get_periods") {
+    assert(Periods.periods(3, YearMonth.of(2024, 2)) == Seq("202402", "202401", "202312"))
+    assert(Periods.periods(2, YearMonth.of(2024, 1)) == Seq("202401", "202312"))
+  }
+
+  test("datesFilter covers whole months and magic ints roundtrip") {
+    val (dates, magic, ps) = Periods.datesFilter(2, YearMonth.of(2024, 2))
+    assert(ps == Seq("202402", "202401"))
+    assert(dates.size == 29 + 31) // 2024 is a leap year
+    // reference anchor: 2008-01-01 -> 733042
+    assert(magic(dates.indexOf(java.time.LocalDate.parse("2024-01-01"))) ==
+      733042 + java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse("2008-01-01"), java.time.LocalDate.parse("2024-01-01")).toInt)
+  }
+
+  test("magic date column expressions agree with the scala-side ints") {
+    val df = Seq("2024-01-01", "2008-01-01", "1997-06-15").toDF("d")
+      .select(to_date($"d").as("d"))
+      .select($"d", Periods.toMagic($"d").as("m"))
+      .select($"d", $"m", Periods.fromMagic($"m").as("back"))
+    assert(df.filter($"d" =!= $"back").count() == 0)
+    val m2008 = df.filter($"d" === "2008-01-01").select("m").as[Int].head()
+    assert(m2008 == 733042)
+  }
+
+  test("csv external read honors the reference ; separator and header") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    java.nio.file.Files.writeString(dir.resolve("conf.csv"),
+      "cod_pais;desc_pais\nPE;PERU\nCO;COLOMBIA\n")
+    val lake = LakeIO(spark, dir.toString)
+    val df = lake.readCsv(dir.toString + "/conf.csv")
+    assert(df.columns.toSeq == Seq("cod_pais", "desc_pais"))
+    assert(df.count() == 2)
+  }
+
+  test("native functions are callable from SQL text") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d,
+        |       token_count('hello, world! x2') AS t,
+        |       rolling_min_hash('some document text') AS h""".stripMargin).head()
+    assert(r.getDouble(0) == 4.0)
+    // tokens: hello , world ! x2  -> 5
+    assert(r.getInt(1) == 5)
+  }
+}
