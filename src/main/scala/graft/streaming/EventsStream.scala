@@ -48,4 +48,29 @@ object EventsStream {
       .select(col("w.start").as("ventana"), col("event_type"),
               col("n_eventos"), col("imp_valor"))
   }
+
+  /** Stream-static enrichment: the event stream joined against a broadcast
+    * dim snapshot (the reference enriches stage streams against domain
+    * masters). Stream-static joins need no watermark/state — the dim is
+    * re-resolved per micro-batch, so slowly-changing dims stay fresh. */
+  def enriched(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.path(dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segmento"))
+    val joined = stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq("user_id"), "left")
+    val name = "graft_enriched_" + java.lang.Integer.toHexString(dir.hashCode).replace('-', '_')
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }
