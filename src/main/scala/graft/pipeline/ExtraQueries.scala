@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.operators.Keys
+
+/** Completion wave (SURVEY §2 A, rows 27–30): hierarchy flattening,
+  * running balances, and semi/anti join exclusion semantics. */
+object ExtraQueries {
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  // ---------------------------------------------------------------- q27
+  /** Multi-level hierarchy flatten: each level conformed to a common shape
+    * and unioned with a level tag (reference: domain/
+    * m_estructura_comercial.py:20-196 unions ruta/zona/division/subregion/
+    * region into one structure dim). Union is metadata-only — no shuffle. */
+  def q27HierarchyUnion(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val lvlRegion = reg.select(
+      Keys.surrogate(lit("R"), col("r_regionkey")).as("id_estructura"),
+      lit(null).cast("string").as("id_padre"),
+      upper(trim(col("r_name"))).as("descripcion"),
+      lit(1).cast(IntegerType).as("nivel"),
+      lit("region").as("tipo"))
+    val lvlNation = nat.select(
+      Keys.surrogate(lit("N"), col("n_nationkey")).as("id_estructura"),
+      Keys.surrogate(lit("R"), col("n_regionkey")).as("id_padre"),
+      upper(trim(col("n_name"))).as("descripcion"),
+      lit(2).cast(IntegerType).as("nivel"),
+      lit("nacion").as("tipo"))
+    lvlRegion.unionByName(lvlNation)
+  }
+
+  val q27Sql: String =
+    """SELECT concat_ws('|', 'R', CAST(r_regionkey AS VARCHAR)) AS id_estructura,
+      |  CAST(NULL AS VARCHAR) AS id_padre, upper(trim(r_name)) AS descripcion,
+      |  CAST(1 AS INTEGER) AS nivel, 'region' AS tipo
+      |FROM region
+      |UNION ALL
+      |SELECT concat_ws('|', 'N', CAST(n_nationkey AS VARCHAR)),
+      |  concat_ws('|', 'R', CAST(n_regionkey AS VARCHAR)), upper(trim(n_name)),
+      |  CAST(2 AS INTEGER), 'nacion'
+      |FROM nation""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Running balance per customer: unbounded-preceding cumulative sum in
+    * order-date order (reference: domain/t_saldos_iniciales.py balance
+    * carry-forward). One shuffle on the key; decimal-exact so the running
+    * prefix sums are order-stable. */
+  def q28RunningBalance(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        dec(col("o_totalprice")).as("imp_pedido"))
+      .withColumn("saldo_acumulado", sum(col("imp_pedido")).over(w))
+  }
+
+  val q28Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(o_totalprice AS DECIMAL(38,6)) AS imp_pedido,
+      |  sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS saldo_acumulado
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** Anti join: customers with no orders in a period (NOT EXISTS). At scale
+    * a broadcast/shuffled left_anti carries only the keys. */
+  def q29AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cst = Tables.customer(spark, dir)
+    val ord97 = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cst.join(ord97, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val q29Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01')""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** Semi join: customers with at least one urgent order (EXISTS). */
+  def q30SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cst = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    cst.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), dec(col("c_acctbal")).as("imp_saldo"))
+  }
+
+  val q30Sql: String =
+    """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(38,6)) AS imp_saldo
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_hierarchy_union" -> (q27HierarchyUnion _),
+    "q28_running_balance" -> (q28RunningBalance _),
+    "q29_anti_join"       -> (q29AntiJoin _),
+    "q30_semi_join"       -> (q30SemiJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q27_hierarchy_union" -> q27Sql,
+    "q28_running_balance" -> q28Sql,
+    "q29_anti_join"       -> q29Sql,
+    "q30_semi_join"       -> q30Sql)
+}

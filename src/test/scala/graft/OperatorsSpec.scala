@@ -45,6 +45,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("all extra queries produce rows and q28 balances are monotone per customer") {
+    graft.pipeline.ExtraQueries.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+    val bad = graft.pipeline.ExtraQueries.q28RunningBalance(spark, sf)
+      .filter($"saldo_acumulado" < $"imp_pedido").count()
+    assert(bad == 0)
+  }
+
+  test("semi and anti join partition the customer set") {
+    val cst = graft.core.Tables.customer(spark, sf).count()
+    val anti = graft.pipeline.ExtraQueries.q29AntiJoin(spark, sf).count()
+    val withOrders97 = cst - anti
+    assert(anti > 0 && withOrders97 > 0)
+  }
+
   test("native functions are callable from SQL text") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
