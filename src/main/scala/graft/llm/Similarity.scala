@@ -32,10 +32,67 @@ object Similarity {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  /** Brute-force top-k neighbors for each query vector.
-    * `queries` is broadcast; ranking has a unique tie-break (neighbor id). */
+  /** Exact top-k neighbors per query, single pass over the corpus.
+    *
+    * The query set (bounded, like a broadcast-join build side) is collected
+    * and broadcast; each corpus partition keeps one bounded candidate
+    * buffer per query and emits at most k rows per (query, partition) —
+    * so the shuffle carries k·partitions rows per query instead of N pair
+    * rows, and the final exact ranking runs on that tiny set. Dot products
+    * use the same strict left-to-right double loop as the float_dot kernel,
+    * so results are bit-identical to the pairwise form and the oracle.
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Float], Double)] = queries
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id, v, VectorNorms.norm(v)) }
+    val bq = spark.sparkContext.broadcast(qArr)
+    val partials = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        // unpack to parallel primitive arrays: no boxing in the hot loop
+        val qs = bq.value
+        val nq = qs.length
+        val qIds = Array.tabulate(nq)(qs(_)._1)
+        val qVecs = Array.tabulate(nq)(qs(_)._2)
+        val qNorms = Array.tabulate(nq)(qs(_)._3)
+        // per-query bounded candidate buffers: (cosine, neighborId)
+        val buf = Array.fill(nq)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+            // min-heap on (cos asc, id desc): evict the worst candidate,
+            // where "worse" = lower cos, then larger id
+            Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
+        rows.foreach { case (cid, cvec) =>
+          val cn = VectorNorms.norm(cvec)
+          var i = 0
+          while (i < nq) {
+            if (qIds(i) != cid) {
+              val cos = VectorNorms.dot(qVecs(i), cvec) / (qNorms(i) * cn)
+              val q = buf(i)
+              if (q.size < k) q.enqueue((cos, cid))
+              else {
+                val (wc, wid) = q.head
+                if (cos > wc || (cos == wc && cid < wid)) { q.dequeue(); q.enqueue((cos, cid)) }
+              }
+            }
+            i += 1
+          }
+        }
+        buf.iterator.zipWithIndex.flatMap { case (q, i) =>
+          q.iterator.map { case (cos, cid) => (qIds(i), cid, cos) }
+        }
+      }.toDF("query_id", "neighbor_id", "cosine")
+    TopN.perGroup(partials, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rango")
+      .select(col("query_id"), col("rango"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Pairwise expression form (reference baseline; same results). */
+  def bruteForceTopKPairwise(queries: DataFrame, corpus: DataFrame, idCol: String,
+                             vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
@@ -46,6 +103,18 @@ object Similarity {
     TopN.perGroup(scored, Seq("query_id"),
         Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rango")
       .select(col("query_id"), col("rango"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** JVM-side twins of the float_dot kernel (identical summation order). */
+  private[llm] object VectorNorms {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
