@@ -105,16 +105,41 @@ object ExtraQueries {
       |WHERE EXISTS (SELECT 1 FROM orders
       |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** Semi-structured extraction: JSON event properties parsed lakeside
+    * (events.props carries a JSON payload; the stage layer conforms it to
+    * typed columns). get_json_object is codegen'd path extraction — no UDF,
+    * pushdown-friendly column pruning still applies. */
+  def q31JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("prop_k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eventos"),
+        sum(col("prop_k")).as("suma_k"),
+        min(col("prop_k")).as("min_k"),
+        max(col("prop_k")).as("max_k"))
+  }
+
+  val q31Sql: String =
+    """SELECT event_type, count(*) AS n_eventos,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS suma_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_hierarchy_union" -> (q27HierarchyUnion _),
     "q28_running_balance" -> (q28RunningBalance _),
     "q29_anti_join"       -> (q29AntiJoin _),
-    "q30_semi_join"       -> (q30SemiJoin _))
+    "q30_semi_join"       -> (q30SemiJoin _),
+    "q31_json_extract"    -> (q31JsonExtract _))
 
   val oracles: Map[String, String] = Map(
     "q27_hierarchy_union" -> q27Sql,
     "q28_running_balance" -> q28Sql,
     "q29_anti_join"       -> q29Sql,
-    "q30_semi_join"       -> q30Sql)
+    "q30_semi_join"       -> q30Sql,
+    "q31_json_extract"    -> q31Sql)
 }
