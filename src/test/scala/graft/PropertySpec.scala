@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests pinning the native kernels to independent reference
+  * implementations (regex engine, interpreted arithmetic). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 2 -> Gen.oneOf(".,!?;:-_()[]".toSeq),
+      1 -> Gen.oneOf('\t', '\n'))).map(_.mkString)
+
+  test("token_count kernel equals the regex engine on arbitrary ASCII text") {
+    val re = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]".r
+    check(Prop.forAll(asciiText) { s =>
+      re.findAllIn(s).length ==
+        graft.functions.VectorMath.tokenCount(UTF8String.fromString(s))
+    })
+  }
+
+  test("token_count counts multi-byte characters like the regex does") {
+    val re = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]".r
+    val gen = Gen.listOf(Gen.oneOf("é", "中", "a", " ", "ü", ",", "🚀")).map(_.mkString)
+    check(Prop.forAll(gen) { s =>
+      re.findAllIn(s).length ==
+        graft.functions.VectorMath.tokenCount(UTF8String.fromString(s))
+    })
+  }
+
+  test("rolling min hash: deterministic, and window containment bounds the min") {
+    check(Prop.forAll(asciiText.suchThat(_.nonEmpty), asciiText) { (core, pad) =>
+      val a = UTF8String.fromString(core)
+      val b = UTF8String.fromString(pad + core)
+      val stable = graft.functions.RollingMinHash.compute(a, 16) ==
+        graft.functions.RollingMinHash.compute(a, 16)
+      val bounded =
+        if (core.getBytes("UTF-8").length >= 16)
+          graft.functions.RollingMinHash.compute(b, 16) <=
+            graft.functions.RollingMinHash.compute(a, 16)
+        else true
+      stable && bounded
+    })
+  }
+
+  test("dot kernel equals interpreted left-to-right sum") {
+    val vec = Gen.listOfN(64, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
+    check(Prop.forAll(vec, vec) { (a, b) =>
+      var acc = 0.0
+      var i = 0
+      while (i < 64) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      graft.functions.VectorMath.dotF(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b)) == acc
+    })
+  }
+}
