@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * the public `functions.call_function`, so no private Column internals are
   * touched and the functions are equally available to SQL text. */
 object GraftFunctions {
-  val Names = Seq("float_dot", "token_count", "rolling_min_hash")
+  val Names = Seq("float_dot", "token_count", "rolling_min_hash", "bottom_k_sample")
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -18,6 +18,9 @@ object GraftFunctions {
       exprs => TokenCount(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("rolling_min_hash",
       exprs => RollingMinHashExpr(exprs.head, 16), "built-in")
+    reg.createOrReplaceTempFunction("bottom_k_sample",
+      exprs => BottomKSample(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(), "built-in")
   }
 
   /** Idempotent registration against the active session. */

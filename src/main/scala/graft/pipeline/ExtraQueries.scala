@@ -128,18 +128,40 @@ object ExtraQueries {
       |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** Deterministic per-source corpus sample via the bottom-k-by-hash
+    * TypedImperativeAggregate (graft.functions.BottomKSample): one pass,
+    * O(k) state per group, reproducible across retries/partitioning. */
+  def q32DeterministicSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(expr("bottom_k_sample(md5(text), doc_id, 5)").as("muestra"))
+      .select(col("source"), posexplode(col("muestra")).as(Seq("pos", "doc_id")))
+      .select(col("source"), (col("pos") + 1).cast(IntegerType).as("rango"), col("doc_id"))
+  }
+
+  val q32Sql: String =
+    """SELECT source, CAST(rn AS INTEGER) AS rango, doc_id FROM (
+      |  SELECT source, doc_id, row_number() OVER (
+      |    PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_hierarchy_union" -> (q27HierarchyUnion _),
     "q28_running_balance" -> (q28RunningBalance _),
     "q29_anti_join"       -> (q29AntiJoin _),
     "q30_semi_join"       -> (q30SemiJoin _),
-    "q31_json_extract"    -> (q31JsonExtract _))
+    "q31_json_extract"    -> (q31JsonExtract _),
+    "q32_deterministic_sample" -> (q32DeterministicSample _))
 
   val oracles: Map[String, String] = Map(
     "q27_hierarchy_union" -> q27Sql,
     "q28_running_balance" -> q28Sql,
     "q29_anti_join"       -> q29Sql,
     "q30_semi_join"       -> q30Sql,
-    "q31_json_extract"    -> q31Sql)
+    "q31_json_extract"    -> q31Sql,
+    "q32_deterministic_sample" -> q32Sql)
 }

@@ -61,6 +61,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(anti > 0 && withOrders97 > 0)
   }
 
+  test("bottom-k sample is deterministic under repartitioning") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.core.Tables.documents(spark, sf)
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"source")
+        .agg(expr("bottom_k_sample(md5(text), doc_id, 3)").as("m"))
+        .select($"source", $"m")
+        .as[(String, Seq[Long])].collect().toMap
+    val a = sample(docs)
+    val b = sample(docs.repartition(17, $"doc_id"))
+    val c = sample(docs.repartition(3))
+    assert(a == b && b == c)
+    assert(a.values.forall(_.size <= 3))
+  }
+
   test("native functions are callable from SQL text") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
