@@ -78,7 +78,8 @@ final case class LakeIO(spark: SparkSession, root: String) {
         }.reduceOption(_ || _).getOrElse(lit(false))
         target.filter(cond)
       }
-    val merged = MergeSCD1.merge(scopedTarget, df.select(target.columns.map(col): _*), keys)
+    val merged = MergeSCD1.merge(scopedTarget,
+      df.select(target.columns.toIndexedSeq.map(col): _*), keys)
     val staging = tablePath(layer, s"__staging_$table")
     val w0 = merged.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0).parquet(staging)
