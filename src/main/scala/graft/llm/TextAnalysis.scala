@@ -59,6 +59,30 @@ object TextAnalysis {
   def bpeEstimate(text: Column): Column =
     ceil(length(text).cast(DoubleType) / lit(4.0)).cast(IntegerType)
 
+  /** PII patterns for corpus scrubbing. Conservative syntax (no
+    * backreferences/lookaround) so the same patterns run on Java regex and
+    * RE2-family engines identically. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    // order matters: IPs must be rewritten before the phone pattern can
+    // misread a dotted quad as a digit group
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    "\\b(?:\\+?[0-9]{1,3}[-. ])?(?:\\([0-9]{2,4}\\)[-. ]?)?[0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}\\b" -> "<PHONE>",
+    "\\b[0-9]{13,19}\\b" -> "<CARD>")
+
+  /** Replace emails/phones/IPs/card-like numbers with typed placeholders —
+    * the standard pre-training scrub pass. Pure regexp_replace cascade:
+    * codegen'd, one map stage, no shuffle. */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Count of PII hits (for filtering/reporting rather than rewriting). */
+  def piiCount(text: Column): Column =
+    PiiPatterns.map { case (pat, _) => regexp_count(text, lit(pat)) }
+      .reduce((a, b) => a + b).cast(IntegerType)
+
   /** Marker vocabularies per language for the heuristic language ID.
     * Priority order = tie-break order. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
