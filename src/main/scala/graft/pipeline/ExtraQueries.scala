@@ -148,6 +148,30 @@ object ExtraQueries {
       |  FROM documents)
       |WHERE rn <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  /** Corpus vocabulary: explode word tokens, count, keep the top 100 terms
+    * (count desc, term asc). The flatten-then-aggregate shape: explode is
+    * pipelined (no shuffle), the single shuffle is the word-count agg with
+    * map-side partial aggregation, and the top-k is a tiny global sort. */
+  def q33Vocabulary(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(explode(split(trim(col("text")), "\\s+")).as("termino"))
+      .filter(length(col("termino")) > 0)
+      .groupBy(col("termino"))
+      .agg(count(lit(1)).as("frecuencia"))
+      .orderBy(col("frecuencia").desc, col("termino").asc)
+      .limit(100)
+  }
+
+  val q33Sql: String =
+    """SELECT termino, count(*) AS frecuencia FROM (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS termino
+      |  FROM documents)
+      |WHERE length(termino) > 0
+      |GROUP BY termino
+      |ORDER BY frecuencia DESC, termino ASC
+      |LIMIT 100""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_hierarchy_union" -> (q27HierarchyUnion _),
@@ -155,7 +179,8 @@ object ExtraQueries {
     "q29_anti_join"       -> (q29AntiJoin _),
     "q30_semi_join"       -> (q30SemiJoin _),
     "q31_json_extract"    -> (q31JsonExtract _),
-    "q32_deterministic_sample" -> (q32DeterministicSample _))
+    "q32_deterministic_sample" -> (q32DeterministicSample _),
+    "q33_vocabulary"      -> (q33Vocabulary _))
 
   val oracles: Map[String, String] = Map(
     "q27_hierarchy_union" -> q27Sql,
@@ -163,5 +188,6 @@ object ExtraQueries {
     "q29_anti_join"       -> q29Sql,
     "q30_semi_join"       -> q30Sql,
     "q31_json_extract"    -> q31Sql,
-    "q32_deterministic_sample" -> q32Sql)
+    "q32_deterministic_sample" -> q32Sql,
+    "q33_vocabulary"      -> q33Sql)
 }
