@@ -49,6 +49,15 @@ object EventsStream {
               col("n_eventos"), col("imp_valor"))
   }
 
+  /** Streaming exact dedup: at-least-once sources re-deliver events; this
+    * drops re-deliveries of the same event id while the watermark keeps the
+    * dedup state bounded (state holds only ids newer than the watermark —
+    * O(events within the watermark window), not O(stream)). */
+  def dedupedStream(events: DataFrame, idCols: Seq[String],
+                    watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Stream-static enrichment: the event stream joined against a broadcast
     * dim snapshot (the reference enriches stage streams against domain
     * masters). Stream-static joins need no watermark/state — the dim is

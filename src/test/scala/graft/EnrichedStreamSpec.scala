@@ -6,6 +6,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class EnrichedStreamSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val deduped = graft.streaming.EventsStream.dedupedStream(events, Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("graft_dedup_stream").start()
+    try {
+      def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+      input.addData((1L, ts(5), 1.0), (2L, ts(6), 2.0), (1L, ts(5), 1.0))
+      q.processAllAvailable()
+      input.addData((2L, ts(7), 2.0), (3L, ts(8), 3.0)) // event 2 re-delivered
+      q.processAllAvailable()
+      val out = spark.table("graft_dedup_stream").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(out == Seq(1L, 2L, 3L), s"got $out")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment attaches dim attributes per event") {
     val out = graft.streaming.EventsStream.enriched(spark, sf)
     val total = graft.core.Tables.events(spark, sf).count()
