@@ -27,4 +27,15 @@ object MergeSCD1 {
       .unionByName(target.withColumn(SIDE, lit(1)), allowMissingColumns = true)
     DedupLatest.latest(tagged, keys, Seq(col(SIDE).asc)).drop(SIDE)
   }
+
+  /** Update-only merge: matched keys take the source row, unmatched source
+    * rows are DROPPED (the reference's whenMatchedUpdateAll-without-insert,
+    * reference: common_jobs_functions.py:323-337 `read_spark_table`).
+    * The semi join restricts the source to existing keys, then the normal
+    * merge applies — still one shuffle per side on the keys. */
+  def updateOnly(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val existing = source.join(target.select(keys.map(col): _*).distinct(),
+      keys, "left_semi")
+    merge(target, existing, keys)
+  }
 }

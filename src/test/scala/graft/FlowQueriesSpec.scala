@@ -38,6 +38,14 @@ class FlowQueriesSpec extends AnyFunSuite {
     assert(out == Set((1, "new"), (2, "keep"), (3, "ins")))
   }
 
+  test("update-only merge drops unmatched source rows") {
+    import spark.implicits._
+    val target = Seq((1, "old"), (2, "keep")).toDF("k", "v")
+    val source = Seq((1, "new"), (3, "dropped")).toDF("k", "v")
+    val out = MergeSCD1.updateOnly(target, source, Seq("k")).as[(Int, String)].collect().toSet
+    assert(out == Set((1, "new"), (2, "keep")))
+  }
+
   test("q13 sessions have no internal gap > 30min across session boundary") {
     val df = FlowQueries.q13Sessionize(spark, sf)
     // session ids are dense per user starting at 1
