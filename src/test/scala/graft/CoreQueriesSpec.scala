@@ -12,6 +12,17 @@ object TestSpark {
 class CoreQueriesSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("driver contract: entry returns rows and maps stay aligned") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key must have a query; query keys without oracle are
+    // the documented rows-only set
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    assert((q -- o) == Set("q19_minhash_dedup", "q20_simhash", "q23_ann_lsh",
+      "q25_fingerprint"), s"unexpected rows-only queries: ${q -- o}")
+  }
+
   test("all core queries produce rows at sf0.001") {
     CoreQueries.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
