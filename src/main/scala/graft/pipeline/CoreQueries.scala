@@ -13,10 +13,15 @@ import graft.operators._
   * double AFTER any scalar arithmetic). Decimal sums are exact and
   * order-independent, so results are stable under AQE re-planning and match
   * the DuckDB oracle bit-for-bit; scalar double math is IEEE-identical in
-  * both engines. Averages are emitted as cast(sum as double)/count.
+  * both engines. OUTPUT columns are DOUBLE: the final projection casts the
+  * exact decimal sum to double (mirrored in the oracle SQL) — decimal output
+  * types canonicalize differently across readers, doubles hash stably.
+  * Un-aggregated money passes through as the source double untouched.
   */
 object CoreQueries {
   private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
+  /** Exact decimal sum, emitted as double (order-independent then portable). */
+  private def moneySum(c: Column): Column = sum(dec(c)).cast("double")
 
   // ---------------------------------------------------------------- q1
   /** Pricing summary: groupBy agg with exact money math (the reference's
@@ -26,20 +31,20 @@ object CoreQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
-        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
   }
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -63,14 +68,14 @@ object CoreQueries {
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
       .agg(
-        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
       .select(col("region_name"), col("nation_name"), col("revenue"), col("n_orders"))
   }
 
   val q2Sql: String =
     """SELECT r_name AS region_name, n_name AS nation_name,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
       |  count(DISTINCT o_orderkey) AS n_orders
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -96,7 +101,7 @@ object CoreQueries {
         Keys.orDefault(col("n_name"), "NATION DEFAULT").as("desc_nacion"),
         Keys.orDefault(col("r_name"), "REGION DEFAULT").as("desc_region"),
         upper(trim(col("c_mktsegment"))).as("desc_segmento"),
-        dec(col("c_acctbal")).as("imp_saldo"),
+        col("c_acctbal").as("imp_saldo"),
         when(col("c_acctbal") < 0, lit(1)).otherwise(lit(0)).cast(IntegerType).as("es_moroso"))
   }
 
@@ -107,7 +112,7 @@ object CoreQueries {
       |  coalesce(n_name, 'NATION DEFAULT') AS desc_nacion,
       |  coalesce(r_name, 'REGION DEFAULT') AS desc_region,
       |  upper(trim(c_mktsegment)) AS desc_segmento,
-      |  CAST(c_acctbal AS DECIMAL(38,6)) AS imp_saldo,
+      |  c_acctbal AS imp_saldo,
       |  CAST(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS INTEGER) AS es_moroso
       |FROM customer
       |LEFT JOIN nation ON c_nationkey = n_nationkey
@@ -121,12 +126,12 @@ object CoreQueries {
     DedupLatest.latest(ord, Seq("o_custkey"),
         Seq(col("o_orderdate").desc, col("o_orderkey").desc))
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        dec(col("o_totalprice")).as("imp_total"), col("o_orderstatus"))
+        col("o_totalprice").as("imp_total"), col("o_orderstatus"))
   }
 
   val q4Sql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      |  CAST(o_totalprice AS DECIMAL(38,6)) AS imp_total, o_orderstatus
+      |  o_totalprice AS imp_total, o_orderstatus
       |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
       |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
       |WHERE rn = 1""".stripMargin
@@ -139,14 +144,14 @@ object CoreQueries {
     ord.groupBy(Periods.periodOf(col("o_orderdate")).as("id_periodo"))
       .agg(
         count(lit(1)).as("cant_pedidos"),
-        sum(dec(col("o_totalprice"))).as("imp_total"),
+        moneySum(col("o_totalprice")).as("imp_total"),
         countDistinct(col("o_custkey")).as("cant_clientes"))
   }
 
   val q5Sql: String =
     """SELECT strftime(o_orderdate, '%Y%m') AS id_periodo,
       |  count(*) AS cant_pedidos,
-      |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS imp_total,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS imp_total,
       |  count(DISTINCT o_custkey) AS cant_clientes
       |FROM orders GROUP BY 1""".stripMargin
 
@@ -164,7 +169,8 @@ object CoreQueries {
     TrailingAgg.trailingSums(monthly, Seq("o_custkey"), "mes_idx",
         Seq("imp_mes" -> "imp_3m"), months = 3)
       .select(col("o_custkey"), Periods.periodOf(col("mes")).as("id_periodo"),
-        col("imp_mes"), col("imp_3m"))
+        col("imp_mes").cast("double").as("imp_mes"),
+        col("imp_3m").cast("double").as("imp_3m"))
   }
 
   val q6Sql: String =
@@ -174,9 +180,10 @@ object CoreQueries {
       |  FROM orders GROUP BY 1, 2),
       |monthly AS (
       |  SELECT *, year(mes) * 12 + month(mes) AS mes_idx FROM monthly0)
-      |SELECT o_custkey, strftime(mes, '%Y%m') AS id_periodo, imp_mes,
-      |  sum(imp_mes) OVER (PARTITION BY o_custkey ORDER BY mes_idx
-      |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS imp_3m
+      |SELECT o_custkey, strftime(mes, '%Y%m') AS id_periodo,
+      |  CAST(imp_mes AS DOUBLE) AS imp_mes,
+      |  CAST(sum(imp_mes) OVER (PARTITION BY o_custkey ORDER BY mes_idx
+      |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS imp_3m
       |FROM monthly""".stripMargin
 
   // ---------------------------------------------------------------- q7
@@ -186,12 +193,12 @@ object CoreQueries {
     TopN.perGroup(ord, Seq("o_custkey"),
         Seq(col("o_totalprice").desc, col("o_orderkey").asc), n = 3, rankCol = "rn")
       .select(col("o_custkey"), col("rn").cast(IntegerType).as("rn"),
-        col("o_orderkey"), dec(col("o_totalprice")).as("imp_total"))
+        col("o_orderkey"), col("o_totalprice").as("imp_total"))
   }
 
   val q7Sql: String =
     """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey,
-      |  CAST(o_totalprice AS DECIMAL(38,6)) AS imp_total
+      |  o_totalprice AS imp_total
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       |        row_number() OVER (PARTITION BY o_custkey
       |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
@@ -211,7 +218,7 @@ object CoreQueries {
         countDistinct(col("l_suppkey")).as("cant_proveedor"),
         countDistinct(col("o_orderkey")).as("cant_venta"),
         count(lit(1)).as("cant_lineas"),
-        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("imp_neto"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("imp_neto"),
         max(col("l_shipdate").cast(DateType)).as("ult_fecha_compra"),
         datediff(lit("2002-01-01").cast(DateType),
           max(col("l_shipdate").cast(DateType))).cast(IntegerType).as("ult_dia_compra"))
@@ -223,7 +230,7 @@ object CoreQueries {
       |  count(DISTINCT l_suppkey) AS cant_proveedor,
       |  count(DISTINCT o_orderkey) AS cant_venta,
       |  count(*) AS cant_lineas,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS imp_neto,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS imp_neto,
       |  max(CAST(l_shipdate AS DATE)) AS ult_fecha_compra,
       |  CAST(date_diff('day', max(CAST(l_shipdate AS DATE)), DATE '2002-01-01') AS INTEGER) AS ult_dia_compra
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

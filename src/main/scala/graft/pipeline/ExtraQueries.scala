@@ -57,16 +57,17 @@ object ExtraQueries {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ord.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        dec(col("o_totalprice")).as("imp_pedido"))
-      .withColumn("saldo_acumulado", sum(col("imp_pedido")).over(w))
+        col("o_totalprice").as("imp_pedido"))
+      .withColumn("saldo_acumulado",
+        sum(dec(col("imp_pedido"))).over(w).cast("double"))
   }
 
   val q28Sql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      |  CAST(o_totalprice AS DECIMAL(38,6)) AS imp_pedido,
-      |  sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+      |  o_totalprice AS imp_pedido,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS saldo_acumulado
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS saldo_acumulado
       |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------- q29
@@ -96,11 +97,11 @@ object ExtraQueries {
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
     cst.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
-      .select(col("c_custkey"), col("c_name"), dec(col("c_acctbal")).as("imp_saldo"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal").as("imp_saldo"))
   }
 
   val q30Sql: String =
-    """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(38,6)) AS imp_saldo
+    """SELECT c_custkey, c_name, c_acctbal AS imp_saldo
       |FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders
       |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin

@@ -63,7 +63,7 @@ object FlowQueries {
       .withColumn("o_orderstatus", lit("R"))
     MergeSCD1.merge(target, source, Seq("o_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        dec(col("o_totalprice")).as("imp_total"), col("o_orderdate"))
+        col("o_totalprice").as("imp_total"), col("o_orderdate"))
   }
 
   val q11Sql: String =
@@ -75,7 +75,7 @@ object FlowQueries {
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
       |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01')
       |SELECT o_orderkey, o_custkey, o_orderstatus,
-      |  CAST(o_totalprice AS DECIMAL(38,6)) AS imp_total, o_orderdate
+      |  o_totalprice AS imp_total, o_orderdate
       |FROM (SELECT * FROM source UNION ALL
       |      SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source))""".stripMargin
 
@@ -89,14 +89,14 @@ object FlowQueries {
     val instB = cst.filter(col("c_nationkey") % 2 === 1).drop("c_mktsegment")
     UnionInstances.unionTagged(Seq("inst_a" -> instA, "inst_b" -> instB))
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        dec(col("c_acctbal")).as("imp_saldo"),
+        col("c_acctbal").as("imp_saldo"),
         Keys.orDefault(col("c_mktsegment"), "SEGMENTO DEFAULT").as("desc_segmento"),
         col("instancia"))
   }
 
   val q12Sql: String =
     """SELECT c_custkey, c_name, c_nationkey,
-      |  CAST(c_acctbal AS DECIMAL(38,6)) AS imp_saldo,
+      |  c_acctbal AS imp_saldo,
       |  coalesce(c_mktsegment, 'SEGMENTO DEFAULT') AS desc_segmento,
       |  instancia
       |FROM (
@@ -117,7 +117,7 @@ object FlowQueries {
         min(col("ts")).as("inicio"),
         max(col("ts")).as("fin"),
         count(lit(1)).as("n_eventos"),
-        sum(dec(col("value"))).as("imp_valor"))
+        sum(dec(col("value"))).cast("double").as("imp_valor"))
   }
 
   val q13Sql: String =
@@ -135,7 +135,7 @@ object FlowQueries {
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
       |  CAST(min(ts) AS TIMESTAMP) AS inicio, CAST(max(ts) AS TIMESTAMP) AS fin,
       |  count(*) AS n_eventos,
-      |  sum(CAST(value AS DECIMAL(38,6))) AS imp_valor
+      |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS imp_valor
       |FROM sessions GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- q14
@@ -147,7 +147,7 @@ object FlowQueries {
   val q14Sql: String =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ventana, event_type,
       |  count(*) AS n_eventos,
-      |  sum(CAST(value AS DECIMAL(38,6))) AS imp_valor
+      |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS imp_valor
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- maps

@@ -44,9 +44,11 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Output policy: exact decimal sum inside the streaming agg, double in
+    // the emitted schema (portable across readers, matches the oracle cast).
     spark.table(name)
       .select(col("w.start").as("ventana"), col("event_type"),
-              col("n_eventos"), col("imp_valor"))
+              col("n_eventos"), col("imp_valor").cast("double").as("imp_valor"))
   }
 
   /** Streaming exact dedup: at-least-once sources re-deliver events; this

@@ -30,15 +30,19 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("q1 aggregates are exact decimals") {
-    val row = CoreQueries.q1PricingSummary(spark, sf)
-      .filter("l_returnflag = 'R' and l_linestatus = 'F'").collect()
+  test("q1 sums decimal internally, emits portable doubles") {
+    val df = CoreQueries.q1PricingSummary(spark, sf)
+    // output schema is all-double for money (decimal types canonicalize
+    // differently across parquet readers); the exact decimal sum must still
+    // appear INSIDE the plan so results stay order-independent under AQE
+    import org.apache.spark.sql.types.DoubleType
+    assert(df.schema("sum_qty").dataType == DoubleType)
+    assert(df.schema("sum_charge").dataType == DoubleType)
+    assert(df.queryExecution.optimizedPlan.toString.contains("decimal(38,6)"),
+      "expected exact decimal aggregation inside the plan")
+    val row = df.filter("l_returnflag = 'R' and l_linestatus = 'F'").collect()
     assert(row.length <= 1)
-    if (row.nonEmpty) {
-      val sumQty = row.head.getAs[java.math.BigDecimal]("sum_qty")
-      assert(sumQty.scale == 6)
-      assert(sumQty.doubleValue > 0)
-    }
+    row.headOption.foreach(r => assert(r.getAs[Double]("sum_qty") > 0))
   }
 
   test("q4 dedup keeps exactly one row per customer") {
