@@ -33,7 +33,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val s0 = meter.bytes.get()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Materialize every output column through the noop sink: .count() lets
+      // Catalyst prune projections, so map-only queries would time the scan
+      // and row-count alone, not their expressions.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // listener events are async; give stage-completed events a beat
       Thread.sleep(50)

@@ -90,6 +90,79 @@ object Similarity {
       .select(col("query_id"), col("rango"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Exact nearest neighbor for EVERY corpus vector — the all-pairs case
+    * where collecting/broadcasting a "query side" would mean shipping the
+    * whole corpus (driver OOM at scale). Instead: a grid-partitioned
+    * self-join (the 1-bucket-theta shape). Each vector lands in one of
+    * `blocks` hash blocks; the probe side replicates each row across grid
+    * row (i, 0..B-1), the build side across grid column (0..B-1, j), and an
+    * ordinary equi-join on the cell key (i, j) meets every pair exactly
+    * once. Catalyst keeps it a shuffled equi-join (no cartesian, no
+    * broadcast, no driver state) and the partial max-by aggregation
+    * combines map-side, so the post-join shuffle carries at most one
+    * candidate row per (query, cell) — N·B rows, not N².
+    *
+    * Memory per task is ~2N/B vectors; shuffle-in is 2N·B vector rows.
+    * Exactness is inherent (every pair visited); for approximate-but-cheap
+    * near-dup at corpus scale use [[nearDupInBuckets]].
+    */
+  def exactNN(corpus: DataFrame, idCol: String, vecCol: String,
+              blocks: Int = 8): DataFrame = {
+    val grid = sequence(lit(0), lit(blocks - 1))
+    val c = corpus.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
+      .withColumn("__blk", pmod(xxhash64(col("__id")), lit(blocks)).cast("int"))
+    val probe = c.select(col("__id").as("query_id"), col("__v").as("__qv"),
+      col("__nrm").as("__qn"), col("__blk").as("__gi"), explode(grid).as("__gj"))
+    val build = c.select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
+      col("__nrm").as("__cn"), explode(grid).as("__gi"), col("__blk").as("__gj"))
+    probe.join(build, Seq("__gi", "__gj"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), struct(
+          cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("cosine"),
+          (-col("neighbor_id")).as("neg_id")).as("cand"))
+      // max over (cosine, -id): highest cosine wins, ties -> smallest id.
+      .groupBy(col("query_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("query_id"), (-col("best.neg_id")).as("neighbor_id"),
+        col("best.cosine").as("cosine"))
+  }
+
+  /** Approximate near-dup scale path: nearest neighbor WITHIN each LSH
+    * bucket (plus `probes` extra single-bit-flip probe buckets for recall).
+    * Shuffles on bucket id only — work is sum of bucket² instead of N²,
+    * the 100 TB shape. Recall < 1 by construction; exactNN is the oracle
+    * form for bounded corpora. */
+  def nearDupInBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+                       numPlanes: Int = 8, probes: Int = 0): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
+      .withColumn("__b0", lshBucket(col("__v"), numPlanes))
+    // multiprobe: also visit buckets at hamming distance 1 (first `probes`
+    // planes flipped); membership row carries its home-bucket flag so each
+    // unordered pair is scored once, in the smaller bucket id
+    val probeBuckets = array((lit(0) +: (1 to probes).map(lit(_))): _*)
+    val member = c.select(col("__id"), col("__v"), col("__nrm"), col("__b0"),
+        explode(probeBuckets).as("__p"))
+      .withColumn("bucket",
+        when(col("__p") === 0, col("__b0"))
+          .otherwise(col("__b0").bitwiseXOR(
+            expr("shiftleft(CAST(1 AS BIGINT), __p - 1)"))))
+    val a = member.select(col("bucket"), col("__id").as("id_a"),
+      col("__v").as("__va"), col("__nrm").as("__na"), (col("__p") === 0).as("__home_a"))
+    val b = member.select(col("bucket"), col("__id").as("id_b"),
+      col("__v").as("__vb"), col("__nrm").as("__nb"), (col("__p") === 0).as("__home_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b") && (col("__home_a") || col("__home_b")))
+      .select(col("id_a").as("query_id"), struct(
+          cosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("cosine"),
+          (-col("id_b")).as("neg_id")).as("cand"))
+      .groupBy(col("query_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("query_id"), (-col("best.neg_id")).as("neighbor_id"),
+        col("best.cosine").as("cosine"))
+  }
+
   /** Pairwise expression form (reference baseline; same results). */
   def bruteForceTopKPairwise(queries: DataFrame, corpus: DataFrame, idCol: String,
                              vecCol: String, k: Int): DataFrame = {

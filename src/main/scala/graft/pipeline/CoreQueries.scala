@@ -51,9 +51,12 @@ object CoreQueries {
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------- q2
-  /** Star join: fact ⋈ dims, broadcast small dims, revenue per region/nation
-    * (reference: analytics/fact_venta_detalle.py:27-108). At 100 TB the
-    * lineitem⋈orders join shuffles on orderkey; nation/region broadcast. */
+  /** Star join: fact ⋈ dims, revenue per region/nation (reference:
+    * analytics/fact_venta_detalle.py:27-108). At 100 TB the lineitem⋈orders
+    * join shuffles on orderkey. Only the genuinely fixed-size dims
+    * (nation: 25 rows, region: 5 rows) carry a broadcast hint; customer
+    * grows with scale factor, so its join is left to AQE — broadcast while
+    * it fits, shuffled hash/merge once it doesn't. */
   def q2StarJoin(spark: SparkSession, dir: String): DataFrame = {
     val li  = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
@@ -63,7 +66,7 @@ object CoreQueries {
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+      .join(cst, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))

@@ -204,10 +204,13 @@ object LLMQueries {
   }
 
   // ---------------------------------------------------------------- q24
-  /** Nearest neighbor per vector + near-dup flag (embedding dedup). */
+  /** Nearest neighbor per vector + near-dup flag (embedding dedup). All-pairs
+    * exact NN via the grid self-join (Similarity.exactNN): no driver collect,
+    * no corpus broadcast — the query side here IS the corpus, so the
+    * bounded-query bruteForceTopK shape does not apply. */
   def q24EmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+    Similarity.exactNN(emb, "vec_id", "embedding")
       .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"),
         col("cosine"),
         when(col("cosine") >= 0.95, lit(1)).otherwise(lit(0)).cast(IntegerType).as("es_duplicado"))

@@ -60,9 +60,20 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(df.filter("imp_3m < imp_mes").count() == 0)
   }
 
-  test("q2 plan broadcasts the dims") {
-    val plan = CoreQueries.q2StarJoin(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  test("q2 plan broadcasts fixed-size dims but never hints customer") {
+    val df = CoreQueries.q2StarJoin(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "expected broadcast joins for dims")
+    // the explicit hints must cover nation/region only: customer grows with
+    // scale factor, its join strategy belongs to AQE. Hints survive into the
+    // analyzed plan as ResolvedHint nodes over their relation subtree.
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child.toString
+    }
+    assert(hinted.length == 2, s"expected exactly 2 broadcast hints, got: $hinted")
+    assert(hinted.forall(t => t.contains("nation") || t.contains("region")),
+      s"hints must target nation/region only: $hinted")
   }
 
   test("q1 filter is pushed to the parquet scan") {

@@ -69,6 +69,50 @@ class LLMSpec extends AnyFunSuite {
     assert(top.last._3 == 3L && math.abs(top.last._4 + 1.0) < 1e-12)
   }
 
+  test("exactNN grid join matches brute-force top-1 on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val grid = Similarity.exactNN(emb, "vec_id", "embedding", blocks = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(grid == brute)
+  }
+
+  test("q24 plan: equi-join, no driver-side corpus, degrades to shuffle not cartesian") {
+    // a collected corpus reappears as an ExistingRDD scan / object pipeline —
+    // the round-1 scale-killer this replaces. The join must be an equi-join
+    // Catalyst sizes adaptively: broadcast while tiny is fine (no hint), but
+    // with broadcast unavailable it must become a shuffled join, never a
+    // CartesianProduct.
+    val plan = LLMQueries.q24EmbeddingDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && !plan.contains("MapPartitions"),
+      "corpus must not round-trip through the driver")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join in:\n$plan")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = LLMQueries.q24EmbeddingDedup(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        s"expected shuffled equi-join with broadcast off in:\n$big")
+      assert(!big.contains("CartesianProduct") && !big.contains("BroadcastNestedLoop"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("nearDupInBuckets finds identical vectors within a bucket") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-5.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val nn = Similarity.nearDupInBuckets(df, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => q -> ((n, c)) }.toMap
+    assert(nn(0L)._1 == 1L && math.abs(nn(0L)._2 - 1.0) < 1e-12)
+    assert(nn(1L)._1 == 0L && math.abs(nn(1L)._2 - 1.0) < 1e-12)
+  }
+
   test("lsh buckets put identical vectors together") {
     val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")
