@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
   * the public `functions.call_function`, so no private Column internals are
   * touched and the functions are equally available to SQL text. */
 object GraftFunctions {
-  val Names = Seq("float_dot", "token_count", "rolling_min_hash", "bottom_k_sample")
+  val Names = Seq("float_dot", "token_count", "rolling_min_hash", "bottom_k_sample",
+    "minhash_signature", "simhash64", "lsh_bucket")
+
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -20,7 +24,13 @@ object GraftFunctions {
       exprs => RollingMinHashExpr(exprs.head, 16), "built-in")
     reg.createOrReplaceTempFunction("bottom_k_sample",
       exprs => BottomKSample(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(), "built-in")
+        intLit(exprs(2))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignatureExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("lsh_bucket",
+      exprs => LshBucketExpr(exprs(0), intLit(exprs(1))), "built-in")
   }
 
   /** Idempotent registration against the active session. */

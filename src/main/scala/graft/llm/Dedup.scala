@@ -47,11 +47,23 @@ object Shingles {
   * reference capability extension (SURVEY §2 row 19); standard
   * shingle→minhash→band→bucket-join construction. */
 object MinHashLSH {
-  /** numHashes minhash values; hash family h_i(x) = xxhash64(i, x). */
+  /** numHashes minhash values via the native codegen kernel
+    * (graft.functions.MinHashSignatureExpr). Hash family: one xxhash64 of
+    * each shingle string, then numHashes derived values
+    * h_i = xxhash64(i, H) — so each document costs one string-hash pass
+    * plus cheap long re-hashes, not numHashes string-hash passes. */
   def signature(text: Column, k: Int = 5, numHashes: Int = 64): Column = {
-    val hs = Shingles.shingles(text, k)
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function("minhash_signature", text, lit(k), lit(numHashes))
+  }
+
+  /** Interpreted Column twin of [[signature]] — same family, HOF-evaluated.
+    * Kept as the property-test pin for the native kernel; do not use on the
+    * corpus hot path. */
+  def signatureInterpreted(text: Column, k: Int = 5, numHashes: Int = 64): Column = {
+    val hs = transform(Shingles.shingles(text, k), s => xxhash64(s))
     array((0 until numHashes).map { i =>
-      array_min(transform(hs, s => xxhash64(lit(i), s)))
+      array_min(transform(hs, h => xxhash64(lit(i), h)))
     }: _*)
   }
 
@@ -69,21 +81,63 @@ object MinHashLSH {
 
   /** Candidate pairs: ids sharing at least one band bucket. The self-join
     * shuffles on (band_idx, band_hash) — bounded buckets, never all-pairs. */
-  def candidatePairs(banded: DataFrame, idCol: String): DataFrame = {
-    val a = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+  def candidatePairs(banded: DataFrame, idCol: String,
+                     maxBucket: Int = 256): DataFrame =
+    BoundedPairs.withinBuckets(banded, Seq("band_idx", "band_hash"), idCol, maxBucket)
+}
+
+/** Bucket-bounded candidate-pair generation shared by the LSH families.
+  *
+  * A degenerate bucket (empty documents, boilerplate, a heavily duplicated
+  * page) turns the within-bucket self-join into O(m²) pair rows — the one
+  * way a banding scheme blows up at corpus scale. Buckets at or under
+  * `maxBucket` emit every pair; oversized buckets degrade to a sorted
+  * consecutive-id chain: O(m) pairs that keep every member transitively
+  * connected, so union-find-style dedup downstream reaches the same
+  * components without the quadratic fanout. Nothing is dropped silently —
+  * [[oversizedBuckets]] reports what was chained for observability.
+  */
+object BoundedPairs {
+  def withinBuckets(df: DataFrame, keyCols: Seq[String], idCol: String,
+                    maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+    val sized = df.withColumn("__bucket_n", count(lit(1)).over(w))
+    val small = sized.filter(col("__bucket_n") <= maxBucket)
+    val a = small.select(keys :+ col(idCol).as("id_a"): _*)
+    val b = small.select(keys :+ col(idCol).as("id_b"): _*)
+    val allPairs = a.join(b, keyCols)
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    val chained = sized.filter(col("__bucket_n") > maxBucket)
+      .withColumn("__next", lead(col(idCol), 1).over(w.orderBy(col(idCol))))
+      .filter(col("__next").isNotNull)
+      .select(col(idCol).as("id_a"), col("__next").as("id_b"))
+    allPairs.unionByName(chained).distinct()
   }
+
+  /** (bucket keys, size) of every bucket that exceeded `maxBucket` — the
+    * observability companion to [[withinBuckets]]. */
+  def oversizedBuckets(df: DataFrame, keyCols: Seq[String],
+                       maxBucket: Int): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
 }
 
 /** 64-bit SimHash over word unigrams + banded hamming candidates. */
 object SimHash {
-  /** Classic bit-vote simhash: bit j of the fingerprint is 1 iff more word
-    * hashes have bit j set than not. Expressed as 64 array-aggregates —
-    * all codegen'd; one pass over each document's word array. */
+  /** Classic bit-vote simhash via the native codegen kernel
+    * (graft.functions.SimHash64Expr): bit j of the fingerprint is 1 iff
+    * more word hashes have bit j set than not. One pass per document. */
   def simhash64(text: Column): Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function("simhash64", text)
+  }
+
+  /** Interpreted Column twin of [[simhash64]] (64 array-aggregates) — the
+    * property-test pin for the native kernel; not for the hot path. */
+  def simhash64Interpreted(text: Column): Column = {
     val hs = transform(Shingles.words(text), w => xxhash64(w))
     val n = size(hs)
     val bits = (0 until 64).map { j =>

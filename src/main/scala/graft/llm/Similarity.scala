@@ -195,8 +195,16 @@ object Similarity {
   private def planeWeight(plane: Int, dim: Column): Column =
     when(xxhash64(lit(plane), dim).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Sign-pattern bucket id from `numPlanes` random hyperplanes. */
+  /** Sign-pattern bucket id from `numPlanes` random hyperplanes, via the
+    * native codegen kernel (graft.functions.LshBucketExpr). */
   def lshBucket(vec: Column, numPlanes: Int = 8): Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function("lsh_bucket", vec, lit(numPlanes))
+  }
+
+  /** Interpreted Column twin of [[lshBucket]] — the property-test pin for
+    * the native kernel; not for the hot path. */
+  def lshBucketInterpreted(vec: Column, numPlanes: Int = 8): Column = {
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

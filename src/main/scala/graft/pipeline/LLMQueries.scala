@@ -128,10 +128,8 @@ object LLMQueries {
       SimHash.bandColumns(col("simhash"), numBands = 4)): _*)
     val banded = withBands.selectExpr("doc_id",
       "stack(4, 0, band_0, 1, band_1, 2, band_2, 3, band_3) as (band_idx, band_val)")
-    val a = banded.select(col("band_idx"), col("band_val"), col("doc_id").as("id_a"))
-    val b = banded.select(col("band_idx"), col("band_val"), col("doc_id").as("id_b"))
-    val pairs = a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    val pairs = BoundedPairs.withinBuckets(
+      banded, Seq("band_idx", "band_val"), "doc_id", maxBucket = 256)
     val partners = pairs.select(col("id_a").as("doc_id"))
       .unionAll(pairs.select(col("id_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidatos"))

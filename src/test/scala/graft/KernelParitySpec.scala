@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{MinHashLSH, SimHash, Similarity}
+
+/** Pins each native text/vector kernel to its interpreted Column twin by
+  * evaluating both through Spark on an adversarial + seeded-random corpus.
+  * This exercises the whole contract at once: trim/split semantics, Spark's
+  * xxhash64 (seed, multi-arg chaining), strict left-to-right double sums. */
+class KernelParitySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val adversarial = Seq(
+    "", " ", "   ", "\t", "\n", "a", " a ", "\ta b\t", "a  b c",
+    "one two three four five six seven", "x\ny\rz", "é 中文 🚀 wörd",
+    "trailing space ", " leading", "a\t\t\tb", "dup dup dup dup dup")
+
+  private val randomTexts: Seq[String] = {
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "ab cde\t\nfg.,!é中 "
+    Seq.fill(300)(Seq.fill(rnd.nextInt(80))(
+      alphabet(rnd.nextInt(alphabet.length))).mkString)
+  }
+
+  private lazy val corpus = (adversarial ++ randomTexts).toDF("text")
+
+  test("minhash_signature kernel equals the interpreted twin") {
+    val diff = corpus.select(
+      MinHashLSH.signature(col("text"), k = 5, numHashes = 64).as("native"),
+      MinHashLSH.signatureInterpreted(col("text"), k = 5, numHashes = 64).as("twin"))
+      .filter(col("native") =!= col("twin"))
+    assert(diff.count() == 0)
+  }
+
+  test("simhash64 kernel equals the interpreted twin") {
+    val diff = corpus.select(
+      SimHash.simhash64(col("text")).as("native"),
+      SimHash.simhash64Interpreted(col("text")).as("twin"))
+      .filter(col("native") =!= col("twin"))
+    assert(diff.count() == 0)
+  }
+
+  test("lsh_bucket kernel equals the interpreted twin") {
+    val rnd = new scala.util.Random(99)
+    val vecs = Seq.fill(200)(Array.fill(rnd.nextInt(96) + 1)(
+      (rnd.nextFloat() - 0.5f) * 20f)) :+ Array.empty[Float]
+    val df = vecs.toDF("vec")
+    val diff = df.select(
+      Similarity.lshBucket(col("vec"), numPlanes = 8).as("native"),
+      Similarity.lshBucketInterpreted(col("vec"), numPlanes = 8).as("twin"))
+      .filter(col("native") =!= col("twin"))
+    assert(diff.count() == 0)
+  }
+
+  test("kernels stay inside whole-stage codegen") {
+    // a literal corpus constant-folds to LocalTableScan; use the lake table
+    val plan = graft.core.Tables.documents(spark, sf).select(
+      MinHashLSH.signature(col("text")).as("a"),
+      SimHash.simhash64(col("text")).as("b"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [minhash_signature"),
+      s"expected kernel projection inside a codegen span in:\n$plan")
+  }
+}

@@ -50,6 +50,20 @@ class LLMSpec extends AnyFunSuite {
     assert(ham(fps(1L), fps(3L)) <= 8)
   }
 
+  test("degenerate bucket (thousands of identical docs) yields linear pairs") {
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, "same boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    val sig = df.withColumn("sig", MinHashLSH.signature(col("text")))
+    val banded = MinHashLSH.bands(sig, "sig", numBands = 16, rowsPerBand = 4)
+    val pairs = MinHashLSH.candidatePairs(banded, "doc_id", maxBucket = 256)
+    // every band bucket holds all n docs -> chained, not squared: the n-1
+    // consecutive pairs keep the component connected
+    assert(pairs.count() == n - 1)
+    assert(BoundedPairs.oversizedBuckets(
+      banded, Seq("band_idx", "band_hash"), 256).count() == 16)
+  }
+
   test("ngram jaccard on a known pair") {
     val df = Seq(("a b c d", "b c d e")).toDF("x", "y")
     val j = df.select(NgramJaccard.jaccard(
