@@ -27,6 +27,13 @@ final case class LakeIO(spark: SparkSession, root: String) {
 
   def tablePath(layer: String, table: String): String = s"$root/$layer/$table"
 
+  /** Transactional variant of this table: version-file log with atomic
+    * manifest commits (crash-safe upsert/compact/overwrite) — the parity
+    * analog of the reference's Delta tables. Plain-parquet read/write
+    * below stays for layer interop; new mutable tables should prefer txn. */
+  def txn(layer: String, table: String): TxnTable =
+    TxnTable(spark, tablePath(layer, table))
+
   def exists(layer: String, table: String): Boolean =
     new java.io.File(tablePath(layer, table)).exists()
 

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{TxnConflictException, TxnTable}
+
+/** Crash-safety gate for the version-file transaction log: a writer dying
+  * at ANY point before the manifest rename must leave readers on the prior
+  * version, with no torn state; conflicting commits must lose loudly. */
+class TxnLogSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshTable(): TxnTable =
+    TxnTable(spark, Files.createTempDirectory("graft_txn").toString)
+
+  test("overwrite then upsert: source wins per key, inserts appear") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "v"))
+    t.upsert(Seq((2L, "b2", 21), (3L, "c", 30)).toDF("id", "name", "v"), Seq("id"))
+    val out = t.read().as[(Long, String, Int)].collect().toSet
+    assert(out == Set((1L, "a", 10), (2L, "b2", 21), (3L, "c", 30)))
+    assert(t.version() == 2)
+  }
+
+  test("a crash between staging and commit exposes nothing") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, 10)).toDF("id", "v"))
+    val before = t.read().as[(Long, Int)].collect().toSet
+    // simulate the writer dying after its files are placed but before the
+    // manifest rename: stage() without commit()
+    t.stage(Seq((1L, 99), (2L, 100)).toDF("id", "v"), Nil)
+    assert(t.version() == 1, "no new version may appear")
+    assert(t.read().as[(Long, Int)].collect().toSet == before,
+      "reader must still see the prior committed state")
+    // the orphans are reclaimable and reclaiming them changes nothing
+    val removed = t.vacuum(retainMs = 0L)
+    assert(removed.nonEmpty)
+    assert(t.read().as[(Long, Int)].collect().toSet == before)
+  }
+
+  test("conflicting commit of the same base version loses loudly") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, 10)).toDF("id", "v"))
+    val base = t.version()
+    val stagedA = t.stage(Seq((1L, 11)).toDF("id", "v"), Nil)
+    val stagedB = t.stage(Seq((1L, 12)).toDF("id", "v"), Nil)
+    t.commit(stagedA, base)
+    intercept[TxnConflictException] { t.commit(stagedB, base) }
+  }
+
+  test("partitioned upsert rewrites only touched partitions (by reference)") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "p1", 10), (2L, "p2", 20)).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    val untouchedBefore = t.entries().filter(_._1 == "part=p2")
+    t.upsert(Seq((1L, "p1", 11)).toDF("id", "part", "v"), Seq("id"), Seq("part"))
+    val untouchedAfter = t.entries().filter(_._1 == "part=p2")
+    assert(untouchedAfter == untouchedBefore,
+      "untouched partition files must carry over untouched")
+    val out = t.read().select("id", "part", "v").as[(Long, String, Int)].collect().toSet
+    assert(out == Set((1L, "p1", 11), (2L, "p2", 20)))
+  }
+
+  test("compact preserves content and bumps the version atomically") {
+    val t = freshTable()
+    t.overwrite(spark.range(100).toDF("id"))
+    t.append(spark.range(100, 200).toDF("id"))
+    val before = t.read().as[Long].collect().toSet
+    val v = t.compact(targetFiles = 1)
+    assert(v == 3)
+    assert(t.read().as[Long].collect().toSet == before)
+    t.vacuum(0L) // superseded pre-compaction files reclaimed
+    assert(t.read().as[Long].collect().toSet == before)
+  }
+}
