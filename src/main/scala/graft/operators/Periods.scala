@@ -42,6 +42,18 @@ object Periods {
   def periods(n: Int, end: YearMonth): Seq[String] =
     (0 until n).map(i => end.minusMonths(i.toLong)).map(ym => f"${ym.getYear}%04d${ym.getMonthValue}%02d")
 
+  /** The yyyyMM period immediately before `p` — the reference's
+    * `get_previous_period` (common_jobs_functions.py:358-366), which every
+    * periodic job uses to address last month's slice. */
+  def previousPeriod(p: String): String = {
+    val ym = YearMonth.of(p.take(4).toInt, p.drop(4).toInt).minusMonths(1)
+    f"${ym.getYear}%04d${ym.getMonthValue}%02d"
+  }
+
+  /** Column form of [[previousPeriod]] for period-typed lake columns. */
+  def previousPeriod(p: Column): Column =
+    date_format(add_months(to_date(concat(p, lit("01")), "yyyyMMdd"), -1), "yyyyMM")
+
   /** All days of the trailing `n` periods, as (dates, magic ints, periods) —
     * the reference's pushdown-filter lists for date- and integer-dated
     * sources (reference: common_jobs_functions.py:380-424

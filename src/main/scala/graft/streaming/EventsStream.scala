@@ -51,6 +51,43 @@ object EventsStream {
               col("n_eventos"), col("imp_valor").cast("double").as("imp_valor"))
   }
 
+  /** Production sink path: the same watermarked tumbling rollup written to
+    * a parquet file sink in APPEND mode with a checkpoint — exactly-once
+    * per restart, no driver-resident results (the memory/complete pair in
+    * [[tumblingCounts]] is a Verify harness only). Append emits a window
+    * once the watermark passes its end, so with a bounded AvailableNow run
+    * the trailing windows correctly remain open (unemitted). Returns the
+    * final watermark so callers know the emitted horizon. */
+  def tumblingToParquet(spark: SparkSession, dir: String, outPath: String,
+                        checkpointPath: String, windowLength: String = "1 hour",
+                        watermarkDelay: String = "1 minute"): String = {
+    val path = Tables.path(dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]")
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = stream
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_eventos"),
+           sum(col("value").cast(DecimalType(38, 6))).as("imp_valor"))
+      .select(col("w.start").as("ventana"), col("event_type"),
+              col("n_eventos"), col("imp_valor").cast("double").as("imp_valor"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.lastProgress.eventTime.getOrDefault("watermark", "1970-01-01T00:00:00.000Z")
+  }
+
   /** Streaming exact dedup: at-least-once sources re-deliver events; this
     * drops re-deliveries of the same event id while the watermark keeps the
     * dedup state bounded (state holds only ids newer than the watermark —

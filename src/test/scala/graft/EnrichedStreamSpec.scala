@@ -26,6 +26,29 @@ class EnrichedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet file sink emits exactly the batch rollup below the watermark") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink")
+    val out = s"$tmp/out"
+    val wm = graft.streaming.EventsStream.tumblingToParquet(
+      spark, sf, out, s"$tmp/ckpt")
+    val wmTs = java.time.Instant.parse(wm)
+    val emitted = spark.read.parquet(out)
+      .select("ventana", "event_type", "n_eventos", "imp_valor")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(emitted.nonEmpty, "expected finalized windows in the file sink")
+    // append mode must emit a window iff the final watermark passed its end
+    val batch = graft.core.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("ventana"), col("event_type"))
+      .agg(count(lit(1)).as("n_eventos"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("imp_valor"))
+      .filter(col("ventana") + expr("INTERVAL 1 HOUR") <= lit(java.sql.Timestamp.from(wmTs)))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(emitted == batch,
+      s"sink rows must equal the batch rollup of finalized windows " +
+      s"(emitted=${emitted.size}, batch=${batch.size}, watermark=$wm)")
+  }
+
   test("stream-static enrichment attaches dim attributes per event") {
     val out = graft.streaming.EventsStream.enriched(spark, sf)
     val total = graft.core.Tables.events(spark, sf).count()

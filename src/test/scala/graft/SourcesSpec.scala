@@ -57,6 +57,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(JdbcServing.deletePreaction("t", Seq("c" -> Seq("x'y"))).get.contains("'x''y'"))
   }
 
+  test("jdbc preaction renders typed literals unquoted (reference int filters)") {
+    // the reference filters id_compania/periods as ints
+    // (common_jobs_functions.py:511-573); int-typed warehouse columns must
+    // compare against int literals, not coerced strings
+    assert(JdbcServing.deletePreaction("fact_venta",
+      Seq("id_compania" -> Seq(1, 5), "id_periodo" -> Seq(202401L))) ==
+      Some("DELETE FROM fact_venta WHERE id_compania IN (1, 5) AND id_periodo IN (202401);"))
+    assert(JdbcServing.sqlLiteral(java.time.LocalDate.parse("2024-01-31")) ==
+      "DATE '2024-01-31'")
+    assert(JdbcServing.sqlLiteral(BigDecimal("12.500000")) == "12.500000")
+    assert(JdbcServing.sqlLiteral(null) == "NULL")
+    assert(JdbcServing.sqlLiteral(true) == "true")
+  }
+
+  test("previousPeriod matches the reference across year boundaries") {
+    import graft.operators.Periods
+    assert(Periods.previousPeriod("202401") == "202312")
+    assert(Periods.previousPeriod("202403") == "202402")
+    assert(Periods.previousPeriod("202001") == "201912")
+    // Column form agrees with the string form
+    val out = Seq("202401", "202403", "202001").toDF("p")
+      .select(Periods.previousPeriod(col("p"))).as[String].collect().toSeq
+    assert(out == Seq("202312", "202402", "201912"))
+  }
+
   test("schema registry builds typed empty frames") {
     import SchemaRegistry._
     val reg = Registry(Map("m_cliente" -> Seq(
