@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * touched and the functions are equally available to SQL text. */
 object GraftFunctions {
   val Names = Seq("float_dot", "token_count", "rolling_min_hash", "bottom_k_sample",
-    "minhash_signature", "simhash64", "lsh_bucket")
+    "minhash_signature", "simhash64", "lsh_bucket", "word_shingles")
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -31,6 +31,8 @@ object GraftFunctions {
       exprs => SimHash64Expr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("lsh_bucket",
       exprs => LshBucketExpr(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShinglesExpr(exprs(0), intLit(exprs(1))), "built-in")
   }
 
   /** Idempotent registration against the active session. */

@@ -34,6 +34,21 @@ case class MinHashSignatureExpr(child: Expression, k: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.wordShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordShingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -141,6 +156,41 @@ object TextHash {
       s += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** Distinct k-word shingles in first-occurrence order — the native twin
+    * of array_distinct(transform(sequence..., array_join(slice(words...))))
+    * with identical trim/split/edge semantics. */
+  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val toks = tokenize(bytes)
+    val n = toks.length
+    val nShingles = math.max(n - k, 0) + 1
+    val seen = new java.util.LinkedHashSet[UTF8String](nShingles * 2)
+    var maxLen = 0
+    var t = 0
+    while (t < n) {
+      maxLen += (toks(t) & 0xffffffffL).toInt - (toks(t) >>> 32).toInt + 1
+      t += 1
+    }
+    val buf = new Array[Byte](math.max(maxLen, 1))
+    var s = 0
+    while (s < nShingles) {
+      var len = 0
+      var w = s
+      val end = math.min(s + k, n)
+      while (w < end) {
+        if (w > s) { buf(len) = ' '; len += 1 }
+        val ws = (toks(w) >>> 32).toInt
+        val we = (toks(w) & 0xffffffffL).toInt
+        System.arraycopy(bytes, ws, buf, len, we - ws)
+        len += we - ws
+        w += 1
+      }
+      seen.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, len))): Unit
+      s += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
   /** Bit-vote SimHash, identical to the interpreted Column form: per word

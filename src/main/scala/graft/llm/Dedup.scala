@@ -30,8 +30,16 @@ object ExactDedup {
 object Shingles {
   def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct k-word shingles of `text`. */
+  /** Distinct k-word shingles of `text`, via the native codegen kernel
+    * (graft.functions.WordShinglesExpr). */
   def shingles(text: Column, k: Int): Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function("word_shingles", text, lit(k))
+  }
+
+  /** Interpreted Column twin of [[shingles]] — the property-test pin for
+    * the native kernel; not for the hot path. */
+  def shinglesInterpreted(text: Column, k: Int): Column = {
     val ws = words(text)
     array_distinct(transform(
       sequence(lit(0), greatest(size(ws) - k, lit(0))),

@@ -101,23 +101,59 @@ object LLMQueries {
   }
 
   // ---------------------------------------------------------------- q19
-  /** MinHash LSH plumbing surfaced per-doc: shingle count + candidate
-    * partners found via band buckets (rows-only oracle). */
+  /** MinHash LSH dedup, full pipeline: signature → banded buckets →
+    * candidate pairs → exact 5-gram-Jaccard VERIFY (>= 0.8) → per-doc
+    * duplicate count + best score. The verify stage makes the output
+    * oracle-checkable: DuckDB computes the same >= 0.8 set by brute-force
+    * all-pairs Jaccard (feasible at oracle scale), while the Spark side
+    * only ever scores within LSH buckets — at 16 bands x 4 rows the
+    * collision probability at j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9998 per pair,
+    * and on this corpus the near-dup pairs sit at j≈0.99 where missing a
+    * pair is a ~1e-7 event; the hash family is deterministic, so the
+    * result is reproducible, not flaky. */
   def q19MinhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val sig = d.select(col("doc_id"), col("text"))
-      .withColumn("n_shingles", size(Shingles.shingles(col("text"), 5)).cast(IntegerType))
-      .withColumn("sig", MinHashLSH.signature(col("text"), k = 5, numHashes = 64))
+    val sh5 = d.select(col("doc_id"), Shingles.shingles(col("text"), 5).as("sh"))
+    val sig = d.select(col("doc_id"),
+      MinHashLSH.signature(col("text"), k = 5, numHashes = 64).as("sig"))
     val banded = MinHashLSH.bands(sig, "sig", numBands = 16, rowsPerBand = 4)
       .select("doc_id", "band_idx", "band_hash")
     val pairs = MinHashLSH.candidatePairs(banded, "doc_id")
-    val partners = pairs.select(col("id_a").as("doc_id"), col("id_b").as("partner"))
-      .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("partner")))
-      .groupBy("doc_id").agg(countDistinct("partner").as("n_candidatos"))
-    sig.select("doc_id", "n_shingles")
+    val verified = pairs
+      .join(sh5.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh5.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("j", NgramJaccard.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b", "j")
+    val partners = verified.select(col("id_a").as("doc_id"), col("j"))
+      .unionAll(verified.select(col("id_b").as("doc_id"), col("j")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dups"), max(col("j")).as("max_jaccard"))
+    sh5.select(col("doc_id"), size(col("sh")).cast(IntegerType).as("n_shingles"))
       .join(partners, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_candidatos"))
+      .na.fill(0L, Seq("n_dups")).na.fill(0.0, Seq("max_jaccard"))
   }
+
+  val q19Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 5, 0) + 2),
+      |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+4], ' '))) AS sh
+      |  FROM documents),
+      |scored AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |              / len(list_distinct(list_concat(a.sh, b.sh))) END AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |v AS (SELECT * FROM scored WHERE j >= 0.8),
+      |partners AS (
+      |  SELECT doc_id, count(*) AS n_dups, max(j) AS max_jaccard FROM (
+      |    SELECT id_a AS doc_id, j FROM v UNION ALL SELECT id_b AS doc_id, j FROM v)
+      |  GROUP BY doc_id)
+      |SELECT s.doc_id, CAST(len(s.sh) AS INTEGER) AS n_shingles,
+      |  coalesce(p.n_dups, 0) AS n_dups, coalesce(p.max_jaccard, 0.0) AS max_jaccard
+      |FROM sh s LEFT JOIN partners p USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------------- q20
   /** SimHash fingerprint + hamming-band candidates (rows-only oracle). */
@@ -275,6 +311,7 @@ object LLMQueries {
 
   val oracles: Map[String, String] = Map(
     "q15_dedup_exact"    -> q15Sql,
+    "q19_minhash_dedup"  -> q19Sql,
     "q16_text_quality"   -> q16Sql,
     "q17_token_count"    -> q17Sql,
     "q18_lang_id"        -> q18Sql,

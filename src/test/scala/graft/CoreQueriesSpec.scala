@@ -19,7 +19,10 @@ class CoreQueriesSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
-    assert((q -- o) == Set("q19_minhash_dedup", "q20_simhash", "q23_ann_lsh",
+    // the remaining rows-only queries emit xxhash64-family values DuckDB
+    // cannot reproduce (no compatible hash function) — provably
+    // non-SQL-expressible rather than unchecked
+    assert((q -- o) == Set("q20_simhash", "q23_ann_lsh",
       "q25_fingerprint"), s"unexpected rows-only queries: ${q -- o}")
   }
 

@@ -34,6 +34,19 @@ class KernelParitySpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("word_shingles kernel equals the interpreted twin (values AND order)") {
+    val diff = corpus.select(
+      graft.llm.Shingles.shingles(col("text"), 5).as("native"),
+      graft.llm.Shingles.shinglesInterpreted(col("text"), 5).as("twin"))
+      .filter(col("native") =!= col("twin"))
+    assert(diff.count() == 0)
+    val diff3 = corpus.select(
+      graft.llm.Shingles.shingles(col("text"), 3).as("native"),
+      graft.llm.Shingles.shinglesInterpreted(col("text"), 3).as("twin"))
+      .filter(col("native") =!= col("twin"))
+    assert(diff3.count() == 0)
+  }
+
   test("simhash64 kernel equals the interpreted twin") {
     val diff = corpus.select(
       SimHash.simhash64(col("text")).as("native"),
