@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** Spark-native installation point: `--conf
+  * spark.sql.extensions=graft.GraftExtensions` injects every graft kernel
+  * into the session's function registry at session build time — the
+  * idiomatic alternative to calling GraftFunctions.register(spark) by
+  * hand, and the same mechanism a catalog/optimizer rule would use.
+  * SQL-text users get the functions with zero Scala imports. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def intLit(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "float_dot" -> (exprs => FloatDotProduct(exprs(0), exprs(1))),
+    "token_count" -> (exprs => TokenCount(exprs.head)),
+    "rolling_min_hash" -> (exprs => RollingMinHashExpr(exprs.head, 16)),
+    "bottom_k_sample" -> (exprs =>
+      BottomKSample(exprs(0), exprs(1), intLit(exprs(2))).toAggregateExpression()),
+    "minhash_signature" -> (exprs =>
+      MinHashSignatureExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
+    "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
+    "lsh_bucket" -> (exprs => LshBucketExpr(exprs(0), intLit(exprs(1)))),
+    "word_shingles" -> (exprs => WordShinglesExpr(exprs(0), intLit(exprs(1)))))
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}

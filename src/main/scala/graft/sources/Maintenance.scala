@@ -45,10 +45,28 @@ object Maintenance {
   }
 }
 
+/** Notification hook for job failures/warnings — the reference publishes
+  * SNS error messages per job (common_jobs_functions.py:575-594); here the
+  * transport is injected so the lake core stays cloud-agnostic: wire an
+  * SNS/Slack/pager implementation in production, a collector in tests. */
+trait Alerter {
+  def alert(table: String, layer: String, status: String, message: String): Unit
+}
+
+object Alerter {
+  /** Default: no transport (JobLog still records everything). */
+  val Silent: Alerter = (_, _, _, _) => ()
+
+  /** Stderr transport for local runs. */
+  val Stderr: Alerter = (table, layer, status, message) =>
+    System.err.println(s"[graft-alert] $layer.$table $status: $message")
+}
+
 /** Job status log — the reference's DynamoDB STATUS tracking re-expressed
-  * as an append-only JSONL log under the lake's _meta dir.
-  * reference: common_jobs_functions.py:99-107 (STATUS), 608-654. */
-final case class JobLog(root: String) {
+  * as an append-only JSONL log under the lake's _meta dir; non-success
+  * transitions also fan out through the [[Alerter]].
+  * reference: common_jobs_functions.py:99-107 (STATUS), 575-654. */
+final case class JobLog(root: String, alerter: Alerter = Alerter.Silent) {
   import java.nio.file.{Files, Paths, StandardOpenOption}
   private val dir = Paths.get(root, "_meta")
 
@@ -64,6 +82,8 @@ final case class JobLog(root: String) {
     val line = s"""{"table":${q(table)},"layer":${q(layer)},"status":${q(status)},"message":${q(message)},"ts":$atMillis}""" + "\n"
     Files.writeString(dir.resolve(s"$table.jsonl"), line,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND): Unit
+    if (status == Status.Failed || status == Status.Warning)
+      alerter.alert(table, layer, status, message)
   }
 
   /** Most recent status for a table (drives orchestration decisions). */

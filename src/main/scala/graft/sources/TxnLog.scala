@@ -177,6 +177,24 @@ final case class TxnTable(spark: SparkSession, root: String) {
     commit(stage(compacted, partitionBy), base)
   }
 
+  /** Publish a symlink-format manifest of the CURRENT version — one
+    * absolute data-file path per line under
+    * `_symlink_format_manifest/manifest` — the standard handshake for
+    * external engines (Redshift Spectrum / Trino / Presto) reading a
+    * versioned table, mirroring the reference's post-write manifest
+    * generation (common_jobs_functions.py:303-315). Atomic via the same
+    * tmp-then-rename protocol as the log itself. */
+  def writeSymlinkManifest(): Path = {
+    val dir = Paths.get(root, "_symlink_format_manifest")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, entries().map(e => filePath(e).toAbsolutePath.toString).asJava)
+    val target = dir.resolve("manifest")
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    target
+  }
+
   /** Delete data files no manifest-of-record references (crash orphans,
     * superseded versions) once older than `retainMs`. Keeps only the
     * CURRENT version's files referenced — time travel is out of scope. */

@@ -63,6 +63,36 @@ class TxnLogSpec extends AnyFunSuite {
     assert(out == Set((1L, "p1", 11), (2L, "p2", 20)))
   }
 
+  test("symlink manifest lists exactly the current version's files") {
+    val t = freshTable()
+    t.overwrite(spark.range(10).toDF("id"))
+    t.append(spark.range(10, 20).toDF("id"))
+    val manifest = t.writeSymlinkManifest()
+    val listed = Files.readAllLines(manifest)
+    assert(listed.size == t.entries().size)
+    listed.forEach { p =>
+      assert(java.nio.file.Paths.get(p).isAbsolute && Files.exists(java.nio.file.Paths.get(p)))
+    }
+    // an external reader over the manifest paths sees the committed state
+    import scala.jdk.CollectionConverters._
+    val external = spark.read.parquet(listed.asScala.toSeq: _*).as[Long].collect().toSet
+    assert(external == (0L until 20L).toSet)
+  }
+
+  test("failed job fans out through the alerter, success stays quiet") {
+    val root = Files.createTempDirectory("graft_alerts").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val log = graft.sources.JobLog(root,
+      (table, _, status, msg) => seen += ((s"$table:$status", msg)))
+    log.tracked("t_ok", "domain") { 42 }
+    intercept[RuntimeException] {
+      log.tracked("t_bad", "domain") { throw new RuntimeException("boom") }
+    }
+    assert(seen.toList == List(("t_bad:FAILED", "boom")))
+    assert(log.lastStatus("t_ok").contains("SUCCEEDED"))
+    assert(log.lastStatus("t_bad").contains("FAILED"))
+  }
+
   test("compact preserves content and bumps the version atomically") {
     val t = freshTable()
     t.overwrite(spark.range(100).toDF("id"))
