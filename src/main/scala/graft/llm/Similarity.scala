@@ -221,4 +221,85 @@ object Similarity {
   def lshBuckets(corpus: DataFrame, idCol: String, vecCol: String,
                  numPlanes: Int = 8): DataFrame =
     corpus.withColumn("bucket", lshBucket(col(vecCol), numPlanes))
+
+  /** Deterministic IVF centroids: the `nCells` corpus vectors with the
+    * smallest xxhash64(id) — reproducible across runs/retries without an
+    * iterative clustering job; collected because centroids are the bounded
+    * build side (like a broadcast-join dim), never the corpus. */
+  private[llm] def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                                nCells: Int): Array[(Int, Array[Float], Double)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(nCells)
+      .as[(Long, Array[Float])].collect()
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i, v, VectorNorms.norm(v)) }
+  }
+
+  /** IVF cell assignment: each vector keyed by its nearest centroid (by
+    * cosine). The inverted-file twin of the LSH bucket path — cells adapt
+    * to the data distribution where hyperplane buckets are oblivious.
+    * Centroids ride a broadcast; the corpus streams through one
+    * mapPartitions (bounded per-row work = nCells dot products). */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                nCells: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ivfCentroids(corpus, idCol, vecCol, nCells))
+    corpus.select(col(idCol).cast("long").as(idCol), col(vecCol).as(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, v) =>
+          val nv = VectorNorms.norm(v)
+          var best = 0; var bestCos = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val c = VectorNorms.dot(cs(i)._2, v) / (cs(i)._3 * nv)
+            if (c > bestCos) { bestCos = c; best = i }
+            i += 1
+          }
+          (id, v, best)
+        }
+      }.toDF(idCol, vecCol, "cell")
+  }
+
+  /** IVF top-k for a bounded query set: queries probe their `probes`
+    * nearest cells, candidates are scored only within those cells
+    * (equi-join on cell), exact ranking on the per-cell survivors. Work is
+    * sum over probed cells of cell size — the 100 TB inverted-file shape.
+    * Recall < 1 when a true neighbor lives outside the probed cells;
+    * raise `probes` (or `nCells` granularity) to trade cost for recall. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 64,
+              probes: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ivfCentroids(corpus, idCol, vecCol, nCells))
+    val assigned = ivfAssign(corpus, idCol, vecCol, nCells)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
+      .withColumn("__cn", norm(col("__cv")))
+    val probed = queries
+      .select(col(idCol).cast("long").as(idCol), col(vecCol).as(vecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val cs = bc.value
+        val nv = VectorNorms.norm(v)
+        cs.map { case (cell, cv, cn) => (id, v, cell, VectorNorms.dot(cv, v) / (cn * nv)) }
+          .sortBy(-_._4).take(math.min(probes, cs.length))
+          .map { case (qid, qv, cell, _) => (qid, qv, cell) }
+      }.toDF("query_id", "__qv", "cell")
+      .withColumn("__qn", norm(col("__qv")))
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      // a (query, neighbor) pair can meet in several probed cells
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+    TopN.perGroup(scored, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rango")
+      .select(col("query_id"), col("rango"), col("neighbor_id"), col("cosine"))
+  }
 }

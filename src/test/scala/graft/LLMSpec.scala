@@ -127,6 +127,35 @@ class LLMSpec extends AnyFunSuite {
     assert(nn(1L)._1 == 0L && math.abs(nn(1L)._2 - 1.0) < 1e-12)
   }
 
+  test("ivf: high recall on clustered data, deterministic cells on real embeddings") {
+    // IVF's contract is data-adaptive cells: on clustered embeddings (the
+    // real-world shape) probing a few cells finds the true neighbor. Build
+    // 8 tight clusters; every vector's true NN is a cluster-mate.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 10f - 5f))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 24)
+    val exact = Similarity.bruteForceTopK(qs, df, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(qs, df, "vec_id", "embedding", k = 1,
+        nCells = 16, probes = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivf.keySet == exact.keySet, "every query must produce a result")
+    val hits = exact.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(hits == exact.size, s"recall@1 on clustered data: $hits/${exact.size}")
+    // cells are data-adaptive but deterministic (reproducible across runs)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val a1 = Similarity.ivfAssign(emb, "vec_id", "embedding", nCells = 16)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val a2 = Similarity.ivfAssign(emb, "vec_id", "embedding", nCells = 16)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(a1 == a2)
+  }
+
   test("lsh buckets put identical vectors together") {
     val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")
