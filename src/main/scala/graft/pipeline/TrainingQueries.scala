@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.llm.Shingles
+
+/** Training-data-pipeline wave (SURVEY §2 B, rows 34–36): the corpus ops a
+  * 100 TB pretraining build runs beyond dedup — benchmark decontamination,
+  * repetition-based quality signals, and token-budget sampling. */
+object TrainingQueries {
+
+  // ---------------------------------------------------------------- q34
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 8-gram with a held-out benchmark set (the standard n-gram-collision
+    * test-set contamination check used for LLM pretraining corpora).
+    *
+    * Here the "benchmark" is the deterministic slice doc_id % 50 == 0 and
+    * the corpus is the rest. The join is keyed on xxhash64(shingle) — an
+    * 8-byte shuffle key instead of the shingle string, the shape that
+    * matters when the corpus side is 100 TB; the benchmark side is tiny
+    * and broadcastable. Collision risk ~n²/2^65 only affects the count,
+    * not the flag, and is zero on this corpus (oracle-verified). */
+  def q34Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), explode(Shingles.shingles(col("text"), 8)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val bench = grams(d.filter(col("doc_id") % 50 === 0))
+      .select(col("gh")).distinct()
+    val corpus = d.filter(col("doc_id") % 50 =!= 0)
+    val hits = grams(corpus)
+      .join(broadcast(bench), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_colisiones"))
+    corpus.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_colisiones"))
+      .withColumn("contaminado",
+        when(col("n_colisiones") > 0, lit(1)).otherwise(lit(0)).cast(IntegerType))
+  }
+
+  val q34Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 8, 0) + 2),
+      |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+7], ' '))) AS sh
+      |  FROM documents),
+      |bench AS (
+      |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+      |hits AS (
+      |  SELECT s.doc_id, count(DISTINCT g) AS n_colisiones
+      |  FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0) s
+      |  JOIN bench USING (g) GROUP BY s.doc_id)
+      |SELECT d.doc_id, d.source, coalesce(h.n_colisiones, 0) AS n_colisiones,
+      |  CAST(CASE WHEN coalesce(h.n_colisiones, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS contaminado
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id % 50 <> 0""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Repetition quality signals (Gopher-rule style): fraction of the
+    * document taken by its single most frequent word, and the duplicate
+    * word-2-gram fraction. Pure per-document map + one (doc, word) count
+    * shuffle with map-side combine — no cross-document state. */
+  def q35Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sizes = d.select(col("doc_id"),
+      size(Shingles.words(col("text"))).cast(IntegerType).as("n_palabras"),
+      greatest(size(Shingles.words(col("text"))) - 1, lit(1)).cast(IntegerType).as("n_bigrams"),
+      size(Shingles.shingles(col("text"), 2)).cast(IntegerType).as("n_bigrams_uniq"))
+    val topWord = d
+      .select(col("doc_id"), explode(Shingles.words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_word_freq"))
+    sizes.join(topWord, Seq("doc_id"))
+      .select(col("doc_id"), col("n_palabras"),
+        (col("max_word_freq").cast("double") / col("n_palabras")).as("frac_top_palabra"),
+        (lit(1.0) - col("n_bigrams_uniq").cast("double") / col("n_bigrams")).as("frac_bigrams_dup"))
+  }
+
+  val q35Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 2),
+      |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+1], ' '))) AS bg
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, max(c) AS max_word_freq FROM (
+      |    SELECT doc_id, word, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(ws) AS word FROM w)
+      |    GROUP BY doc_id, word)
+      |  GROUP BY doc_id)
+      |SELECT w.doc_id, CAST(len(w.ws) AS INTEGER) AS n_palabras,
+      |  CAST(tf.max_word_freq AS DOUBLE) / len(w.ws) AS frac_top_palabra,
+      |  1.0 - CAST(len(w.bg) AS DOUBLE) / greatest(len(w.ws) - 1, 1) AS frac_bigrams_dup
+      |FROM w JOIN tf USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** Token-budget sampling: per source, admit documents in a deterministic
+    * hash order until the source's running token total passes the budget
+    * (every source contributes ~budget tokens — the mixture-balancing step
+    * of a pretraining data build). One shuffle on source; the window
+    * cumsum is the only stateful op. */
+  def q36TokenBudget(spark: SparkSession, dir: String,
+                     budget: Long = 2000L): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // md5-of-id ordering: deterministic pseudo-random, identical in DuckDB
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.select(col("doc_id"), col("source"),
+        size(Shingles.words(col("text"))).cast("long").as("tokens"))
+      .withColumn("tokens_acum", sum(col("tokens")).over(w))
+      // a document is admitted if it STARTS inside the budget
+      .filter(col("tokens_acum") - col("tokens") < budget)
+  }
+
+  val q36Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, sum(tokens) OVER (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tokens_acum
+      |  FROM t)
+      |SELECT doc_id, source, tokens, tokens_acum FROM c
+      |WHERE tokens_acum - tokens < 2000""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_decontaminate" -> (q34Decontaminate _),
+    "q35_repetition"    -> (q35Repetition _),
+    "q36_token_budget"  -> ((s, d) => q36TokenBudget(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q34_decontaminate" -> q34Sql,
+    "q35_repetition"    -> q35Sql,
+    "q36_token_budget"  -> q36Sql)
+}
