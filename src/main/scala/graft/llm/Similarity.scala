@@ -5,17 +5,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.operators.TopN
 
-/** Embedding similarity: brute-force cosine top-k (correctness baseline)
-  * and random-hyperplane LSH bucketing (the 100 TB path).
+/** Embedding similarity: brute-force cosine top-k for bounded query sets,
+  * grid-partitioned exact all-pairs NN, and two approximate scale paths
+  * (random-hyperplane LSH buckets, inverted-file IVF cells).
   *
-  * Dot products are `aggregate(zip_with(...))` over the float arrays in
+  * Dot products run through the native codegen kernel (float_dot) in
   * double precision — strictly left-to-right summation, so results are
   * bit-identical across engines and stable under re-partitioning. No UDFs.
   *
-  * Scale shape: brute force is O(|Q|·N) with Q broadcast — right when Q is
-  * small. The LSH path buckets vectors by sign-pattern so neighbor search
-  * shuffles on bucket id and compares only within buckets; global top-k is
-  * a per-partition top-k then a tiny final merge (TopN window).
+  * Scale shapes: brute force is O(|Q|·N) with Q broadcast — right only
+  * when Q is bounded. exactNN covers the Q=corpus case as a grid
+  * equi-join (no driver state). LSH/IVF shuffle on bucket/cell ids and
+  * compare only within them; global top-k is a per-partition top-k then a
+  * tiny final merge (TopN window).
   */
 object Similarity {
   /** Left-to-right double dot product of two float-array columns, via the
