@@ -35,6 +35,29 @@ object Multimodal {
     (width, height, fmt)
   }
 
+  /** STUB duration (seconds) for audio/video payloads, derived from size. */
+  def durationStub(bin: Column): Column =
+    (lit(1) + pmod(byteLength(bin), lit(120))).cast(IntegerType)
+
+  /** Frame sampling: one row per sampled frame at `everySeconds` spacing —
+    * the explode to (payload, frame_ts) grain a real frame extractor
+    * decodes. Pipelined (no shuffle): the row multiplication happens
+    * inside the scan stage. Frame bytes are stubbed as a deterministic
+    * payload slice + digest; a real extractor replaces only frame_stub. */
+  def sampleFrames(df: DataFrame, binCol: String, everySeconds: Int = 10): DataFrame = {
+    val bin = col(binCol)
+    df.withColumn("frame_ts",
+        explode(sequence(lit(0), durationStub(bin) - 1, lit(everySeconds))))
+      .withColumn("frame_stub",
+        bin.substr((pmod(col("frame_ts"), greatest(byteLength(bin), lit(1))) + 1).cast(IntegerType), lit(16)))
+      .withColumn("frame_sha", sha2(col("frame_stub"), 256))
+  }
+
+  /** STUB resize: deterministic digest standing in for the resized bytes;
+    * a real resizer keeps the (payload, target dims) -> bytes signature. */
+  def resizeStub(bin: Column, width: Int, height: Int): Column =
+    sha2(concat(bin, lit(s"${width}x$height").cast("binary")), 256)
+
   /** Batch-decode plumbing: partition-at-a-time iteration with the same
     * row shape a vectorized decoder would use. The per-row `decode` is
     * injected so tests can observe batching; the default is the stub. */

@@ -180,6 +180,24 @@ class LLMSpec extends AnyFunSuite {
     assert(preds.subsetOf(langs))
   }
 
+  test("frame sampling yields ceil(duration/step) rows per payload, no shuffle") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), Multimodal.asBinary(col("text")).as("payload"))
+    val frames = Multimodal.sampleFrames(docs, "payload", everySeconds = 10)
+    val expected = docs
+      .select(col("doc_id"), Multimodal.durationStub(col("payload")).as("dur"))
+      .withColumn("n", ceil(col("dur").cast("double") / 10).cast("long"))
+    val counts = frames.groupBy("doc_id").count()
+      .join(expected, Seq("doc_id"))
+    assert(counts.filter(col("count") =!= col("n")).count() == 0)
+    // the explode is pipelined into the scan stage — no Exchange before it
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame explode must not shuffle:\n$plan")
+    // deterministic stub: same payload -> same frame digests
+    assert(Multimodal.sampleFrames(docs, "payload").select("frame_sha").collect().toSeq ==
+      Multimodal.sampleFrames(docs, "payload").select("frame_sha").collect().toSeq)
+  }
+
   test("multimodal decodeBatches matches the stub expressions") {
     val df = LLMQueries.q26MultimodalMeta(spark, sf)
     val viaBatch = Multimodal.decodeBatches(
