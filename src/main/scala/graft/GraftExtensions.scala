@@ -24,7 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSignatureExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
     "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
     "lsh_bucket" -> (exprs => LshBucketExpr(exprs(0), intLit(exprs(1)))),
-    "word_shingles" -> (exprs => WordShinglesExpr(exprs(0), intLit(exprs(1)))))
+    "word_shingles" -> (exprs => WordShinglesExpr(exprs(0), intLit(exprs(1)))),
+    "max_word_freq" -> (exprs => MaxWordFreqExpr(exprs.head)))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, builder) =>

@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   * touched and the functions are equally available to SQL text. */
 object GraftFunctions {
   val Names = Seq("float_dot", "token_count", "rolling_min_hash", "bottom_k_sample",
-    "minhash_signature", "simhash64", "lsh_bucket", "word_shingles")
+    "minhash_signature", "simhash64", "lsh_bucket", "word_shingles",
+    "max_word_freq")
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -33,6 +34,8 @@ object GraftFunctions {
       exprs => LshBucketExpr(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       exprs => WordShinglesExpr(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("max_word_freq",
+      exprs => MaxWordFreqExpr(exprs.head), "built-in")
   }
 
   /** Idempotent registration against the active session. */

@@ -49,6 +49,20 @@ case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class MaxWordFreqExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "max_word_freq"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.maxWordFreq(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.maxWordFreq($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MaxWordFreqExpr =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -220,6 +234,27 @@ object TextHash {
       j += 1
     }
     fp
+  }
+
+  /** Count of the most frequent word (same tokenization as the split
+    * family) — the top-word-fraction numerator of repetition quality
+    * scoring, as one bounded per-document pass instead of an
+    * explode → groupBy → max → join (zero shuffle vs two). */
+  def maxWordFreq(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    val toks = tokenize(bytes)
+    val counts = new java.util.HashMap[UTF8String, Integer](toks.length * 2)
+    var best = 0
+    var t = 0
+    while (t < toks.length) {
+      val ws = (toks(t) >>> 32).toInt
+      val we = (toks(t) & 0xffffffffL).toInt
+      val w = UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, ws, we))
+      val c = counts.merge(w, 1, (a, b) => a + b)
+      if (c > best) best = c
+      t += 1
+    }
+    best
   }
 
   /** Random-hyperplane sign bucket, identical to the interpreted form:

@@ -62,22 +62,20 @@ object TrainingQueries {
   // ---------------------------------------------------------------- q35
   /** Repetition quality signals (Gopher-rule style): fraction of the
     * document taken by its single most frequent word, and the duplicate
-    * word-2-gram fraction. Pure per-document map + one (doc, word) count
-    * shuffle with map-side combine — no cross-document state. */
+    * word-2-gram fraction. A pure map stage — the top-word count runs in
+    * the max_word_freq codegen kernel (one bounded pass per document), so
+    * the whole quality scan is ZERO-shuffle at any corpus size (vs the
+    * naive explode → groupBy → max → join, which shuffles twice). */
   def q35Repetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val d = Tables.documents(spark, dir)
-    val sizes = d.select(col("doc_id"),
-      size(Shingles.words(col("text"))).cast(IntegerType).as("n_palabras"),
-      greatest(size(Shingles.words(col("text"))) - 1, lit(1)).cast(IntegerType).as("n_bigrams"),
-      size(Shingles.shingles(col("text"), 2)).cast(IntegerType).as("n_bigrams_uniq"))
-    val topWord = d
-      .select(col("doc_id"), explode(Shingles.words(col("text"))).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("max_word_freq"))
-    sizes.join(topWord, Seq("doc_id"))
-      .select(col("doc_id"), col("n_palabras"),
-        (col("max_word_freq").cast("double") / col("n_palabras")).as("frac_top_palabra"),
-        (lit(1.0) - col("n_bigrams_uniq").cast("double") / col("n_bigrams")).as("frac_bigrams_dup"))
+    val nWords = size(Shingles.words(col("text")))
+    d.select(col("doc_id"),
+        nWords.cast(IntegerType).as("n_palabras"),
+        (call_function("max_word_freq", col("text")).cast("double") / nWords)
+          .as("frac_top_palabra"),
+        (lit(1.0) - size(Shingles.shingles(col("text"), 2)).cast("double")
+          / greatest(nWords - 1, lit(1))).as("frac_bigrams_dup"))
   }
 
   val q35Sql: String =

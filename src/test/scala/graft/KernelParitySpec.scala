@@ -55,6 +55,22 @@ class KernelParitySpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("max_word_freq kernel equals the explode/groupBy computation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val withId = (adversarial ++ randomTexts).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val viaKernel = withId.select(col("id"), expr("max_word_freq(text)").as("k"))
+    val viaExplode = withId
+      .select(col("id"), explode(graft.llm.Shingles.words(col("text"))).as("w"))
+      .groupBy("id", "w").count()
+      .groupBy("id").agg(max("count").cast("int").as("e"))
+    val joined = viaKernel.join(viaExplode, Seq("id"))
+    assert(joined.count() == withId.count())
+    assert(joined.filter(col("k") =!= col("e")).count() == 0)
+    assert(Seq("a a b").toDF("t").selectExpr("max_word_freq(t)").head().getInt(0) == 2)
+  }
+
   test("lsh_bucket kernel equals the interpreted twin") {
     val rnd = new scala.util.Random(99)
     val vecs = Seq.fill(200)(Array.fill(rnd.nextInt(96) + 1)(

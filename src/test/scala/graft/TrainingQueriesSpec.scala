@@ -24,17 +24,18 @@ class TrainingQueriesSpec extends AnyFunSuite {
     assert(df.filter(col("contaminado") === 1 && col("n_colisiones") === 0).count() == 0)
   }
 
-  test("repetition signals are in range and detect a degenerate doc") {
+  test("repetition signals are in range and the scan is zero-shuffle") {
     val df = TrainingQueries.q35Repetition(spark, sf)
     assert(df.filter(col("frac_top_palabra") < 0 || col("frac_top_palabra") > 1).count() == 0)
     assert(df.filter(col("frac_bigrams_dup") < 0 || col("frac_bigrams_dup") > 1).count() == 0)
-    val degenerate = Seq((1L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
-      .createOrReplaceTempView("degenerate_docs")
-    val d = spark.table("degenerate_docs")
-      .select(col("doc_id"),
-        size(graft.llm.Shingles.words(col("text"))).as("n"))
-    assert(d.head().getInt(1) == 6)
-    val _ = degenerate
+    // the whole quality scan is a map stage — no Exchange at any size
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q35 must not shuffle:\n$plan")
+    // a fully repetitive doc maxes both signals
+    graft.functions.GraftFunctions.register(spark)
+    val d = Seq("spam spam spam spam spam spam").toDF("text")
+      .selectExpr("max_word_freq(text) AS f").head().getInt(0)
+    assert(d == 6)
   }
 
   test("token budget: every source stops right after crossing the budget") {
