@@ -25,7 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
     "lsh_bucket" -> (exprs => LshBucketExpr(exprs(0), intLit(exprs(1)))),
     "word_shingles" -> (exprs => WordShinglesExpr(exprs(0), intLit(exprs(1)))),
-    "max_word_freq" -> (exprs => MaxWordFreqExpr(exprs.head)))
+    "max_word_freq" -> (exprs => MaxWordFreqExpr(exprs.head)),
+    "minhash_bands" -> (exprs =>
+      MinHashBandsExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, builder) =>

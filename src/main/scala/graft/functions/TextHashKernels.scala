@@ -49,6 +49,22 @@ case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class MinHashBandsExpr(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minHashBands(input.asInstanceOf[ArrayData], numBands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.minHashBands($c, $numBands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpr =
+    copy(child = newChild)
+}
+
 case class MaxWordFreqExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "max_word_freq"
@@ -234,6 +250,28 @@ object TextHash {
       j += 1
     }
     fp
+  }
+
+  /** Band hashes of a minhash signature: band b hashes its rowsPerBand
+    * consecutive signature values as one xxhash64 chain seeded by the band
+    * index — identical to the Column form
+    * xxhash64(lit(b), sig[b*r+1], ..., sig[b*r+r]). */
+  def minHashBands(sig: ArrayData, numBands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](numBands)
+    val n = sig.numElements()
+    var b = 0
+    while (b < numBands) {
+      var h = XXH64.hashInt(b, Seed)
+      var r = 0
+      while (r < rowsPerBand) {
+        val idx = b * rowsPerBand + r
+        if (idx < n) h = XXH64.hashLong(sig.getLong(idx), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Count of the most frequent word (same tokenization as the split

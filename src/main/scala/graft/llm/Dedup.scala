@@ -75,17 +75,24 @@ object MinHashLSH {
     }: _*)
   }
 
-  /** Explode the signature into (band_idx, band_hash) rows.
-    * rowsPerBand consecutive minhashes are hashed together per band. */
+  /** Explode the signature into (band_idx, band_hash) rows. rowsPerBand
+    * consecutive minhashes are hashed together per band by the native
+    * minhash_bands kernel (one chained-xxhash64 pass, no per-band string
+    * building). */
   def bands(df: DataFrame, sigCol: String, numBands: Int, rowsPerBand: Int): DataFrame = {
-    val bandIdx = explode(sequence(lit(0), lit(numBands - 1)))
-    df.withColumn("band_idx", bandIdx)
-      .withColumn("band_hash",
-        xxhash64(col("band_idx"),
-          array_join(transform(
-            slice(col(sigCol), col("band_idx") * rowsPerBand + 1, lit(rowsPerBand)),
-            _.cast("string")), ",")))
+    graft.functions.GraftFunctions.ensureRegistered()
+    df.select(col("*"),
+      posexplode(call_function("minhash_bands", col(sigCol),
+        lit(numBands), lit(rowsPerBand))).as(Seq("band_idx", "band_hash")))
   }
+
+  /** Interpreted Column twin of the band hashing inside [[bands]] — the
+    * property-test pin for the native kernel. */
+  def bandHashesInterpreted(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      val elems = (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
+      xxhash64((lit(b) +: elems): _*)
+    }: _*)
 
   /** Candidate pairs: ids sharing at least one band bucket. The self-join
     * shuffles on (band_idx, band_hash) — bounded buckets, never all-pairs. */

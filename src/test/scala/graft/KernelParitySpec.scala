@@ -47,6 +47,16 @@ class KernelParitySpec extends AnyFunSuite {
     assert(diff3.count() == 0)
   }
 
+  test("minhash_bands kernel equals the chained-xxhash64 Column form") {
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = corpus.select(MinHashLSH.signature(col("text")).as("sig"))
+    val diff = sigs.select(
+      expr("minhash_bands(sig, 16, 4)").as("native"),
+      MinHashLSH.bandHashesInterpreted(col("sig"), 16, 4).as("twin"))
+      .filter(col("native") =!= col("twin"))
+    assert(diff.count() == 0)
+  }
+
   test("simhash64 kernel equals the interpreted twin") {
     val diff = corpus.select(
       SimHash.simhash64(col("text")).as("native"),
