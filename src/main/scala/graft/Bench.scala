@@ -30,25 +30,32 @@ object Bench {
     catch { case _: Throwable => () }
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
+    // Each query runs twice and reports the faster run: single-JVM container
+    // timings blip by seconds under GC/JIT noise, and the steady-state time
+    // is what scales. Shuffle bytes come from the second (warm) run.
+    val runsPerQuery = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val s0 = meter.bytes.get()
-      // Materialize every output column through the noop sink: .count() lets
-      // Catalyst prune projections, so map-only queries would time the scan
-      // and row-count alone, not their expressions.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // listener events are async; give stage-completed events a beat
-      Thread.sleep(50)
-      (name, elapsed, meter.bytes.get() - s0)
+      val timings = (1 to runsPerQuery).map { _ =>
+        val t0 = System.nanoTime()
+        val s0 = meter.bytes.get()
+        // Materialize every output column through the noop sink: .count()
+        // lets Catalyst prune projections, so map-only queries would time
+        // the scan and row-count alone, not their expressions.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // listener events are async; give stage-completed events a beat
+        Thread.sleep(50)
+        (elapsed, meter.bytes.get() - s0)
+      }
+      (name, timings.map(_._1).min, timings.last._2)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, b) => s"\"" + k + "\":" + b }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"runs_per_query":$runsPerQuery,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }
