@@ -121,12 +121,17 @@ final case class TxnTable(spark: SparkSession, root: String) {
         s"version $next already committed at $root (concurrent writer)")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, newEntries.map(e => s"${e._1}\t${e._2}").asJava)
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    // createLink is the atomic one-winner primitive: unlike rename (which
+    // silently REPLACES an existing target on POSIX), linking to an
+    // existing path fails — so of N same-version committers exactly one
+    // publishes and the rest get a conflict.
+    try Files.createLink(target, tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.deleteIfExists(tmp)
       throw new TxnConflictException(
         s"version $next already committed at $root (concurrent writer)")
     }
+    Files.deleteIfExists(tmp)
     next
   }
 

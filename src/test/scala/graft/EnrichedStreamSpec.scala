@@ -49,6 +49,19 @@ class EnrichedStreamSpec extends AnyFunSuite {
       s"(emitted=${emitted.size}, batch=${batch.size}, watermark=$wm)")
   }
 
+  test("file sink restart from checkpoint re-emits nothing (exactly-once)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink_restart")
+    val out = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    graft.streaming.EventsStream.tumblingToParquet(spark, sf, out, ckpt)
+    val firstRows = spark.read.parquet(out).count()
+    assert(firstRows > 0)
+    // second run with the same checkpoint: source exhausted, no new output
+    graft.streaming.EventsStream.tumblingToParquet(spark, sf, out, ckpt)
+    assert(spark.read.parquet(out).count() == firstRows,
+      "restart against an exhausted source must not duplicate windows")
+  }
+
   test("stream-static enrichment attaches dim attributes per event") {
     val out = graft.streaming.EventsStream.enriched(spark, sf)
     val total = graft.core.Tables.events(spark, sf).count()

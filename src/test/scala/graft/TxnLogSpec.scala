@@ -50,6 +50,28 @@ class TxnLogSpec extends AnyFunSuite {
     intercept[TxnConflictException] { t.commit(stagedB, base) }
   }
 
+  test("racing committers: exactly one wins each version, state stays consistent") {
+    val t = freshTable()
+    t.overwrite(Seq((0L, 0)).toDF("id", "v"))
+    val staged = (1 to 6).map(i => (i, t.stage(Seq((i.toLong, i)).toDF("id", "v"), Nil)))
+    val base = t.version()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val outcomes = Await.result(Future.sequence(staged.map { case (i, s) =>
+      Future {
+        try { t.commit(s, base); Some(i) }
+        catch { case _: graft.sources.TxnConflictException => None }
+      }
+    }), 60.seconds).toList
+    assert(outcomes.flatten.size == 1, s"exactly one committer may win: $outcomes")
+    assert(t.version() == base + 1)
+    // the table is exactly the winner's content — no torn mixture
+    val winner = outcomes.flatten.head
+    assert(t.read().as[(Long, Int)].collect().toSet ==
+      Set((winner.toLong, winner)))
+  }
+
   test("partitioned upsert rewrites only touched partitions (by reference)") {
     val t = freshTable()
     t.overwrite(Seq((1L, "p1", 10), (2L, "p2", 20)).toDF("id", "part", "v"),
