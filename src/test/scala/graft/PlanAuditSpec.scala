@@ -19,4 +19,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"quadratic joins in: $offenders")
   }
+
+  /** Shuffle budget per query (measured ceiling). Every groupBy/join/
+    * window/distinct is an Exchange; a refactor that silently adds one
+    * (lost partitioning reuse, a stray repartition, an accidental
+    * non-equi join) fails here before it fails at 100 TB. */
+  private val shuffleBudget = Map(
+    "q1_pricing_summary" -> 1, "q2_star_join" -> 2, "q3_dim_conform" -> 0,
+    "q4_dedup_latest" -> 1, "q5_period_agg" -> 2, "q6_trailing_3m" -> 2,
+    "q7_topn_per_group" -> 1, "q8_customer_metrics" -> 2, "q9_magic_date" -> 0,
+    "q10_asof_rate" -> 1, "q11_merge_upsert" -> 1, "q12_union_instances" -> 0,
+    "q13_sessionize" -> 1, "q14_stream_tumbling" -> 0, "q15_dedup_exact" -> 1,
+    "q16_text_quality" -> 0, "q17_token_count" -> 0, "q18_lang_id" -> 0,
+    "q19_minhash_dedup" -> 10, "q20_simhash" -> 10, "q21_ngram_jaccard" -> 0,
+    "q22_ann_topk" -> 1, "q23_ann_lsh" -> 1, "q24_embedding_dedup" -> 1,
+    "q25_fingerprint" -> 0, "q26_multimodal_meta" -> 0,
+    "q27_hierarchy_union" -> 0, "q28_running_balance" -> 1,
+    "q29_anti_join" -> 0, "q30_semi_join" -> 0, "q31_json_extract" -> 1,
+    "q32_deterministic_sample" -> 1, "q33_vocabulary" -> 1,
+    "q34_decontaminate" -> 3, "q35_repetition" -> 0, "q36_token_budget" -> 1)
+
+  test("every query stays within its shuffle budget") {
+    val ex = "Exchange (hash|range|Single)".r
+    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val n = ex.findAllIn(plan).length
+      val budget = shuffleBudget.getOrElse(name,
+        fail(s"no shuffle budget declared for $name — add one"))
+      if (n > budget) Some(s"$name: $n > $budget") else None
+    }
+    assert(over.isEmpty, s"shuffle budget exceeded: $over")
+  }
 }
