@@ -80,9 +80,14 @@ final case class TxnTable(spark: SparkSession, root: String) {
     if (e._1.isEmpty) dataDir.resolve(e._2) else dataDir.resolve(e._1).resolve(e._2)
 
   // ------------------------------------------------------------- reading
-  def read(): DataFrame = {
-    val es = entries()
-    require(es.nonEmpty, s"table $root has no committed version")
+  def read(): DataFrame = readVersion(version())
+
+  /** Time-travel read of a specific committed version. Valid as long as
+    * [[vacuum]] has not reclaimed that version's files (vacuum keeps only
+    * the current version's referenced files). */
+  def readVersion(v: Long): DataFrame = {
+    val es = entries(v)
+    require(es.nonEmpty, s"table $root has no committed version $v")
     spark.read.option("basePath", dataDir.toString)
       .parquet(es.map(e => filePath(e).toString): _*)
   }

@@ -39,6 +39,24 @@ class PlanAuditSpec extends AnyFunSuite {
     "q32_deterministic_sample" -> 1, "q33_vocabulary" -> 1,
     "q34_decontaminate" -> 3, "q35_repetition" -> 0, "q36_token_budget" -> 1)
 
+  test("with auto-broadcast off, no query degrades to a quadratic join") {
+    // at 100 TB a "small" side can stop fitting the broadcast threshold;
+    // every equi-join must then become a shuffled join, never a cartesian.
+    // Explicit hints (fixed-size dims) may still broadcast — that's fine.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+      assert(offenders.isEmpty, s"quadratic joins without broadcast: $offenders")
+    } finally spark.conf.set(key, prior)
+  }
+
   test("every query stays within its shuffle budget") {
     val ex = "Exchange (hash|range|Single)".r
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

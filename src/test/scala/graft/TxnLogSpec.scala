@@ -115,6 +115,17 @@ class TxnLogSpec extends AnyFunSuite {
     assert(log.lastStatus("t_bad").contains("FAILED"))
   }
 
+  test("time-travel read sees the state as of each version") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "v1")).toDF("id", "v"))
+    t.upsert(Seq((1L, "v2"), (2L, "new")).toDF("id", "v"), Seq("id"))
+    assert(t.readVersion(1).as[(Long, String)].collect().toSet == Set((1L, "v1")))
+    assert(t.readVersion(2).as[(Long, String)].collect().toSet ==
+      Set((1L, "v2"), (2L, "new")))
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      t.readVersion(t.version()).as[(Long, String)].collect().toSet)
+  }
+
   test("compact preserves content and bumps the version atomically") {
     val t = freshTable()
     t.overwrite(spark.range(100).toDF("id"))
