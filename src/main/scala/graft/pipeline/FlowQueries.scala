@@ -150,6 +150,41 @@ object FlowQueries {
       |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS imp_valor
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Stateful streaming sessionization (flatMapGroupsWithState with
+    * event-time timeout) driven to completion; emits the sessions the run
+    * closed. The oracle rebuilds the same session set in SQL and keeps a
+    * session iff it closed inline (the user has a later session) or its
+    * expiry timeout (first whole ms after end+gap) fell strictly below the
+    * final watermark (floor(max event ms) - delay) — the exact engine
+    * arithmetic, µs-precise. */
+  def q37StreamSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.sessionizedEvents(spark, dir,
+      gapSeconds = 1800, watermarkDelay = "1 minute")
+
+  val q37Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, us,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS es_nueva
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |sess AS (
+      |  SELECT *, sum(es_nueva) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, sid, min(ts) AS inicio, max(ts) AS fin,
+      |    max(us) AS fin_us, count(*) AS n_eventos
+      |  FROM sess GROUP BY 1, 2),
+      |lastsid AS (SELECT user_id, max(sid) AS max_sid FROM agg GROUP BY 1),
+      |wm AS (SELECT max(us) // 1000 - 60000 AS wm_ms FROM ev)
+      |SELECT a.user_id, a.inicio, a.fin, a.n_eventos
+      |FROM agg a JOIN lastsid l USING (user_id), wm
+      |WHERE a.sid < l.max_sid
+      |   OR (a.fin_us + 1800000000) // 1000 + 1 < wm.wm_ms""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_magic_date"      -> (q9MagicDate _),
@@ -157,7 +192,8 @@ object FlowQueries {
     "q11_merge_upsert"   -> (q11MergeUpsert _),
     "q12_union_instances" -> (q12UnionInstances _),
     "q13_sessionize"     -> (q13Sessionize _),
-    "q14_stream_tumbling" -> (q14StreamTumbling _))
+    "q14_stream_tumbling" -> (q14StreamTumbling _),
+    "q37_stream_sessionize" -> (q37StreamSessionize _))
 
   val oracles: Map[String, String] = Map(
     "q9_magic_date"      -> q9Sql,
@@ -165,5 +201,6 @@ object FlowQueries {
     "q11_merge_upsert"   -> q11Sql,
     "q12_union_instances" -> q12Sql,
     "q13_sessionize"     -> q13Sql,
-    "q14_stream_tumbling" -> q14Sql)
+    "q14_stream_tumbling" -> q14Sql,
+    "q37_stream_sessionize" -> q37Sql)
 }

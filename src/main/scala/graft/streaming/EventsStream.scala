@@ -88,6 +88,43 @@ object EventsStream {
     q.lastProgress.eventTime.getOrDefault("watermark", "1970-01-01T00:00:00.000Z")
   }
 
+  /** Streaming sessionization over the events lake, driven to completion
+    * with AvailableNow: file stream → stateful gap sessionizer → memory
+    * sink. Emits the sessions the run CLOSED — inline (a later event for
+    * the user opened a new session) or by event-time timeout (the final
+    * watermark passed the session's expiry). Each user's still-open last
+    * session is correctly absent: on a real continuous stream it would
+    * close later. The emitted set is deterministic, so a batch oracle can
+    * reproduce it from the same watermark arithmetic. */
+  def sessionizedEvents(spark: SparkSession, dir: String,
+                        gapSeconds: Long = 1800,
+                        watermarkDelay: String = "1 minute"): DataFrame = {
+    import spark.implicits._
+    val path = Tables.path(dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]")
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val events = stream.select(col("user_id"), col("ts"), col("value"))
+      .as[SessionizeStream.Event]
+    val sessions = SessionizeStream.sessionize(events, gapSeconds, watermarkDelay)
+    val name = "graft_sessions_" + java.lang.Integer.toHexString(dir.hashCode).replace('-', '_')
+    val q = sessions.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // n_eventos/timestamps are exactly reproducible; the money sum is a
+    // float accumulation in arrival order — batch q13 owns that rollup
+    spark.table(name).select("user_id", "inicio", "fin", "n_eventos")
+  }
+
   /** Streaming exact dedup: at-least-once sources re-deliver events; this
     * drops re-deliveries of the same event id while the watermark keeps the
     * dedup state bounded (state holds only ids newer than the watermark —

@@ -15,15 +15,33 @@ import java.sql.Timestamp
   */
 object SessionizeStream {
   case class Event(user_id: Long, ts: Timestamp, value: Double)
-  case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+  /** State times are MICROSECONDS since epoch: Timestamp.getTime truncates
+    * to ms, which would shift µs-grained gap boundaries vs the batch form. */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, inicio: Timestamp, fin: Timestamp,
                         n_eventos: Long, imp_valor: Double)
+
+  /** Epoch microseconds of a Timestamp, exact. */
+  private[streaming] def micros(t: Timestamp): Long =
+    (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+
+  /** Timestamp from epoch microseconds, exact. */
+  private[streaming] def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** First whole millisecond strictly after the session's expiry instant —
+    * the event-time timeout registered with the state store (ms API). */
+  private[streaming] def timeoutMs(endUs: Long, gapUs: Long): Long =
+    Math.floorDiv(endUs + gapUs, 1000L) + 1L
 
   def sessionize(events: Dataset[Event], gapSeconds: Long,
                  watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
 
     events
       .withWatermark("ts", watermarkDelay)
@@ -34,18 +52,18 @@ object SessionizeStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(user, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum))
+            Iterator(SessionOut(user, toTs(s.startUs), toTs(s.endUs), s.n, s.sum))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
             var open = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               open match {
-                case Some(s) if t - s.end <= gapMs =>
-                  open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) if t - s.endUs <= gapUs =>
+                  open = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
-                  closed += SessionOut(user, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+                  closed += SessionOut(user, toTs(s.startUs), toTs(s.endUs), s.n, s.sum)
                   open = Some(OpenSession(t, t, 1, e.value))
                 case None =>
                   open = Some(OpenSession(t, t, 1, e.value))
@@ -53,7 +71,7 @@ object SessionizeStream {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              state.setTimeoutTimestamp(timeoutMs(s.endUs, gapUs))
             }
             closed.result().iterator
           }

@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q27_hierarchy_union" -> 0, "q28_running_balance" -> 1,
     "q29_anti_join" -> 0, "q30_semi_join" -> 0, "q31_json_extract" -> 1,
     "q32_deterministic_sample" -> 1, "q33_vocabulary" -> 1,
-    "q34_decontaminate" -> 3, "q35_repetition" -> 0, "q36_token_budget" -> 1)
+    "q34_decontaminate" -> 3, "q35_repetition" -> 0, "q36_token_budget" -> 1,
+    "q37_stream_sessionize" -> 0)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
