@@ -263,13 +263,35 @@ object LLMQueries {
 
   // ---------------------------------------------------------------- q25
   /** Rolling-hash fingerprint via the native codegen expression
-    * (rows-only oracle; graft.functions.RollingMinHashExpr). */
+    * (graft.functions.RollingMinHashExpr). The oracle replays the same
+    * Rabin-Karp polynomial mod 2^64 in DuckDB HUGEINT arithmetic (the
+    * corpus is ASCII, so character positions are byte positions), then
+    * converts the unsigned minimum to the JVM's signed-long ordering —
+    * value-checked, not rows-only. */
   def q25Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "rolling_min_hash(text) AS huella",
         "CAST(greatest(length(text) - 16 + 1, 1) AS INT) AS n_ventanas")
   }
+
+  val q25Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(greatest(length(text) - 16 + 1, 1) AS INTEGER) AS n_ventanas,
+      |    list_transform(range(1, greatest(length(text) - 16, 0) + 2),
+      |      i -> list_reduce(
+      |        list_transform(range(i, i + least(16, length(text))),
+      |          j -> CAST(ord(text[j]) AS HUGEINT)),
+      |        (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT)) AS us
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN len(list_filter(us, u -> u >= 9223372036854775808::HUGEINT)) > 0
+      |    THEN list_min(list_filter(us, u -> u >= 9223372036854775808::HUGEINT))
+      |         - 18446744073709551616::HUGEINT
+      |    ELSE list_min(us) END AS BIGINT) AS huella,
+      |  n_ventanas
+      |FROM h""".stripMargin
 
   // ---------------------------------------------------------------- q26
   /** Multimodal plumbing: binary payloads + digests + stubbed decode. */
@@ -312,6 +334,7 @@ object LLMQueries {
   val oracles: Map[String, String] = Map(
     "q15_dedup_exact"    -> q15Sql,
     "q19_minhash_dedup"  -> q19Sql,
+    "q25_fingerprint"    -> q25Sql,
     "q16_text_quality"   -> q16Sql,
     "q17_token_count"    -> q17Sql,
     "q18_lang_id"        -> q18Sql,

@@ -22,8 +22,8 @@ class CoreQueriesSpec extends AnyFunSuite {
     // the remaining rows-only queries emit xxhash64-family values DuckDB
     // cannot reproduce (no compatible hash function) — provably
     // non-SQL-expressible rather than unchecked
-    assert((q -- o) == Set("q20_simhash", "q23_ann_lsh",
-      "q25_fingerprint"), s"unexpected rows-only queries: ${q -- o}")
+    assert((q -- o) == Set("q20_simhash", "q23_ann_lsh"),
+      s"unexpected rows-only queries: ${q -- o}")
   }
 
   test("all core queries produce rows at sf0.001") {
