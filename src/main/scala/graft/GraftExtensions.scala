@@ -27,7 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "word_shingles" -> (exprs => WordShinglesExpr(exprs(0), intLit(exprs(1)))),
     "max_word_freq" -> (exprs => MaxWordFreqExpr(exprs.head)),
     "minhash_bands" -> (exprs =>
-      MinHashBandsExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))))
+      MinHashBandsExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
+    "simhash64_md5" -> (exprs => SimHashMd5Expr(exprs.head)))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, builder) =>

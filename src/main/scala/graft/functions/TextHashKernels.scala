@@ -65,6 +65,20 @@ case class MinHashBandsExpr(child: Expression, numBands: Int, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhashMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhashMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5Expr =
+    copy(child = newChild)
+}
+
 case class MaxWordFreqExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "max_word_freq"
@@ -293,6 +307,53 @@ object TextHash {
       t += 1
     }
     best
+  }
+
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Low 64 bits of MD5 — little-endian u64 of digest bytes 8..15, the
+    * exact value DuckDB's md5_number_lower returns (as a signed long
+    * here). The cross-engine-portable hash family: slower than xxhash64,
+    * reproducible by any engine with MD5. */
+  def md5Low64(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
+  /** Bit-vote SimHash over the PORTABLE md5Low64 word-hash family — same
+    * construction as [[simhash64]], but every value is reproducible in
+    * engines without xxhash64 (DuckDB: md5_number_lower), so fingerprints
+    * can be cross-checked end-to-end. */
+  def simhashMd5(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val toks = tokenize(bytes)
+    val n = toks.length
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      val ws = (toks(t) >>> 32).toInt
+      val we = (toks(t) & 0xffffffffL).toInt
+      val h = md5Low64(UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, ws, we)))
+      var j = 0
+      while (j < 64) {
+        votes(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j).toLong * 2 > n) fp |= (1L << j)
+      j += 1
+    }
+    fp
   }
 
   /** Random-hyperplane sign bucket, identical to the interpreted form:

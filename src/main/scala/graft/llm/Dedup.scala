@@ -150,6 +150,16 @@ object SimHash {
     call_function("simhash64", text)
   }
 
+  /** SimHash over the PORTABLE md5-low64 word-hash family
+    * (graft.functions.SimHashMd5Expr): every value reproducible by any
+    * engine with MD5 (DuckDB md5_number_lower), so fingerprints can be
+    * verified cross-engine. Prefer [[simhash64]] (xxhash64 family) when
+    * raw throughput matters more than portability. */
+  def simhash64Portable(text: Column): Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function("simhash64_md5", text)
+  }
+
   /** Interpreted Column twin of [[simhash64]] (64 array-aggregates) — the
     * property-test pin for the native kernel; not for the hot path. */
   def simhash64Interpreted(text: Column): Column = {

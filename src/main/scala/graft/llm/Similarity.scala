@@ -204,6 +204,26 @@ object Similarity {
     call_function("lsh_bucket", vec, lit(numPlanes))
   }
 
+  /** PORTABLE sign-bucket: hyperplane weights are ±1 from the parity of
+    * md5-low64("p_d") — a function of (plane, dim) only, so they resolve
+    * at plan-build time into literal weight vectors and the projection is
+    * one float_dot per plane. Every bucket id is reproducible by any
+    * engine with MD5 (DuckDB: md5_number_lower), unlike the xxhash64
+    * family in [[lshBucket]]. */
+  def portableLshBucket(vec: Column, dim: Int, numPlanes: Int = 8): Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    val planes = (0 until numPlanes).map { p =>
+      val w = Array.tabulate(dim) { d =>
+        val parity = graft.functions.TextHash.md5Low64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"${p}_${d}")) & 1L
+        if (parity == 1L) 1.0f else -1.0f
+      }
+      val proj = call_function("float_dot", vec, typedLit(w))
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
   /** Interpreted Column twin of [[lshBucket]] — the property-test pin for
     * the native kernel; not for the hot path. */
   def lshBucketInterpreted(vec: Column, numPlanes: Int = 8): Column = {

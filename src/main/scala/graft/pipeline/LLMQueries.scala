@@ -156,10 +156,15 @@ object LLMQueries {
       |FROM sh s LEFT JOIN partners p USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------------- q20
-  /** SimHash fingerprint + hamming-band candidates (rows-only oracle). */
+  /** SimHash fingerprint + hamming-band candidates over the PORTABLE
+    * md5-low64 word-hash family, so every emitted value — fingerprint,
+    * bands, candidate counts — is reproducible in DuckDB
+    * (md5_number_lower + HUGEINT bit arithmetic) and the query is fully
+    * value-checked. The xxhash64-family simhash64 remains the raw-speed
+    * variant for pipelines that don't need cross-engine verification. */
   def q20Simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val fp = d.select(col("doc_id"), SimHash.simhash64(col("text")).as("simhash"))
+    val fp = d.select(col("doc_id"), SimHash.simhash64Portable(col("text")).as("simhash"))
     val withBands = fp.select((col("doc_id") +: col("simhash") +:
       SimHash.bandColumns(col("simhash"), numBands = 4)): _*)
     val banded = withBands.selectExpr("doc_id",
@@ -171,6 +176,48 @@ object LLMQueries {
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidatos"))
     withBands.join(partners, Seq("doc_id"), "left").na.fill(0L, Seq("n_candidatos"))
       .withColumn("bits_activos", bit_count(col("simhash")))
+  }
+
+  val q20Sql: String = {
+    val two64 = "18446744073709551616::HUGEINT"
+    val fpTerms = (0 until 64).map { j =>
+      val p = java.math.BigInteger.ONE.shiftLeft(j).toString
+      s"CASE WHEN 2 * list_sum(list_transform(hs, h -> (h // $p::HUGEINT) % 2)) > n " +
+        s"THEN $p::HUGEINT ELSE 0::HUGEINT END"
+    }.mkString("\n      + ")
+    s"""WITH w AS (
+      |  SELECT doc_id,
+      |    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+      |      x -> CAST(md5_number_lower(x) AS HUGEINT)) AS hs,
+      |    len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      |  FROM documents),
+      |fp AS (SELECT doc_id, ($fpTerms) AS fp_u FROM w),
+      |sgn AS (
+      |  SELECT doc_id,
+      |    CASE WHEN fp_u >= 9223372036854775808::HUGEINT
+      |         THEN CAST(fp_u - $two64 AS BIGINT) ELSE CAST(fp_u AS BIGINT) END AS simhash,
+      |    CAST(fp_u % 65536 AS BIGINT) AS band_0,
+      |    CAST((fp_u // 65536::HUGEINT) % 65536 AS BIGINT) AS band_1,
+      |    CAST((fp_u // 4294967296::HUGEINT) % 65536 AS BIGINT) AS band_2,
+      |    CAST((fp_u // 281474976710656::HUGEINT) % 65536 AS BIGINT) AS band_3
+      |  FROM fp),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM sgn
+      |  UNION ALL SELECT doc_id, 1, band_1 FROM sgn
+      |  UNION ALL SELECT doc_id, 2, band_2 FROM sgn
+      |  UNION ALL SELECT doc_id, 3, band_3 FROM sgn),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b USING (band_idx, band_val)
+      |  WHERE a.doc_id < b.doc_id),
+      |partners AS (
+      |  SELECT doc_id, count(*) AS n_candidatos FROM (
+      |    SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b AS doc_id FROM pairs)
+      |  GROUP BY doc_id)
+      |SELECT s.doc_id, s.simhash, s.band_0, s.band_1, s.band_2, s.band_3,
+      |  coalesce(p.n_candidatos, 0) AS n_candidatos,
+      |  CAST(bit_count(s.simhash) AS INTEGER) AS bits_activos
+      |FROM sgn s LEFT JOIN partners p USING (doc_id)""".stripMargin
   }
 
   // ---------------------------------------------------------------- q21
@@ -228,13 +275,35 @@ object LLMQueries {
       |WHERE rango <= 10""".stripMargin
 
   // ---------------------------------------------------------------- q23
-  /** LSH-bucketed ANN scale path: sign-pattern buckets (rows-only). */
+  /** LSH-bucketed ANN scale path: sign-pattern buckets over the PORTABLE
+    * md5-parity hyperplane family (weights are literal ±1 vectors resolved
+    * at plan build; one float_dot per plane), so bucket ids and sizes are
+    * fully value-checked against DuckDB. The xxhash64 lshBucket kernel
+    * stays as the raw-speed variant. */
   def q23AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val bucketed = Similarity.lshBuckets(emb, "vec_id", "embedding", numPlanes = 8)
-    bucketed.select(col("vec_id"), col("bucket"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    emb.select(col("vec_id"),
+        Similarity.portableLshBucket(col("embedding"), dim, numPlanes = 8).as("bucket"))
       .withColumn("tam_bucket",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+  }
+
+  val q23Sql: String = {
+    val planeTerms = (0 until 8).map { p =>
+      s"""CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+         |      d -> CAST(embedding[d + 1] AS DOUBLE) *
+         |        (CASE WHEN md5_number_lower(concat('${p}_', CAST(d AS VARCHAR))) % 2 = 1
+         |              THEN 1.0 ELSE -1.0 END))) >= 0
+         |    THEN ${1L << p}::BIGINT ELSE 0::BIGINT END""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH b AS (
+      |  SELECT vec_id,
+      |    ($planeTerms) AS bucket
+      |  FROM embeddings)
+      |SELECT vec_id, bucket,
+      |  count(*) OVER (PARTITION BY bucket) AS tam_bucket
+      |FROM b""".stripMargin
   }
 
   // ---------------------------------------------------------------- q24
@@ -334,6 +403,8 @@ object LLMQueries {
   val oracles: Map[String, String] = Map(
     "q15_dedup_exact"    -> q15Sql,
     "q19_minhash_dedup"  -> q19Sql,
+    "q20_simhash"        -> q20Sql,
+    "q23_ann_lsh"        -> q23Sql,
     "q25_fingerprint"    -> q25Sql,
     "q16_text_quality"   -> q16Sql,
     "q17_token_count"    -> q17Sql,

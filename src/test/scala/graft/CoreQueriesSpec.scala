@@ -19,11 +19,9 @@ class CoreQueriesSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
-    // the remaining rows-only queries emit xxhash64-family values DuckDB
-    // cannot reproduce (no compatible hash function) — provably
-    // non-SQL-expressible rather than unchecked
-    assert((q -- o) == Set("q20_simhash", "q23_ann_lsh"),
-      s"unexpected rows-only queries: ${q -- o}")
+    // every catalog query is value-checked: the hash-valued queries run on
+    // portable (MD5-derived) families the oracle engine can reproduce
+    assert((q -- o).isEmpty, s"unexpected rows-only queries: ${q -- o}")
   }
 
   test("all core queries produce rows at sf0.001") {
