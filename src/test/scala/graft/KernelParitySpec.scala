@@ -47,6 +47,22 @@ class KernelParitySpec extends AnyFunSuite {
     assert(diff3.count() == 0)
   }
 
+  test("md5Low64 matches DuckDB md5_number_lower on known values") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // reference values computed by DuckDB: md5_number_lower = LE u64 of
+    // digest bytes 8..15, here as the same bits in a signed long
+    def signed(u: BigInt): Long =
+      (if (u >= (BigInt(1) << 63)) u - (BigInt(1) << 64) else u).toLong
+    val expected = Map(
+      "hello" -> signed(BigInt("10575884659879408057")),
+      "a" -> signed(BigInt("7000413967451013937")),
+      "wörd" -> signed(BigInt("4272174436938063176")),
+      "" -> signed(BigInt("9098107892288553193")))
+    expected.foreach { case (s, e) =>
+      assert(graft.functions.TextHash.md5Low64(UTF8String.fromString(s)) == e, s"md5Low64($s)")
+    }
+  }
+
   test("minhash_bands kernel equals the chained-xxhash64 Column form") {
     graft.functions.GraftFunctions.register(spark)
     val sigs = corpus.select(MinHashLSH.signature(col("text")).as("sig"))
