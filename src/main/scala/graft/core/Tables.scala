@@ -39,4 +39,13 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Register every base table as a temp view (events with its timestamp
+    * conversion applied), so `spark.sql("SELECT ... FROM lineitem")` works
+    * for SQL-text users alongside the DataFrame surface. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach { name =>
+      val df = if (name == "events") events(spark, dir) else apply(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
 }

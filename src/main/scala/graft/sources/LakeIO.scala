@@ -37,8 +37,15 @@ final case class LakeIO(spark: SparkSession, root: String) {
   def exists(layer: String, table: String): Boolean =
     new java.io.File(tablePath(layer, table)).exists()
 
-  def read(layer: String, table: String): DataFrame =
-    spark.read.parquet(tablePath(layer, table))
+  /** Reads either table format: a directory carrying a `_graft_log` is a
+    * transactional table (resolved through its committed manifest), plain
+    * directories read as raw parquet — so plain and txn tables can share
+    * one lake and downstream jobs never care which is which. */
+  def read(layer: String, table: String): DataFrame = {
+    val p = tablePath(layer, table)
+    if (new java.io.File(p, "_graft_log").isDirectory) TxnTable(spark, p).read()
+    else spark.read.parquet(p)
+  }
 
   /** External CSV read, reference: common_jobs_functions.py:227-229. */
   def readCsv(path: String, sep: String = ";"): DataFrame =

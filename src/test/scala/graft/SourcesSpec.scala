@@ -71,6 +71,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(JdbcServing.sqlLiteral(true) == "true")
   }
 
+  test("lake read dispatches on table format: plain parquet vs txn log") {
+    val root = Files.createTempDirectory("graft_mixed").toString
+    val lake = LakeIO(spark, root)
+    lake.write(Seq((1L, "plain")).toDF("id", "v"), lake.layers.Stage, "t_plain")
+    lake.txn(lake.layers.Stage, "t_txn").overwrite(Seq((2L, "txn")).toDF("id", "v"))
+    assert(lake.read(lake.layers.Stage, "t_plain").as[(Long, String)].head() == ((1L, "plain")))
+    assert(lake.read(lake.layers.Stage, "t_txn").as[(Long, String)].head() == ((2L, "txn")))
+    // a txn upsert through the same read path sees merged state
+    lake.txn(lake.layers.Stage, "t_txn").upsert(Seq((2L, "txn2")).toDF("id", "v"), Seq("id"))
+    assert(lake.read(lake.layers.Stage, "t_txn").as[(Long, String)].head() == ((2L, "txn2")))
+  }
+
+  test("registerViews exposes every base table to SQL text") {
+    graft.core.Tables.registerViews(spark, TestSpark.sf)
+    assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM events WHERE ts IS NOT NULL").head().getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1").count() > 0)
+  }
+
   test("previousPeriod matches the reference across year boundaries") {
     import graft.operators.Periods
     assert(Periods.previousPeriod("202401") == "202312")
