@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Z-order (Morton) clustering support for multi-dimensional file skipping.
+  *
+  * Writing files ordered by the interleaved bit pattern of per-column rank
+  * buckets keeps EVERY clustered column's min/max span narrow inside each
+  * file, so a range predicate on any (or several) of the dimensions prunes
+  * row groups — the multi-dim generalization of single-column sorted
+  * writes. Rank buckets (not raw values) make the curve robust to skew;
+  * boundaries come from approxQuantile at write time (a bounded
+  * driver-side sample, the same trade a range partitioner makes).
+  */
+case class ZBucketExpr(child: Expression, boundaries: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "z_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ZOrder.bucketOf(input.asInstanceOf[Double], boundaries)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("zBoundaries", boundaries, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ZOrder.bucketOf((double)$c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ZBucketExpr =
+    copy(child = newChild)
+}
+
+object ZOrder {
+  /** Rank bucket of `v` in `boundaries` (ascending): index of the first
+    * boundary >= v via binary search; O(log n) per row, called from
+    * generated code. */
+  def bucketOf(v: Double, boundaries: Array[Double]): Int = {
+    var lo = 0
+    var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v <= boundaries(mid)) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
+  /** Morton interleave of pre-bucketed rank columns (ints in
+    * [0, 2^bitsPerDim)): bit b of dimension d lands at position
+    * b*dims + d. Pure built-in bit arithmetic — stays in codegen. */
+  def interleave(buckets: Seq[Column], bitsPerDim: Int): Column = {
+    val dims = buckets.length
+    val terms = for {
+      (c, d) <- buckets.zipWithIndex
+      b <- 0 until bitsPerDim
+    } yield shiftleft(
+      shiftright(c.cast("long"), b).bitwiseAND(lit(1L)).cast("int"),
+      b * dims + d).cast("long")
+    terms.reduce(_ + _)
+  }
+}

@@ -79,6 +79,40 @@ final case class LakeIO(spark: SparkSession, root: String) {
       .parquet(tablePath(layer, table))
   }
 
+  /** Z-order-clustered write: rows are range-partitioned and sorted by the
+    * Morton interleave of each `zCols` column's rank bucket, so EVERY
+    * clustered column's min/max span stays narrow in every file — a range
+    * predicate on any of the dimensions prunes row groups.
+    * [[writeSorted]] is the 1-D special case; use this when two or more
+    * columns are queried independently. Bucket boundaries come from
+    * approxQuantile (bounded driver-side sample). */
+  def writeZOrdered(df: DataFrame, layer: String, table: String,
+                    zCols: Seq[String], numFiles: Int,
+                    partitionBy: Seq[String] = Nil,
+                    bitsPerDim: Int = 12): Unit = {
+    require(zCols.nonEmpty, "writeZOrdered needs at least one z column")
+    val nBuckets = 1 << bitsPerDim
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val reg = spark.sessionState.functionRegistry
+    val buckets = zCols.zipWithIndex.map { case (c, i) =>
+      val bounds = df.stat.approxQuantile(c, probs, 0.01)
+      // per-call registration: the boundary array rides the builder closure
+      // (Spark 4 exposes no public Column.expr to wrap the expression directly)
+      val fn = s"__z_bucket_$i"
+      reg.createOrReplaceTempFunction(fn,
+        exprs => graft.functions.ZBucketExpr(exprs.head, bounds), "built-in")
+      org.apache.spark.sql.functions.call_function(fn, col(c).cast("double"))
+    }
+    val withZ = df.withColumn("__z",
+      graft.functions.ZOrder.interleave(buckets, bitsPerDim))
+    val arranged = withZ.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z")).drop("__z")
+    val w = arranged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tablePath(layer, table))
+  }
+
   def append(df: DataFrame, layer: String, table: String,
              partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Append)

@@ -71,6 +71,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(JdbcServing.sqlLiteral(true) == "true")
   }
 
+  test("z-ordered write keeps BOTH dimensions narrow inside every file") {
+    val root = Files.createTempDirectory("graft_zorder").toString
+    val lake = LakeIO(spark, root)
+    val orders = graft.core.Tables.orders(spark, TestSpark.sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    lake.writeZOrdered(orders, lake.layers.Analytics, "t_z",
+      zCols = Seq("o_custkey", "o_totalprice"), numFiles = 8)
+    val dir = new java.io.File(lake.tablePath(lake.layers.Analytics, "t_z"))
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected several files, got ${files.length}")
+    val global = orders.agg(
+      max("o_custkey") - min("o_custkey"),
+      max("o_totalprice") - min("o_totalprice")).head()
+    val (gc, gp) = (global.getLong(0).toDouble, global.getDouble(1))
+    // per file, each z column spans a small fraction of its global range —
+    // the property that lets a range predicate on EITHER column skip files
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getPath).agg(
+        max("o_custkey") - min("o_custkey"),
+        max("o_totalprice") - min("o_totalprice")).head()
+      (r.getLong(0).toDouble / gc, r.getDouble(1) / gp)
+    }
+    val (avgC, avgP) = (spans.map(_._1).sum / spans.length,
+      spans.map(_._2).sum / spans.length)
+    assert(avgC < 0.6 && avgP < 0.6,
+      s"avg per-file span fractions too wide: custkey=$avgC price=$avgP")
+    // and the data survives the reorganization intact
+    assert(lake.read(lake.layers.Analytics, "t_z").count() == orders.count())
+  }
+
   test("lake read dispatches on table format: plain parquet vs txn log") {
     val root = Files.createTempDirectory("graft_mixed").toString
     val lake = LakeIO(spark, root)
