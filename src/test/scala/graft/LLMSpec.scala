@@ -156,6 +156,25 @@ class LLMSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("nearDupInBuckets: high recall on clustered data, probes never hurt") {
+    val rnd = new scala.util.Random(21)
+    val centers = Array.fill(6)(Array.fill(24)(rnd.nextFloat() * 8f - 4f))
+    val df = (0 until 240).map { i =>
+      (i.toLong, centers(i % 6).map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    def found(probes: Int): Map[Long, Double] =
+      Similarity.nearDupInBuckets(df, "vec_id", "embedding", numPlanes = 8, probes = probes)
+        .as[(Long, Long, Double)].collect().map { case (q, _, c) => q -> c }.toMap
+    val base = found(0)
+    val probed = found(2)
+    // cluster-mates are near-identical, so their sign patterns collide:
+    // most vectors must find a >= 0.99-cosine neighbor without probing
+    assert(base.count(_._2 >= 0.99) >= 216, s"recall too low: ${base.size}")
+    // multiprobe can only widen the candidate set
+    assert(probed.keySet.size >= base.keySet.size)
+    assert(base.forall { case (q, c) => probed.get(q).exists(_ >= c - 1e-12) })
+  }
+
   test("lsh buckets put identical vectors together") {
     val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")
