@@ -9,17 +9,25 @@ import org.apache.spark.sql.SparkSession
   * cluster; `shufflePartitions` is the only local-mode concession.
   */
 object GraftSession {
+  /** graft's recommended conf set, applied to any builder — the same knobs
+    * whether the session is local or a 1000-executor cluster (cluster
+    * sizing itself — executors, memory, shuffle partitions — stays with
+    * the deployment). Includes the GraftExtensions injection so every
+    * kernel is SQL-callable from session start. */
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             shufflePartitions: Int = 32): SparkSession = {
-    val s = SparkSession.builder()
+    val s = tuned(SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
