@@ -206,10 +206,20 @@ object LLMQueries {
       |  UNION ALL SELECT doc_id, 1, band_1 FROM sgn
       |  UNION ALL SELECT doc_id, 2, band_2 FROM sgn
       |  UNION ALL SELECT doc_id, 3, band_3 FROM sgn),
+      |sized AS (
+      |  SELECT doc_id, band_idx, band_val,
+      |    count(*) OVER (PARTITION BY band_idx, band_val) AS bn
+      |  FROM bands),
       |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM bands a JOIN bands b USING (band_idx, band_val)
-      |  WHERE a.doc_id < b.doc_id),
+      |  SELECT DISTINCT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |    FROM sized a JOIN sized b USING (band_idx, band_val)
+      |    WHERE a.bn <= 256 AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT doc_id AS id_a,
+      |      lead(doc_id) OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS id_b
+      |    FROM sized WHERE bn > 256)
+      |  WHERE id_b IS NOT NULL),
       |partners AS (
       |  SELECT doc_id, count(*) AS n_candidatos FROM (
       |    SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b AS doc_id FROM pairs)
