@@ -110,7 +110,12 @@ object LLMQueries {
     * collision probability at j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9998 per pair,
     * and on this corpus the near-dup pairs sit at j≈0.99 where missing a
     * pair is a ~1e-7 event; the hash family is deterministic, so the
-    * result is reproducible, not flaky. */
+    * result is reproducible, not flaky. One structural assumption: true
+    * near-dups live in SMALL band buckets (near-unique shingle sets), so
+    * the BoundedPairs cap — which chains only degenerate collision
+    * buckets, whose pairs verify below 0.8 — never costs a verified pair
+    * (holds at sf0.01 and sf0.1; a corpus of hundreds of IDENTICAL
+    * documents would route them to q15 exact dedup first). */
   def q19MinhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val sh5 = d.select(col("doc_id"), Shingles.shingles(col("text"), 5).as("sh"))
