@@ -145,12 +145,20 @@ object LLMQueries {
       |    range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 5, 0) + 2),
       |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+4], ' '))) AS sh
       |  FROM documents),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |cand AS (
+      |  -- pairs sharing zero shingles have jaccard 0 and cannot verify;
+      |  -- the inverted-index join keeps the oracle exact but near-linear
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM inv a JOIN inv b USING (g) WHERE a.doc_id < b.doc_id),
       |scored AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-      |         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |              / len(list_distinct(list_concat(a.sh, b.sh))) END AS j
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |  SELECT c.id_a, c.id_b,
+      |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |              / len(list_distinct(list_concat(sa.sh, sb.sh))) END AS j
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.id_a
+      |  JOIN sh sb ON sb.doc_id = c.id_b),
       |v AS (SELECT * FROM scored WHERE j >= 0.8),
       |partners AS (
       |  SELECT doc_id, count(*) AS n_dups, max(j) AS max_jaccard FROM (
