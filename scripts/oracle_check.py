@@ -6,6 +6,12 @@ Usage: python3 scripts/oracle_check.py <verify_out_dir> <sf_dir>
 Reads each <out>/<name> parquet written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the same sf_dir tables, and
 compares as multisets (columns sorted by name, rows sorted).
+
+Type-strict: also compares the DuckDB-reported column TYPES of both
+relations. The driver's hasher canonicalizes typed values, so an oracle
+emitting HUGEINT (e.g. DuckDB's windowed sum(BIGINT)) or DECIMAL where
+Spark wrote BIGINT/DOUBLE fails the driver even when str(v) matches —
+round-2's q36 proved stringified comparison alone cannot catch that.
 """
 import sys, json, glob, os
 import duckdb
@@ -42,14 +48,22 @@ def main(out_dir, sf_dir):
         try:
             s = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             scols, srows = canon(s.fetchall(), s.columns)
+            stypes = [str(t) for _, t in
+                      sorted(zip(s.columns, s.types), key=lambda p: p[0])]
             d = con.sql(sql)
             dcols, drows = canon(d.fetchall(), d.columns)
+            dtypes = [str(t) for _, t in
+                      sorted(zip(d.columns, d.types), key=lambda p: p[0])]
         except Exception as e:
             print(f"ERROR    {name}: {e}")
             n_fail += 1
             continue
         if scols != dcols:
             print(f"SCHEMA   {name}: spark={scols} duck={dcols}")
+            n_fail += 1
+        elif stypes != dtypes:
+            bad = [(c, a, b) for c, a, b in zip(scols, stypes, dtypes) if a != b]
+            print(f"TYPES    {name}: {bad}")
             n_fail += 1
         elif srows != drows:
             n_fail += 1

@@ -122,9 +122,11 @@ object TrainingQueries {
       |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
       |  FROM documents),
       |c AS (
-      |  SELECT *, sum(tokens) OVER (PARTITION BY source
+      |  -- CAST: DuckDB windowed sum(BIGINT) returns HUGEINT, which the
+      |  -- driver's hasher canonicalizes differently from Spark's LongType.
+      |  SELECT *, CAST(sum(tokens) OVER (PARTITION BY source
       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tokens_acum
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tokens_acum
       |  FROM t)
       |SELECT doc_id, source, tokens, tokens_acum FROM c
       |WHERE tokens_acum - tokens < 2000""".stripMargin
