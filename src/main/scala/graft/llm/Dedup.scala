@@ -113,18 +113,27 @@ object MinHashLSH {
   * [[oversizedBuckets]] reports what was chained for observability.
   */
 object BoundedPairs {
+  /** The banded table is exchanged ONCE (hash on the bucket keys); every
+    * further step — bucket sizing, the small-bucket id list, the oversized
+    * lead-chain — is a window over that same partitioning, so Catalyst
+    * plans no further Exchange of the banded rows (only the final pair
+    * `distinct()` shuffles, and that is the far smaller pair set). Small
+    * buckets emit each unordered pair exactly once from its smaller id's
+    * row via `explode(filter(ids, _ > id))` — no self-join. Per-row window
+    * state is bounded by `maxBucket` for the list path and O(1) for the
+    * streamed lead-chain, so a degenerate bucket spills in the window
+    * sorter instead of materializing m² join rows or an unbounded
+    * collect_list aggregation buffer. */
   def withinBuckets(df: DataFrame, keyCols: Seq[String], idCol: String,
                     maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*)
     val sized = df.withColumn("__bucket_n", count(lit(1)).over(w))
-    val small = sized.filter(col("__bucket_n") <= maxBucket)
-    val a = small.select(keys :+ col(idCol).as("id_a"): _*)
-    val b = small.select(keys :+ col(idCol).as("id_b"): _*)
-    val allPairs = a.join(b, keyCols)
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val allPairs = sized.filter(col("__bucket_n") <= maxBucket)
+      .withColumn("__ids", collect_list(col(idCol)).over(w))
+      .select(col(idCol).as("id_a"),
+        explode(filter(col("__ids"), x => x > col(idCol))).as("id_b"))
     val chained = sized.filter(col("__bucket_n") > maxBucket)
       .withColumn("__next", lead(col(idCol), 1).over(w.orderBy(col(idCol))))
       .filter(col("__next").isNotNull)

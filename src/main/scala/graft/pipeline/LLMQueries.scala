@@ -130,8 +130,14 @@ object LLMQueries {
       .withColumn("j", NgramJaccard.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("j") >= 0.8)
       .select("id_a", "id_b", "j")
-    val partners = verified.select(col("id_a").as("doc_id"), col("j"))
-      .unionAll(verified.select(col("id_b").as("doc_id"), col("j")))
+    // explode both endpoints from ONE pass over the pair set — a
+    // self-union here would plan (and at 100 TB pay for) the whole
+    // band/verify pipeline twice
+    val partners = verified
+      .select(explode(array(
+        struct(col("id_a").as("doc_id"), col("j")),
+        struct(col("id_b").as("doc_id"), col("j")))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.j").as("j"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dups"), max(col("j")).as("max_jaccard"))
     sh5.select(col("doc_id"), size(col("sh")).cast(IntegerType).as("n_shingles"))
@@ -184,8 +190,9 @@ object LLMQueries {
       "stack(4, 0, band_0, 1, band_1, 2, band_2, 3, band_3) as (band_idx, band_val)")
     val pairs = BoundedPairs.withinBuckets(
       banded, Seq("band_idx", "band_val"), "doc_id", maxBucket = 256)
-    val partners = pairs.select(col("id_a").as("doc_id"))
-      .unionAll(pairs.select(col("id_b").as("doc_id")))
+    // one pass over the pair set (a self-union would compute it twice)
+    val partners = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidatos"))
     withBands.join(partners, Seq("doc_id"), "left").na.fill(0L, Seq("n_candidatos"))
       .withColumn("bits_activos", bit_count(col("simhash")))
