@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 object GraftFunctions {
   val Names = Seq("float_dot", "token_count", "rolling_min_hash", "bottom_k_sample",
     "minhash_signature", "simhash64", "lsh_bucket", "word_shingles",
-    "max_word_freq", "minhash_bands", "simhash64_md5")
+    "max_word_freq", "minhash_bands", "simhash64_md5", "marker_count")
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -40,6 +40,9 @@ object GraftFunctions {
       exprs => MinHashBandsExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("simhash64_md5",
       exprs => SimHashMd5Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("marker_count",
+      exprs => MarkerCountExpr(exprs(0),
+        exprs(1).eval().toString.split('|').toSeq), "built-in")
   }
 
   /** Idempotent registration against the active session. */

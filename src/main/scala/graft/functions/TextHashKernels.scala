@@ -107,6 +107,31 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Whole-word marker counting — the native twin of
+  * `regexp_count(text, "\\b(w1|...|wn)\\b")`. The regex form re-runs a
+  * dozens-wide alternation at every character; this is a single byte scan
+  * trying the markers in alternation order only at word boundaries, with
+  * Java-identical semantics (leftmost-first, non-overlapping, ASCII \b). */
+case class MarkerCountExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "marker_count"
+
+  private lazy val wordBytes: Array[Array[Byte]] =
+    words.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.markerCount(input.asInstanceOf[UTF8String], wordBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerWords", wordBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.markerCount($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerCountExpr =
+    copy(child = newChild)
+}
+
 case class LshBucketExpr(child: Expression, numPlanes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
@@ -307,6 +332,88 @@ object TextHash {
       t += 1
     }
     best
+  }
+
+  /** Byte-level replica of Java `Pattern("\\b(w1|...|wn)\\b")` find-count.
+    * Java's \b is Unicode-aware even in default mode — its word test is
+    * `ch == '_' || Character.isLetterOrDigit(ch)`, NOT the ASCII \w class
+    * (so "theĸ" has no boundary after "the"). The scan walks the text one
+    * codepoint at a time (ASCII = one branch), carries the previous
+    * character's wordness, and tries the markers in alternation order only
+    * at boundary positions — leftmost-first, non-overlapping, exactly the
+    * regex engine's semantics. A valid word can never byte-match at a
+    * mid-character offset (UTF-8 self-synchronization). */
+  def markerCount(text: UTF8String, words: Array[Array[Byte]]): Int = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var count = 0
+    var i = 0
+    var prevWord = false // wordness of the char ending at i (start/end: none)
+    while (i < len) {
+      val cp = cpAt(bytes, i)
+      val curWord = isWordCp(cp)
+      var advanced = 0
+      if (prevWord != curWord) {
+        var w = 0
+        while (w < words.length && advanced == 0) {
+          val wb = words(w)
+          val e = i + wb.length
+          if (e <= len && regionEq(bytes, i, wb)) {
+            val lastW = isWordCp(lastCp(wb))
+            val afterW = e < len && isWordCp(cpAt(bytes, e))
+            if (lastW != afterW) advanced = wb.length
+          }
+          w += 1
+        }
+      }
+      if (advanced > 0) {
+        count += 1
+        prevWord = isWordCp(lastCp(bytes, i + advanced))
+        i += advanced
+      } else {
+        prevWord = curWord
+        i += cpLen(bytes(i))
+      }
+    }
+    count
+  }
+
+  private def isWordCp(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
+
+  /** Codepoint starting at byte offset i (assumes valid UTF-8). */
+  private def cpAt(bytes: Array[Byte], i: Int): Int = {
+    val b0 = bytes(i) & 0xff
+    if (b0 < 0x80) b0
+    else if (b0 < 0xE0) ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+    else if (b0 < 0xF0)
+      ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+    else
+      ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+        ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+  }
+
+  private def cpLen(b: Byte): Int = {
+    val b0 = b & 0xff
+    if (b0 < 0x80) 1 else if (b0 < 0xE0) 2 else if (b0 < 0xF0) 3 else 4
+  }
+
+  /** Codepoint of the character ENDING at byte offset `end` (exclusive). */
+  private def lastCp(bytes: Array[Byte], end: Int): Int = {
+    var j = end - 1
+    while (j > 0 && (bytes(j) & 0xC0) == 0x80) j -= 1
+    cpAt(bytes, j)
+  }
+
+  private def lastCp(bytes: Array[Byte]): Int = lastCp(bytes, bytes.length)
+
+  private def regionEq(bytes: Array[Byte], off: Int, w: Array[Byte]): Boolean = {
+    var j = 0
+    while (j < w.length) {
+      if (bytes(off + j) != w(j)) return false
+      j += 1
+    }
+    true
   }
 
   private val md5Local: ThreadLocal[java.security.MessageDigest] =

@@ -17,9 +17,17 @@ object TextAnalysis {
   def wordCount(text: Column): Column =
     size(split(trim(text), "\\s+")).cast(IntegerType)
 
-  /** Occurrences of any of `words` as whole words (ASCII \b semantics —
-    * identical in Java regex and RE2). */
-  def markerCount(text: Column, words: Seq[String]): Column =
+  /** Occurrences of any of `words` as whole words (Java \b semantics —
+    * Unicode-aware boundaries; agrees with RE2 engines on ASCII text),
+    * via the native byte-scan kernel (graft.functions.MarkerCountExpr). */
+  def markerCount(text: Column, words: Seq[String]): Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function("marker_count", text, lit(words.mkString("|")))
+  }
+
+  /** Regex twin of [[markerCount]] — the property-test pin for the native
+    * kernel; not for the hot path (the alternation re-runs per character). */
+  def markerCountRegex(text: Column, words: Seq[String]): Column =
     regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b")).cast(IntegerType)
 
   def punctCount(text: Column): Column =

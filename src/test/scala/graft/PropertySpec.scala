@@ -35,6 +35,29 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("marker_count kernel equals the regex engine on marker-dense text") {
+    import graft.llm.TextAnalysis
+    val vocabularies = TextAnalysis.LangMarkers.map(_._2) :+ TextAnalysis.EnglishStopwords
+    // text biased toward marker words, their prefixes/suffixes, and
+    // multi-byte characters so both boundary directions get exercised
+    val pieces = Gen.oneOf(
+      Gen.oneOf(vocabularies.flatten), Gen.const("the"), Gen.const("theory"),
+      Gen.const("a"), Gen.const("an"), Gen.const("中的"), Gen.const("a的b"),
+      asciiText.map(_.take(8)))
+    val gen = Gen.listOf(Gen.zip(pieces, Gen.oneOf(" ", "", ". ", "\t")))
+      .map(_.map { case (a, b) => a + b }.mkString)
+    vocabularies.foreach { words =>
+      val p = java.util.regex.Pattern.compile("\\b(" + words.mkString("|") + ")\\b")
+      val wb = words.map(_.getBytes("UTF-8")).toArray
+      check(Prop.forAll(gen) { s =>
+        val m = p.matcher(s)
+        var n = 0
+        while (m.find()) n += 1
+        n == graft.functions.TextHash.markerCount(UTF8String.fromString(s), wb)
+      })
+    }
+  }
+
   test("rolling min hash: deterministic, and window containment bounds the min") {
     check(Prop.forAll(asciiText.suchThat(_.nonEmpty), asciiText) { (core, pad) =>
       val a = UTF8String.fromString(core)
