@@ -35,27 +35,51 @@ object Bench {
     // is what scales. Shuffle bytes come from the second (warm) run.
     val runsPerQuery = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var error: Option[String] = None
       val timings = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         val s0 = meter.bytes.get()
         // Materialize every output column through the noop sink: .count()
         // lets Catalyst prune projections, so map-only queries would time
         // the scan and row-count alone, not their expressions.
+        // A query that throws must NOT score ~0 s and improve the total:
+        // record the failure and surface it in the JSON + exit code.
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            if (error.isEmpty)
+              error = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // listener events are async; give stage-completed events a beat
         Thread.sleep(50)
         (elapsed, meter.bytes.get() - s0)
       }
-      (name, timings.map(_._1).min, timings.last._2)
+      (name, timings.map(_._1).min, timings.last._2, error)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, b) => s"\"" + k + "\":" + b }
+    val sh = results.map { case (k, _, b, _) => s"\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":" + jsonStr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"runs_per_query":$runsPerQuery,"agg":"min","sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"runs_per_query":$runsPerQuery,"agg":"min","sf":"$sfDir"}"""
+    println(line)
+    // stdout can be truncated by log-capture tooling; the file is the
+    // durable copy of the full JSON line
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     spark.stop()
+    if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }
 }
