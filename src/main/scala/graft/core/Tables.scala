@@ -17,8 +17,17 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Resolved-relation cache: repeated reads of the same base table
+    * otherwise re-run file listing + parquet schema inference (a driver
+    * job) on EVERY query construction. Keyed per session so concurrent
+    * sessions never share relations; entries are plan-time objects only
+    * (no data is pinned). */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+    cache.computeIfAbsent((spark, path(dir, name)),
+      key => key._1.read.parquet(key._2))
 
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")

@@ -312,7 +312,10 @@ object LLMQueries {
     * stays as the raw-speed variant. */
   def q23AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // vector dim from session conf — probing it with .head() here would
+    // submit a Spark job at plan-build time on every invocation
+    val dim = spark.conf.getOption("spark.graft.embedding.dim")
+      .map(_.toInt).getOrElse(64)
     emb.select(col("vec_id"),
         Similarity.portableLshBucket(col("embedding"), dim, numPlanes = 8).as("bucket"))
       .withColumn("tam_bucket",

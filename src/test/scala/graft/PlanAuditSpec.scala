@@ -58,6 +58,28 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prior)
   }
 
+  test("building the q23 plan submits no Spark job") {
+    // a .head()/.collect() probe during plan construction runs a driver
+    // job per invocation — the vector dim must come from config/schema.
+    // (q22's bounded query-set collect is the documented build-side
+    // pattern and intentionally exempt.)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    // warm the file index first so listing cost isn't misread as a probe
+    SparkEntry.queries("q23_ann_lsh")(spark, sf).queryExecution.executedPlan: Unit
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("q23_ann_lsh")(spark, sf).queryExecution.executedPlan: Unit
+      Thread.sleep(500) // listener events are async
+      assert(jobs.get() == 0,
+        s"q23 plan construction submitted ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("every query stays within its shuffle budget") {
     val ex = "Exchange (hash|range|Single)".r
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
