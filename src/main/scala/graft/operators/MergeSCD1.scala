@@ -21,11 +21,31 @@ object MergeSCD1 {
   private val SIDE = "__graft_src"
 
   /** Rows from `source` win over `target` on key equality; all other
-    * target rows pass through. Schemas must align by name. */
+    * target rows pass through. Schemas align by name with Delta-style
+    * evolution (the reference's merge runs with autoMerge semantics,
+    * reference: common_jobs_functions.py:288-304):
+    *  - columns only in `source` are appended; pre-existing target rows
+    *    read null there;
+    *  - columns only in `target` behave like `whenMatchedUpdateAll`: a
+    *    matched row KEEPS the target's value (the source cannot set what
+    *    it does not carry), filled via a window over the same merge keys
+    *    the dedup already shuffles on — no extra Exchange. */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val tCols = target.columns.toSeq
+    val extras = source.columns.toSeq.filterNot(tCols.contains)
+    val srcMissing = tCols.filterNot(source.columns.contains).filterNot(keys.contains)
     val tagged = source.withColumn(SIDE, lit(0))
       .unionByName(target.withColumn(SIDE, lit(1)), allowMissingColumns = true)
-    DedupLatest.latest(tagged, keys, Seq(col(SIDE).asc)).drop(SIDE)
+      .select((tCols ++ extras).map(col) :+ col(SIDE): _*)
+    val filled =
+      if (srcMissing.isEmpty) tagged
+      else {
+        val w = Window.partitionBy(keys.map(col): _*)
+        srcMissing.foldLeft(tagged) { (d, c) =>
+          d.withColumn(c, coalesce(col(c), first(col(c), ignoreNulls = true).over(w)))
+        }
+      }
+    DedupLatest.latest(filled, keys, Seq(col(SIDE).asc)).drop(SIDE)
   }
 
   /** Update-only merge: matched keys take the source row, unmatched source

@@ -3,42 +3,54 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.MergeSCD1
 
 /** Minimal version-file transaction log: the crash-safe commit protocol the
   * reference gets from Delta (`common_jobs_functions.py:279-304` upsert via
   * `DeltaTable.merge`), rebuilt on two filesystem primitives — immutable
-  * uniquely-named data files, and one atomic rename of a manifest.
+  * uniquely-named data files, and one atomic link of a manifest.
   *
   * Layout:
   * {{{
   *   <table>/
   *     _graft_log/v<20-digit>.manifest   one text line per live file:
-  *                                       "<partitionDir>\t<fileName>"
+  *       "<partitionDir>\t<fileName>[\t<statsCol>\t<kind>\t<min>\t<max>]"
   *     data/[<partitionDir>/]<uuid>.parquet
   * }}}
   *
   * Invariants:
   *  - Data files are never overwritten or rewritten; a write stages new
   *    files under fresh UUID names, then publishes a NEW manifest listing
-  *    the complete live set. The manifest move is the commit point.
+  *    the complete live set. The manifest link is the commit point.
   *  - Readers resolve the highest manifest version and read exactly the
   *    files it lists (basePath keeps partition-column inference). A crash
-  *    before the manifest move leaves orphan data files and the previous
+  *    before the manifest link leaves orphan data files and the previous
   *    version fully intact — no torn table states, ever.
   *  - Commits carry the version they were based on; a concurrent commit of
   *    the same version loses with a [[TxnConflictException]] (optimistic
   *    concurrency). Cross-process writers should additionally take the
   *    Maintenance JobLock; the log's job is crash atomicity.
-  *  - [[vacuum]] deletes unreferenced files older than a grace period —
-  *    the retention analog of the reference's vacuum
-  *    (`common_jobs_functions.py:303-315`).
+  *  - Every version whose manifest survives [[vacuum]] is fully readable:
+  *    vacuum first retires superseded manifests past the grace window,
+  *    then deletes only data files no REMAINING manifest references.
+  *  - When `statsColumn` is set, staged entries carry that column's
+  *    per-file min/max, and [[upsert]] rewrites only the files that
+  *    actually contain source keys — the reference's Delta merge cost
+  *    model (data skipping + matched-file rewrite) instead of rewriting
+  *    every touched partition.
   */
 final class TxnConflictException(msg: String) extends RuntimeException(msg)
 
-final case class TxnTable(spark: SparkSession, root: String) {
+/** Per-file column statistics carried in the manifest. `kind` is "num"
+  * (compare as decimal) or "str" (compare lexically; base64 on disk). */
+final case class FileStat(column: String, kind: String, min: String, max: String)
+
+final case class TxnEntry(part: String, file: String, stat: Option[FileStat] = None)
+
+final case class TxnTable(spark: SparkSession, root: String,
+                          statsColumn: Option[String] = None) {
   private val logDir: Path = Paths.get(root, "_graft_log")
   private val dataDir: Path = Paths.get(root, "data")
 
@@ -56,46 +68,77 @@ final case class TxnTable(spark: SparkSession, root: String) {
     try s.iterator().asScala.filter(Files.isRegularFile(_)).toList finally s.close()
   }
 
-  /** Highest committed version, or 0 if the table has never been written. */
-  def version(): Long =
-    if (!Files.isDirectory(logDir)) 0L
+  private def manifestVersions(): List[Long] =
+    if (!Files.isDirectory(logDir)) Nil
     else listDir(logDir)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
         s.stripPrefix("v").stripSuffix(".manifest").toLong }
-      .foldLeft(0L)(math.max)
+
+  /** Highest committed version, or 0 if the table has never been written. */
+  def version(): Long = manifestVersions().foldLeft(0L)(math.max)
 
   def exists(): Boolean = version() > 0
 
+  private def b64e(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  private def lineOf(e: TxnEntry): String = e.stat match {
+    case None => s"${e.part}\t${e.file}"
+    case Some(s) =>
+      val (mn, mx) =
+        if (s.kind == "str") (b64e(s.min), b64e(s.max)) else (s.min, s.max)
+      s"${e.part}\t${e.file}\t${s.column}\t${s.kind}\t$mn\t$mx"
+  }
+
+  private def parseLine(line: String): TxnEntry = {
+    val f = line.split("\t", -1)
+    if (f.length >= 6) {
+      val kind = f(3)
+      val (mn, mx) =
+        if (kind == "str") (b64d(f(4)), b64d(f(5))) else (f(4), f(5))
+      TxnEntry(f(0), f(1), Some(FileStat(f(2), kind, mn, mx)))
+    } else TxnEntry(f(0), f(1))
+  }
+
+  /** Live entries of a version with their file stats. A version whose
+    * manifest vacuum retired reads as empty (callers see the same
+    * "no committed version" failure as a never-written one). */
+  def entriesFull(v: Long = version()): Seq[TxnEntry] =
+    if (v == 0 || !Files.exists(manifestPath(v))) Nil
+    else Files.readAllLines(manifestPath(v)).asScala.toSeq
+      .filter(_.nonEmpty).map(parseLine)
+
   /** Live (partitionDir, fileName) entries of a version ("" = root). */
   def entries(v: Long = version()): Seq[(String, String)] =
-    if (v == 0) Nil
-    else Files.readAllLines(manifestPath(v)).asScala.toSeq.filter(_.nonEmpty)
-      .map { line =>
-        val i = line.indexOf('\t')
-        (line.substring(0, i), line.substring(i + 1))
-      }
+    entriesFull(v).map(e => (e.part, e.file))
 
-  private def filePath(e: (String, String)): Path =
-    if (e._1.isEmpty) dataDir.resolve(e._2) else dataDir.resolve(e._1).resolve(e._2)
+  private def filePath(e: TxnEntry): Path =
+    if (e.part.isEmpty) dataDir.resolve(e.file)
+    else dataDir.resolve(e.part).resolve(e.file)
 
   // ------------------------------------------------------------- reading
   def read(): DataFrame = readVersion(version())
 
-  /** Time-travel read of a specific committed version. Valid as long as
-    * [[vacuum]] has not reclaimed that version's files (vacuum keeps only
-    * the current version's referenced files). */
+  /** Time-travel read of a specific committed version. Valid for every
+    * manifest [[vacuum]] has not retired (vacuum only deletes data files
+    * after deleting the manifests that referenced them). mergeSchema keeps
+    * reads correct across schema-evolved versions. */
   def readVersion(v: Long): DataFrame = {
-    val es = entries(v)
+    val es = entriesFull(v)
     require(es.nonEmpty, s"table $root has no committed version $v")
     spark.read.option("basePath", dataDir.toString)
+      .option("mergeSchema", "true")
       .parquet(es.map(e => filePath(e).toString): _*)
   }
 
   // ------------------------------------------------------------- writing
   /** Stage `df`'s files into data/ under fresh names WITHOUT committing.
-    * Returns the staged entries; visible to no reader until [[commit]]. */
-  private[graft] def stage(df: DataFrame, partitionBy: Seq[String]): Seq[(String, String)] = {
+    * Returns the staged entries (with `statsColumn` min/max per file when
+    * configured); visible to no reader until [[commit]]. */
+  private[graft] def stage(df: DataFrame, partitionBy: Seq[String]): Seq[TxnEntry] = {
     val tmp = Paths.get(root, s"_staging_${UUID.randomUUID()}")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -109,15 +152,56 @@ final case class TxnTable(spark: SparkSession, root: String) {
         Files.createDirectories(destDir)
         // same-volume move: cheap rename, file becomes immutable once placed
         Files.move(p, destDir.resolve(fresh), StandardCopyOption.ATOMIC_MOVE)
-        (partDir, fresh)
+        TxnEntry(partDir, fresh)
       }.toList
     deleteRecursively(tmp)
-    staged
+    attachStats(staged, df.columns.toSeq, partitionBy)
   }
 
+  /** One bounded aggregation over the just-staged files computes the
+    * stats column's per-file min/max (column-pruned scan of fresh data —
+    * the write path's footer-stats analog). */
+  private def attachStats(staged: Seq[TxnEntry], dfCols: Seq[String],
+                          partitionBy: Seq[String]): Seq[TxnEntry] =
+    statsColumn match {
+      case Some(c) if staged.nonEmpty && dfCols.contains(c) && !partitionBy.contains(c) =>
+        val rows = spark.read.option("basePath", dataDir.toString)
+          .parquet(staged.map(e => filePath(e).toString): _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+          .collect()
+        val byName = rows.flatMap { r =>
+          val f = r.getString(0)
+          val name = f.substring(f.lastIndexOf('/') + 1)
+          if (r.isNullAt(1)) None
+          else Some(name -> FileStat(c, statKind(r.get(1)),
+            statRender(r.get(1)), statRender(r.get(2))))
+        }.toMap
+        staged.map(e => e.copy(stat = byName.get(e.file)))
+      case _ => staged
+    }
+
+  private def statKind(v: Any): String = v match {
+    case _: java.lang.Number | _: java.math.BigDecimal | _: BigDecimal => "num"
+    case _ => "str"
+  }
+
+  private def statRender(v: Any): String = v match {
+    case n: java.lang.Number => new java.math.BigDecimal(n.toString).toPlainString
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.underlying.toPlainString
+    case other => String.valueOf(other)
+  }
+
+  /** [fileMin, fileMax] ∩ [srcMin, srcMax] ≠ ∅ under the stat's ordering. */
+  private def overlaps(st: FileStat, srcMin: String, srcMax: String): Boolean =
+    if (st.kind == "num")
+      BigDecimal(st.max) >= BigDecimal(srcMin) && BigDecimal(st.min) <= BigDecimal(srcMax)
+    else st.max >= srcMin && st.min <= srcMax
+
   /** Publish `newEntries` as version `basedOn + 1`. The single atomic
-    * manifest rename is the commit point. */
-  private[graft] def commit(newEntries: Seq[(String, String)], basedOn: Long): Long = {
+    * manifest link is the commit point. */
+  private[graft] def commit(newEntries: Seq[TxnEntry], basedOn: Long): Long = {
     Files.createDirectories(logDir)
     val next = basedOn + 1
     val target = manifestPath(next)
@@ -125,7 +209,7 @@ final case class TxnTable(spark: SparkSession, root: String) {
       throw new TxnConflictException(
         s"version $next already committed at $root (concurrent writer)")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, newEntries.map(e => s"${e._1}\t${e._2}").asJava)
+    Files.write(tmp, newEntries.map(lineOf).asJava)
     // createLink is the atomic one-winner primitive: unlike rename (which
     // silently REPLACES an existing target on POSIX), linking to an
     // existing path fails — so of N same-version committers exactly one
@@ -149,34 +233,75 @@ final case class TxnTable(spark: SparkSession, root: String) {
   /** Atomic append: new files join the live set, nothing is rewritten. */
   def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
     val base = version()
-    commit(entries(base) ++ stage(df, partitionBy), base)
+    commit(entriesFull(base) ++ stage(df, partitionBy), base)
   }
 
-  /** Crash-safe SCD1 upsert scoped to the partitions the source touches
-    * (the reference's Delta merge, partition-pruned). Untouched partitions'
-    * files carry over into the new manifest by reference — zero rewrite. */
+  /** Crash-safe SCD1 upsert with Delta-merge cost semantics
+    * (reference: common_jobs_functions.py:288-304).
+    *
+    * With `statsColumn` set to a merge key, only the files that actually
+    * contain source keys are rewritten: manifest min/max stats prune the
+    * candidate set driver-side (no scan), then a key-column semi-join
+    * over the candidates (input_file_name) pins the truly matched files —
+    * everything else carries into the new manifest by reference. Without
+    * stats the rewrite falls back to partition scope (or the full table
+    * when unpartitioned). Source schema may drift: columns evolve with
+    * [[MergeSCD1.merge]]'s Delta autoMerge semantics. */
   def upsert(df: DataFrame, keys: Seq[String], partitionBy: Seq[String] = Nil): Long = {
     val base = version()
     if (base == 0) return commit(stage(df, partitionBy), base)
     val current = read()
-    val merged =
-      if (partitionBy.isEmpty)
-        MergeSCD1.merge(current, df.select(current.columns.toIndexedSeq.map(col): _*), keys)
-      else {
-        val parts = df.select(partitionBy.map(col): _*).distinct().collect()
-        val cond = parts.map { r =>
-          partitionBy.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
-            .reduce(_ && _)
-        }.reduceOption(_ || _).getOrElse(lit(false))
-        MergeSCD1.merge(current.filter(cond),
-          df.select(current.columns.toIndexedSeq.map(col): _*), keys)
-      }
-    val staged = stage(merged, partitionBy)
-    // merged rows live exactly in the touched partitions, so the staged
-    // partition dirs (Spark's own escaping) name what must be replaced
-    val touched = staged.map(_._1).toSet
-    val kept = entries(base).filterNot(e => touched.contains(e._1))
-    commit(kept ++ staged, base)
+    statsColumn.filter(keys.contains) match {
+      case Some(c) =>
+        val es = entriesFull(base)
+        val mm = df.agg(min(col(c)), max(col(c))).head()
+        val (touched, kept) =
+          if (mm.isNullAt(0)) (Seq.empty[TxnEntry], es) // no non-null source keys
+          else {
+            val (sMin, sMax) = (statRender(mm.get(0)), statRender(mm.get(1)))
+            // files with no stats (or stats for another column) stay candidates
+            val candidates = es.filter(_.stat.forall(st =>
+              st.column != c || overlaps(st, sMin, sMax)))
+            val touchedNames: Set[String] =
+              if (candidates.isEmpty) Set.empty
+              else spark.read.option("basePath", dataDir.toString)
+                .option("mergeSchema", "true")
+                .parquet(candidates.map(e => filePath(e).toString): _*)
+                .withColumn("__f", input_file_name())
+                .join(df.select(keys.map(col): _*).distinct(), keys, "left_semi")
+                .select("__f").distinct().collect()
+                .map { r =>
+                  val s = r.getString(0)
+                  s.substring(s.lastIndexOf('/') + 1)
+                }.toSet
+            es.partition(e => touchedNames.contains(e.file))
+          }
+        val targetRows =
+          if (touched.isEmpty)
+            spark.createDataFrame(java.util.Collections.emptyList[Row](), current.schema)
+          else spark.read.option("basePath", dataDir.toString)
+            .option("mergeSchema", "true")
+            .parquet(touched.map(e => filePath(e).toString): _*)
+        val merged = MergeSCD1.merge(targetRows, df, keys)
+        commit(kept ++ stage(merged, partitionBy), base)
+      case None =>
+        val merged =
+          if (partitionBy.isEmpty) MergeSCD1.merge(current, df, keys)
+          else {
+            val parts = df.select(partitionBy.map(col): _*).distinct().collect()
+            val cond = parts.map { r =>
+              partitionBy.zipWithIndex.map { case (cn, i) => col(cn) <=> lit(r.get(i)) }
+                .reduce(_ && _)
+            }.reduceOption(_ || _).getOrElse(lit(false))
+            MergeSCD1.merge(current.filter(cond), df, keys)
+          }
+        val staged = stage(merged, partitionBy)
+        // merged rows live exactly in the touched partitions, so the staged
+        // partition dirs (Spark's own escaping) name what must be replaced
+        val touched = staged.map(_.part).toSet
+        val kept = entriesFull(base).filterNot(e => touched.contains(e.part))
+        commit(kept ++ staged, base)
+    }
   }
 
   /** Rewrite the live set into ~`targetFiles` files per partition
@@ -198,20 +323,30 @@ final case class TxnTable(spark: SparkSession, root: String) {
     val dir = Paths.get(root, "_symlink_format_manifest")
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, entries().map(e => filePath(e).toAbsolutePath.toString).asJava)
+    Files.write(tmp,
+      entriesFull().map(e => filePath(e).toAbsolutePath.toString).asJava)
     val target = dir.resolve("manifest")
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     target
   }
 
-  /** Delete data files no manifest-of-record references (crash orphans,
-    * superseded versions) once older than `retainMs`. Keeps only the
-    * CURRENT version's files referenced — time travel is out of scope. */
+  /** Reclaim storage while keeping every surviving version readable:
+    * first retire superseded manifests older than `retainMs` (the current
+    * version always survives), then delete data files that no REMAINING
+    * manifest references and that are older than the grace period. Time
+    * travel within the retention window is thus always honored — a
+    * version is either listed and fully readable, or gone. */
   def vacuum(retainMs: Long = 0L): Seq[String] = {
     if (!Files.isDirectory(dataDir)) return Nil
-    val live = entries().map(filePath).map(_.toAbsolutePath.toString).toSet
     val cutoff = System.currentTimeMillis() - retainMs
+    val cur = version()
+    manifestVersions()
+      .filter(v => v != cur &&
+        Files.getLastModifiedTime(manifestPath(v)).toMillis <= cutoff)
+      .foreach(v => Files.delete(manifestPath(v)))
+    val live = manifestVersions().flatMap(entriesFull(_))
+      .map(e => filePath(e).toAbsolutePath.toString).toSet
     val removed = walkFiles(dataDir)
       .filter(p => !live.contains(p.toAbsolutePath.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)

@@ -126,6 +126,68 @@ class TxnLogSpec extends AnyFunSuite {
       t.readVersion(t.version()).as[(Long, String)].collect().toSet)
   }
 
+  test("stats-pruned upsert touching one key rewrites one file, rest by reference") {
+    val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
+      statsColumn = Some("id"))
+    // three disjoint-key-range files via three single-file appends
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    t.append(Seq((10L, "c"), (11L, "d")).toDF("id", "v").coalesce(1))
+    t.append(Seq((20L, "e"), (21L, "f")).toDF("id", "v").coalesce(1))
+    val before = t.entriesFull()
+    assert(before.size == 3 && before.forall(_.stat.nonEmpty))
+    // source touches only the middle file's range
+    t.upsert(Seq((10L, "C!")).toDF("id", "v"), Seq("id"))
+    val after = t.entriesFull()
+    val carried = after.map(_.file).toSet.intersect(before.map(_.file).toSet)
+    assert(carried == before.filterNot(e =>
+      e.stat.exists(st => st.min.toDouble <= 10 && st.max.toDouble >= 10))
+      .map(_.file).toSet,
+      "exactly the files whose key range misses the source must carry over")
+    assert(after.map(_.file).toSet.size == 3)
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (10L, "C!"), (11L, "d"), (20L, "e"), (21L, "f")))
+    // inserts outside every file's range rewrite nothing
+    val files2 = t.entriesFull().map(_.file).toSet
+    t.upsert(Seq((99L, "new")).toDF("id", "v"), Seq("id"))
+    assert(files2.subsetOf(t.entriesFull().map(_.file).toSet),
+      "a pure out-of-range insert must carry every existing file by reference")
+    assert(t.read().count() == 7)
+  }
+
+  test("every manifest surviving a vacuum stays fully readable") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "v1")).toDF("id", "v"))
+    t.upsert(Seq((1L, "v2")).toDF("id", "v"), Seq("id"))
+    t.upsert(Seq((2L, "v3")).toDF("id", "v"), Seq("id"))
+    // long grace: superseded manifests survive, so every version must read
+    t.vacuum(retainMs = 3600 * 1000L)
+    (1L to 3L).foreach { v =>
+      assert(t.readVersion(v).count() > 0, s"version $v must stay readable")
+    }
+    // zero grace: superseded manifests retire WITH their files
+    t.vacuum(retainMs = 0L)
+    assert(t.readVersion(3).as[(Long, String)].collect().toSet ==
+      Set((1L, "v2"), (2L, "v3")))
+    intercept[IllegalArgumentException] { t.readVersion(1) }
+    intercept[IllegalArgumentException] { t.readVersion(2) }
+  }
+
+  test("upsert tolerates source schema drift (Delta autoMerge semantics)") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "v"))
+    // source adds `extra` and drops `v`
+    t.upsert(Seq((2L, "b2", "x2"), (3L, "c", "x3")).toDF("id", "name", "extra"),
+      Seq("id"))
+    val out = t.read().select("id", "name", "v", "extra")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        Option(r.getString(3)))).toSet
+    assert(out == Set(
+      (1L, "a", Some(10), None),        // untouched row: new column null
+      (2L, "b2", Some(20), Some("x2")), // matched: keeps v (source can't set it)
+      (3L, "c", None, Some("x3"))))     // insert: no v to inherit
+  }
+
   test("compact preserves content and bumps the version atomically") {
     val t = freshTable()
     t.overwrite(spark.range(100).toDF("id"))
