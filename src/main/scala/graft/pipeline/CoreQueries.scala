@@ -227,6 +227,44 @@ object CoreQueries {
           max(col("l_shipdate").cast(DateType))).cast(IntegerType).as("ult_dia_compra"))
   }
 
+  /** Exact two-level rewrite of [[q8CustomerMetrics]] for the 100 TB path.
+    * Three countDistinct in ONE aggregate make Catalyst Expand the joined
+    * fact ×4 before the shuffle (one replica per distinct group + one for
+    * the plain aggs) — the dominant shuffle multiplied by 4. A SINGLE
+    * distinct aggregate instead plans as two-level aggregation: map-side
+    * dedup on (custkey, key), shuffle of the deduped pairs only, then a
+    * count — so each metric runs in its own branch and the branches join
+    * back on o_custkey, whose partitioning every branch already carries
+    * (no further Exchange; the joins plan as sorts over co-partitioned
+    * aggregates). Same rows, same values, fraction of the shuffle. */
+  def q8CustomerMetricsSplit(spark: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    def oneDistinct(key: String, as: String) =
+      base.groupBy(col("o_custkey")).agg(countDistinct(col(key)).as(as))
+    // cant_venta needs no (custkey, orderkey) pair shuffle at all: orders
+    // maps orderkey→custkey 1:1, so dedup the 8-byte l_orderkey column
+    // (map-side combine collapses the ~4 lines/order) and count through a
+    // semi-join against orders
+    val dv = ord.join(li.select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cant_venta"))
+    val rest = base.groupBy(col("o_custkey")).agg(
+      count(lit(1)).as("cant_lineas"),
+      moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("imp_neto"),
+      max(col("l_shipdate").cast(DateType)).as("ult_fecha_compra"),
+      datediff(lit("2002-01-01").cast(DateType),
+        max(col("l_shipdate").cast(DateType))).cast(IntegerType).as("ult_dia_compra"))
+    oneDistinct("l_partkey", "cant_producto")
+      .join(oneDistinct("l_suppkey", "cant_proveedor"), Seq("o_custkey"))
+      .join(dv, Seq("o_custkey"))
+      .join(rest, Seq("o_custkey"))
+      .select(col("o_custkey"), col("cant_producto"), col("cant_proveedor"),
+        col("cant_venta"), col("cant_lineas"), col("imp_neto"),
+        col("ult_fecha_compra"), col("ult_dia_compra"))
+  }
+
   val q8Sql: String =
     """SELECT o_custkey,
       |  count(DISTINCT l_partkey) AS cant_producto,

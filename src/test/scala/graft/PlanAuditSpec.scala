@@ -80,6 +80,38 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("q8 split variant: value-identical with well under half the shuffle bytes") {
+    import graft.pipeline.CoreQueries
+    val expand = CoreQueries.q8CustomerMetrics(spark, sf)
+    val split = CoreQueries.q8CustomerMetricsSplit(spark, sf)
+    assert(split.columns.toSeq == expand.columns.toSeq)
+    assert(split.exceptAll(expand).isEmpty && expand.exceptAll(split).isEmpty,
+      "split rewrite must be value-identical to the Expand form")
+    assert(!split.queryExecution.executedPlan.toString.contains("Expand"),
+      "the split form must not plan an Expand")
+    def shuffleBytes(run: => Unit): Long = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { run; Thread.sleep(300) } finally spark.sparkContext.removeSparkListener(l)
+      bytes.get()
+    }
+    // byte comparison at sf0.01: key repetition (the thing map-side dedup
+    // exploits) is unrepresentatively low at sf0.001
+    val sfBytes = "/root/testdata/sf0.01"
+    val bExpand = shuffleBytes(
+      CoreQueries.q8CustomerMetrics(spark, sfBytes).write.format("noop").mode("overwrite").save())
+    val bSplit = shuffleBytes(
+      CoreQueries.q8CustomerMetricsSplit(spark, sfBytes).write.format("noop").mode("overwrite").save())
+    assert(bSplit * 2 < bExpand,
+      s"split shuffle ($bSplit B) must be under half of Expand's ($bExpand B)")
+  }
+
   test("every query stays within its shuffle budget") {
     val ex = "Exchange (hash|range|Single)".r
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
