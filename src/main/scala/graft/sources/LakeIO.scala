@@ -44,7 +44,9 @@ final case class LakeIO(spark: SparkSession, root: String) {
   def read(layer: String, table: String): DataFrame = {
     val p = tablePath(layer, table)
     if (new java.io.File(p, "_graft_log").isDirectory) TxnTable(spark, p).read()
-    else spark.read.parquet(p)
+    // mergeSchema: after a schema-evolving upsert, untouched partitions
+    // lack the new columns — the union schema keeps them visible
+    else spark.read.option("mergeSchema", "true").parquet(p)
   }
 
   /** External CSV read, reference: common_jobs_functions.py:227-229. */
@@ -143,8 +145,10 @@ final case class LakeIO(spark: SparkSession, root: String) {
         }.reduceOption(_ || _).getOrElse(lit(false))
         target.filter(cond)
       }
-    val merged = MergeSCD1.merge(scopedTarget,
-      df.select(target.columns.toIndexedSeq.map(col): _*), keys)
+    // source schema may drift; MergeSCD1.merge applies Delta autoMerge
+    // semantics (new columns appended, source-missing columns keep the
+    // target's value on matched rows)
+    val merged = MergeSCD1.merge(scopedTarget, df, keys)
     val staging = tablePath(layer, s"__staging_$table")
     val w0 = merged.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0).parquet(staging)

@@ -48,6 +48,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(out == Set((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("lake upsert tolerates source schema drift across partitions") {
+    val root = Files.createTempDirectory("graft_lake").toString
+    val lake = LakeIO(spark, root)
+    lake.write(Seq((1L, "202401", 10.0), (2L, "202402", 20.0))
+      .toDF("id", "periodo", "imp"), lake.layers.Domain, "t", Seq("periodo"))
+    // source adds `tag`; only 202402 is touched
+    lake.upsert(Seq((2L, "202402", 21.0, "x")).toDF("id", "periodo", "imp", "tag"),
+      lake.layers.Domain, "t", keys = Seq("id"), partitionBy = Seq("periodo"))
+    val out = lake.read(lake.layers.Domain, "t")
+    assert(out.columns.contains("tag"),
+      "the evolved column must stay visible across mixed-schema partitions")
+    assert(out.filter($"id" === 2L).select("tag").as[String].head() == "x")
+    assert(out.filter($"id" === 1L).select("tag").collect().head.isNullAt(0))
+  }
+
   test("jdbc preaction SQL mirrors the reference delete-by-slice") {
     assert(JdbcServing.deletePreaction("fact_venta",
       Seq("id_pais" -> Seq("PE", "CO"), "id_periodo" -> Seq("202401"))) ==
