@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the union-find
+  * step that turns a near-dup PAIR set (MinHash/SimHash output) into
+  * dedup groups with one survivor per group.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with itself; each round every node takes the minimum label among
+  * itself and its neighbors; at fixpoint each node carries the minimum
+  * node id of its component (a canonical, deterministic representative).
+  *
+  * Scale shape (100 TB corpus, billions of pair edges): each round is
+  * one equi-join of the edge list with the label table plus one groupBy
+  * min — all shuffles keyed on node id, no broadcast of anything
+  * unbounded. Rounds needed = the largest component DIAMETER, not size:
+  * near-dup graphs are dense cliques and chains from the BoundedPairs
+  * cap, so a handful of rounds converges (`maxIter` bounds the loop
+  * regardless). Label tables are localCheckpointed every round to keep
+  * the plan from growing with the iteration count — the standard
+  * Spark shape for Pregel-style loops.
+  */
+object ConnectedComponents {
+  /** (id, label) for every node in `edges`, where label = min node id of
+    * the node's component. Runs Spark jobs when called (driver-side
+    * convergence loop). */
+  def labels(edges: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+             maxIter: Int = 15): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var cur = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = sym
+        .join(cur.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_label")).as("nbr_label"))
+      val next = cur.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(cur.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).isEmpty
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
+  /** Label every node with its component representative and size —
+    * (id, survivor, size); survivor = min id of the component. */
+  def components(edges: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                 maxIter: Int = 15): DataFrame = {
+    val lbl = labels(edges, aCol, bCol, maxIter)
+    lbl.join(lbl.groupBy(col("label")).agg(count(lit(1)).as("size")), Seq("label"))
+      .select(col("id"), col("label").as("survivor"), col("size"))
+  }
+}

@@ -116,7 +116,10 @@ object LLMQueries {
     * buckets, whose pairs verify below 0.8 — never costs a verified pair
     * (holds at sf0.01 and sf0.1; a corpus of hundreds of IDENTICAL
     * documents would route them to q15 exact dedup first). */
-  def q19MinhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Jaccard-verified near-dup pair set (id_a < id_b, j >= minJ) — the
+    * edge list q19 reports per-document and q38 resolves into dedup
+    * components. */
+  def verifiedPairs(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
     val d = Tables.documents(spark, dir)
     val sh5 = d.select(col("doc_id"), Shingles.shingles(col("text"), 5).as("sh"))
     val sig = d.select(col("doc_id"),
@@ -124,12 +127,18 @@ object LLMQueries {
     val banded = MinHashLSH.bands(sig, "sig", numBands = 16, rowsPerBand = 4)
       .select("doc_id", "band_idx", "band_hash")
     val pairs = MinHashLSH.candidatePairs(banded, "doc_id")
-    val verified = pairs
+    pairs
       .join(sh5.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh5.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("j", NgramJaccard.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("j") >= 0.8)
+      .filter(col("j") >= minJ)
       .select("id_a", "id_b", "j")
+  }
+
+  def q19MinhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sh5 = d.select(col("doc_id"), Shingles.shingles(col("text"), 5).as("sh"))
+    val verified = verifiedPairs(spark, dir)
     // explode both endpoints from ONE pass over the pair set — a
     // self-union here would plan (and at 100 TB pay for) the whole
     // band/verify pipeline twice
@@ -145,8 +154,11 @@ object LLMQueries {
       .na.fill(0L, Seq("n_dups")).na.fill(0.0, Seq("max_jaccard"))
   }
 
-  val q19Sql: String =
-    """WITH sh AS (
+  /** Shared oracle CTE chain ending in `v` = the Jaccard-verified pair
+    * set (exact all-pairs via inverted-index candidates) — used by the
+    * q19 per-document report and the q38 component resolution. */
+  private val nearDupPairCtes: String =
+    """sh AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 5, 0) + 2),
       |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+4], ' '))) AS sh
@@ -165,7 +177,10 @@ object LLMQueries {
       |  FROM cand c
       |  JOIN sh sa ON sa.doc_id = c.id_a
       |  JOIN sh sb ON sb.doc_id = c.id_b),
-      |v AS (SELECT * FROM scored WHERE j >= 0.8),
+      |v AS (SELECT * FROM scored WHERE j >= 0.8)""".stripMargin
+
+  val q19Sql: String =
+    s"""WITH $nearDupPairCtes,
       |partners AS (
       |  SELECT doc_id, count(*) AS n_dups, max(j) AS max_jaccard FROM (
       |    SELECT id_a AS doc_id, j FROM v UNION ALL SELECT id_b AS doc_id, j FROM v)
@@ -419,7 +434,72 @@ object LLMQueries {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- maps
+  // ---------------------------------------------------------------- q38
+  /** Dedup component resolution: the union-find step after pair
+    * generation — every near-dup group collapses to one survivor (min
+    * doc_id of the connected component over the Jaccard-verified pair
+    * graph). Spark side: iterative min-label propagation
+    * (operators/ConnectedComponents), shuffles keyed on doc_id, rounds
+    * bounded by component diameter. The oracle replays the same fixpoint
+    * as a recursive CTE over the identical verified pair set. */
+  def q38DedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val edges = verifiedPairs(spark, dir).select("id_a", "id_b")
+    graft.operators.ConnectedComponents.components(edges)
+      .select(col("id").as("doc_id"), col("survivor").as("survivor_id"),
+        col("size").cast(IntegerType).as("tam_componente"))
+  }
+
+  val q38Sql: String =
+    s"""WITH RECURSIVE $nearDupPairCtes,
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM v
+      |  UNION SELECT id_b, id_a FROM v),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach AS (
+      |  -- min-label fixpoint as transitive closure; UNION dedups, so the
+      |  -- recursion terminates on the finite (node, label) space
+      |  SELECT id, id AS label FROM nodes
+      |  UNION
+      |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+      |lbl AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+      |SELECT l.id AS doc_id, l.label AS survivor_id,
+      |  CAST(s.n AS INTEGER) AS tam_componente
+      |FROM lbl l JOIN (SELECT label, count(*) AS n FROM lbl GROUP BY label) s
+      |USING (label)""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** PII scrub as a corpus pass: per document, the count of PII pattern
+    * hits and a value-check of the fully scrubbed text (md5 + length
+    * instead of shipping the rewritten corpus through the gate). Pure
+    * regexp map stage — zero shuffle at any corpus size. Patterns are
+    * backreference/lookaround-free, so the Java and RE2 engines agree
+    * on the ASCII corpus. */
+  def q39PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val scrubbed = TextAnalysis.scrubPii(col("text"))
+    d.select(col("doc_id"),
+      TextAnalysis.piiCount(col("text")).as("n_pii"),
+      md5(scrubbed).as("scrub_hash"),
+      length(scrubbed).cast(IntegerType).as("scrub_len"))
+  }
+
+  val q39Sql: String = {
+    val scrub = TextAnalysis.PiiPatterns.foldLeft("text") { case (e, (pat, repl)) =>
+      s"regexp_replace($e, '$pat', '$repl', 'g')"
+    }
+    val count = TextAnalysis.PiiPatterns.map { case (pat, _) =>
+      s"len(regexp_extract_all(text, '$pat'))"
+    }.mkString(" + ")
+    s"""SELECT doc_id,
+      |  CAST($count AS INTEGER) AS n_pii,
+      |  md5($scrub) AS scrub_hash,
+      |  CAST(length($scrub) AS INTEGER) AS scrub_len
+      |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_dedup_components" -> (q38DedupComponents _),
+    "q39_pii_scrub"      -> (q39PiiScrub _),
     "q15_dedup_exact"    -> (q15DedupExact _),
     "q16_text_quality"   -> (q16TextQuality _),
     "q17_token_count"    -> (q17TokenCount _),
@@ -434,6 +514,8 @@ object LLMQueries {
     "q26_multimodal_meta" -> (q26MultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q38_dedup_components" -> q38Sql,
+    "q39_pii_scrub"      -> q39Sql,
     "q15_dedup_exact"    -> q15Sql,
     "q19_minhash_dedup"  -> q19Sql,
     "q20_simhash"        -> q20Sql,

@@ -199,6 +199,22 @@ class LLMSpec extends AnyFunSuite {
     assert(preds.subsetOf(langs))
   }
 
+  test("connected components: chain, clique, and pair resolve to min-id survivors") {
+    import graft.operators.ConnectedComponents
+    // chain 1-2-3-4 (diameter 3, needs >1 round), clique {10,11,12}, pair {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = ConnectedComponents.components(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L),
+      (20L, 20L, 2L), (21L, 20L, 2L)))
+    // empty edge list resolves to an empty labeling, not a crash
+    assert(ConnectedComponents.components(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
+  }
+
   test("frame sampling yields ceil(duration/step) rows per payload, no shuffle") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select(col("doc_id"), Multimodal.asBinary(col("text")).as("payload"))

@@ -38,7 +38,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q29_anti_join" -> 0, "q30_semi_join" -> 0, "q31_json_extract" -> 1,
     "q32_deterministic_sample" -> 1, "q33_vocabulary" -> 1,
     "q34_decontaminate" -> 3, "q35_repetition" -> 0, "q36_token_budget" -> 1,
-    "q37_stream_sessionize" -> 0)
+    "q37_stream_sessionize" -> 0,
+    // q38's label-propagation rounds run before the final plan exists;
+    // the budget covers the component-size join over checkpointed labels
+    "q38_dedup_components" -> 4, "q39_pii_scrub" -> 0)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
