@@ -181,7 +181,7 @@ object Similarity {
   }
 
   /** JVM-side twins of the float_dot kernel (identical summation order). */
-  private[llm] object VectorNorms {
+  private[graft] object VectorNorms {
     def dot(a: Array[Float], b: Array[Float]): Double = {
       val n = math.min(a.length, b.length)
       var acc = 0.0
@@ -248,7 +248,7 @@ object Similarity {
     * smallest xxhash64(id) — reproducible across runs/retries without an
     * iterative clustering job; collected because centroids are the bounded
     * build side (like a broadcast-join dim), never the corpus. */
-  private[llm] def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+  private[graft] def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                                 nCells: Int): Array[(Int, Array[Float], Double)] = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -260,16 +260,92 @@ object Similarity {
       .map { case ((_, v), i) => (i, v, VectorNorms.norm(v)) }
   }
 
+  /** Lloyd-refined IVF centroids: `iters` rounds of assign-to-nearest +
+    * cell-mean update over the hash-sampled seeds. Each round is one
+    * map-side-combined aggregation keyed by cell — per-task state is
+    * nCells×dim doubles regardless of corpus size (the MLlib-KMeans
+    * aggregation shape), so refinement costs `iters` corpus passes and
+    * shuffles only partial sums. Deterministic up to FP addition order
+    * across partitions; the unrefined seeds remain the bit-reproducible
+    * default. Cells that lose all members (or degenerate to a zero mean)
+    * keep their previous centroid. */
+  private[graft] def ivfCentroidsRefined(corpus: DataFrame, idCol: String,
+                                       vecCol: String, nCells: Int,
+                                       iters: Int): Array[(Int, Array[Float], Double)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cs = ivfCentroids(corpus, idCol, vecCol, nCells)
+    val vecs = corpus.select(col(vecCol)).as[Array[Float]]
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cs)
+      val sums = vecs.rdd
+        .map { v =>
+          val arr = bc.value
+          val nv = VectorNorms.norm(v)
+          var best = 0
+          var bestCos = Double.NegativeInfinity
+          var i = 0
+          while (i < arr.length) {
+            val c = VectorNorms.dot(arr(i)._2, v) / (arr(i)._3 * nv)
+            if (c > bestCos) { bestCos = c; best = i }
+            i += 1
+          }
+          (best, v)
+        }
+        .aggregateByKey((Array.empty[Double], 0L))(
+          { case ((s, n), v) =>
+            val acc = if (s.isEmpty) new Array[Double](v.length) else s
+            var i = 0
+            while (i < v.length) { acc(i) += v(i); i += 1 }
+            (acc, n + 1L)
+          },
+          { case ((a, na), (b, nb)) =>
+            if (a.isEmpty) (b, nb)
+            else if (b.isEmpty) (a, na)
+            else {
+              var i = 0
+              while (i < a.length) { a(i) += b(i); i += 1 }
+              (a, na + nb)
+            }
+          })
+        .collect().toMap
+      cs = cs.map { case (cell, v, nrm) =>
+        sums.get(cell) match {
+          case Some((s, n)) if n > 0 =>
+            val m = s.map(x => (x / n).toFloat)
+            val mn = VectorNorms.norm(m)
+            if (mn > 0) (cell, m, mn) else (cell, v, nrm)
+          case _ => (cell, v, nrm)
+        }
+      }
+      bc.unpersist()
+      it += 1
+    }
+    cs
+  }
+
+  private def centroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int, refineIters: Int): Array[(Int, Array[Float], Double)] =
+    if (refineIters > 0) ivfCentroidsRefined(corpus, idCol, vecCol, nCells, refineIters)
+    else ivfCentroids(corpus, idCol, vecCol, nCells)
+
   /** IVF cell assignment: each vector keyed by its nearest centroid (by
     * cosine). The inverted-file twin of the LSH bucket path — cells adapt
     * to the data distribution where hyperplane buckets are oblivious.
     * Centroids ride a broadcast; the corpus streams through one
-    * mapPartitions (bounded per-row work = nCells dot products). */
+    * mapPartitions (bounded per-row work = nCells dot products).
+    * `refineIters` > 0 applies Lloyd refinement to the seeds first. */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                nCells: Int = 64): DataFrame = {
+                nCells: Int = 64, refineIters: Int = 0): DataFrame =
+    ivfAssignWith(corpus, idCol, vecCol,
+      centroids(corpus, idCol, vecCol, nCells, refineIters))
+
+  private def ivfAssignWith(corpus: DataFrame, idCol: String, vecCol: String,
+                            cents: Array[(Int, Array[Float], Double)]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(ivfCentroids(corpus, idCol, vecCol, nCells))
+    val bc = spark.sparkContext.broadcast(cents)
     corpus.select(col(idCol).cast("long").as(idCol), col(vecCol).as(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
@@ -296,11 +372,12 @@ object Similarity {
     * raise `probes` (or `nCells` granularity) to trade cost for recall. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 64,
-              probes: Int = 4): DataFrame = {
+              probes: Int = 4, refineIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(ivfCentroids(corpus, idCol, vecCol, nCells))
-    val assigned = ivfAssign(corpus, idCol, vecCol, nCells)
+    val cents = centroids(corpus, idCol, vecCol, nCells, refineIters)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = ivfAssignWith(corpus, idCol, vecCol, cents)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
       .withColumn("__cn", norm(col("__cv")))
     val probed = queries

@@ -156,6 +156,41 @@ class LLMSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("ivf Lloyd refinement improves quantization and keeps recall") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 10f - 5f))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    // quantization quality = mean cosine of each vector to its centroid
+    def meanAssignCos(refineIters: Int): Double = {
+      val cs = (if (refineIters > 0)
+        graft.llm.Similarity.ivfCentroidsRefined(df, "vec_id", "embedding", 8, refineIters)
+      else graft.llm.Similarity.ivfCentroids(df, "vec_id", "embedding", 8))
+        .map { case (_, v, n) => (v, n) }
+      vecs.map { case (_, v) =>
+        val nv = graft.llm.Similarity.VectorNorms.norm(v)
+        cs.map { case (cv, cn) => graft.llm.Similarity.VectorNorms.dot(cv, v) / (cn * nv) }.max
+      }.sum / vecs.size
+    }
+    val base = meanAssignCos(0)
+    val refined = meanAssignCos(3)
+    assert(refined >= base - 1e-9,
+      s"Lloyd refinement must not worsen quantization: $refined < $base")
+    // recall@1 with refined cells stays perfect on clustered data
+    val qs = df.filter($"vec_id" < 24)
+    val exact = Similarity.bruteForceTopK(qs, df, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(qs, df, "vec_id", "embedding", k = 1,
+        nCells = 8, probes = 2, refineIters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = exact.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(hits == exact.size, s"refined recall@1: $hits/${exact.size}")
+    df.unpersist(): Unit
+  }
+
   test("nearDupInBuckets: high recall on clustered data, probes never hurt") {
     val rnd = new scala.util.Random(21)
     val centers = Array.fill(6)(Array.fill(24)(rnd.nextFloat() * 8f - 4f))
