@@ -16,21 +16,26 @@ import graft.core.Tables
   * bounded input.
   */
 object EventsStream {
+  /** File-source stream over the events table with the nanos→µs timestamp
+    * conversion applied. The lake stores one parquet file per table; the
+    * file stream source expects a directory or glob, so the file is
+    * addressed as a glob. */
+  private[streaming] def rawStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.path(dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
   /** Tumbling-window rollup (window start, event_type) -> count + exact sum.
     * Epoch-aligned windows, so results match a batch date_trunc rollup. */
   def tumblingCounts(spark: SparkSession, dir: String,
                      windowLength: String = "1 hour"): DataFrame = {
-    val path = Tables.path(dir, "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
-    // The lake stores one parquet file per table; the file stream source
-    // expects a directory or glob, so address the file as a glob.
-    val globPath = s"$dir/events.parque[t]"
-    val raw = spark.readStream.schema(schema).option("basePath", dir).parquet(globPath)
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    val stream = rawStream(spark, dir)
     val agg = stream
       .withWatermark("ts", "1 minute")
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
@@ -134,20 +139,45 @@ object EventsStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join: pair each `typeA` event with the same
+    * user's `typeB` events landing within `windowSeconds` AFTER it (the
+    * view→purchase attribution shape). Both sides carry event-time
+    * watermarks and the join condition bounds the event-time distance, so
+    * each side's join state is evicted once the other side's watermark
+    * passes — state is O(events within watermark + window), not O(stream).
+    * Inner join: Spark's only stream-stream mode with no emission delay
+    * beyond the watermark itself. */
+  def intervalJoined(spark: SparkSession, dir: String,
+                     typeA: String, typeB: String,
+                     windowSeconds: Long = 3600,
+                     watermarkDelay: String = "30 minutes"): DataFrame = {
+    val stream = rawStream(spark, dir)
+    val a = stream.filter(col("event_type") === typeA)
+      .select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+      .withWatermark("ts_a", watermarkDelay)
+    val b = stream.filter(col("event_type") === typeB)
+      .select(col("user_id").as("__user_b"), col("event_id").as("id_b"),
+        col("ts").as("ts_b"))
+      .withWatermark("ts_b", watermarkDelay)
+    val joined = a.join(b,
+      col("user_id") === col("__user_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("id_a"), col("ts_a"), col("id_b"), col("ts_b"))
+    val name = "graft_sjoin_" + java.lang.Integer.toHexString(
+      (dir + typeA + typeB).hashCode).replace('-', '_')
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Stream-static enrichment: the event stream joined against a broadcast
     * dim snapshot (the reference enriches stage streams against domain
     * masters). Stream-static joins need no watermark/state — the dim is
     * re-resolved per micro-batch, so slowly-changing dims stay fresh. */
   def enriched(spark: SparkSession, dir: String): DataFrame = {
-    val path = Tables.path(dir, "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(schema)
-      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    val stream = rawStream(spark, dir)
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segmento"))
     val joined = stream.join(org.apache.spark.sql.functions.broadcast(dim),

@@ -62,6 +62,29 @@ class EnrichedStreamSpec extends AnyFunSuite {
       "restart against an exhausted source must not duplicate windows")
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    // watermark far beyond the data's 30-day span: nothing is ever late,
+    // so the streaming inner join must emit exactly the batch pair set
+    val streamed = graft.streaming.EventsStream.intervalJoined(
+        spark, sf, "view", "purchase",
+        windowSeconds = 3600, watermarkDelay = "90 days")
+      .select("user_id", "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = graft.core.Tables.events(spark, sf)
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ub"), col("event_id").as("id_b"), col("ts").as("ts_b"))
+    val batch = a.join(b,
+        col("user_id") === col("ub") && col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 3600 SECONDS"))
+      .select("user_id", "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "test data must contain view->purchase pairs")
+    assert(streamed == batch,
+      s"stream/batch divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
   test("stream-static enrichment attaches dim attributes per event") {
     val out = graft.streaming.EventsStream.enriched(spark, sf)
     val total = graft.core.Tables.events(spark, sf).count()
