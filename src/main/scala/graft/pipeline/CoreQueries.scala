@@ -286,7 +286,10 @@ object CoreQueries {
     "q5_period_agg"      -> (q5PeriodAgg _),
     "q6_trailing_3m"     -> (q6Trailing3m _),
     "q7_topn_per_group"  -> (q7TopNPerGroup _),
-    "q8_customer_metrics" -> (q8CustomerMetrics _))
+    // catalog runs the split rewrite (same values, half the shuffle);
+    // q8CustomerMetrics keeps the reference-literal Expand form, and the
+    // plan spec pins their value identity
+    "q8_customer_metrics" -> (q8CustomerMetricsSplit _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
