@@ -30,9 +30,12 @@ final case class LakeIO(spark: SparkSession, root: String) {
   /** Transactional variant of this table: version-file log with atomic
     * manifest commits (crash-safe upsert/compact/overwrite) — the parity
     * analog of the reference's Delta tables. Plain-parquet read/write
-    * below stays for layer interop; new mutable tables should prefer txn. */
-  def txn(layer: String, table: String): TxnTable =
-    TxnTable(spark, tablePath(layer, table))
+    * below stays for layer interop; new mutable tables should prefer txn.
+    * Pass `statsColumn` (normally the merge key) to record per-file
+    * min/max in the manifest and get file-pruned upserts. */
+  def txn(layer: String, table: String,
+          statsColumn: Option[String] = None): TxnTable =
+    TxnTable(spark, tablePath(layer, table), statsColumn)
 
   def exists(layer: String, table: String): Boolean =
     new java.io.File(tablePath(layer, table)).exists()
