@@ -119,4 +119,29 @@ class KernelParitySpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [minhash_signature"),
       s"expected kernel projection inside a codegen span in:\n$plan")
   }
+
+  test("every kernel-bearing catalog query keeps its hot expression in codegen") {
+    // a doGenCode regression (or an accidental wrapper that defeats
+    // defineCodeGen) silently drops the expression to interpreted eval —
+    // 20-60x slower per element — without failing any value check
+    val cases = Seq(
+      "q16_text_quality" -> "marker_count",
+      "q17_token_count" -> "token_count",
+      "q18_lang_id" -> "marker_count",
+      "q19_minhash_dedup" -> "minhash_signature",
+      "q20_simhash" -> "simhash64_md5",
+      "q25_fingerprint" -> "rolling_min_hash",
+      "q35_repetition" -> "max_word_freq",
+      "q39_pii_scrub" -> "regexp_replace")
+    val broken = cases.flatMap { case (q, token) =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      // AQE wraps plans with exchanges: codegen markers only appear in the
+      // finalized stages, so execute before inspecting
+      df.collect(): Unit
+      val plan = df.queryExecution.executedPlan.toString
+      if (plan.linesIterator.exists(l => l.contains("*(") && l.contains(token))) None
+      else Some(s"$q: $token not inside a codegen span")
+    }
+    assert(broken.isEmpty, broken.mkString("; "))
+  }
 }
