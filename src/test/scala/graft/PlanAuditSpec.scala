@@ -118,6 +118,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"split shuffle ($bSplit B) must be under half of Expand's ($bExpand B)")
   }
 
+  test("scans prune columns and push filters down to parquet") {
+    def scans(q: String): List[String] =
+      SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("FileScan")).toList
+    // column pruning: a 2-column projection must not read the wide table
+    assert(scans("q17_token_count")
+      .exists(_.contains("ReadSchema: struct<doc_id:bigint,text:string>")),
+      "q17 must scan only doc_id+text")
+    // filter pushdown: q2's date-range predicate must reach the orders scan
+    assert(scans("q2_star_join").exists(l =>
+      l.contains("orders.parquet") &&
+        l.contains("GreaterThanOrEqual(o_orderdate")),
+      "q2's date range must appear in the orders scan's PushedFilters")
+  }
+
   test("every query stays within its shuffle budget") {
     val ex = "Exchange (hash|range|Single)".r
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
