@@ -497,9 +497,43 @@ object LLMQueries {
       |FROM documents""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q40
+  /** Document chunking: overlapping word windows of `width` words at
+    * `stride` offsets — the context-window packing step between cleaning
+    * and tokenization in a pretraining build. Pure array expressions
+    * (sequence → slice → posexplode): a zero-shuffle map stage whose
+    * output is value-checked via each chunk's md5 (shipping the hash,
+    * not the rewritten corpus, through the gate). Short final chunks are
+    * kept (slice clamps at the document end). */
+  def q40Chunking(spark: SparkSession, dir: String,
+                  width: Int = 200, stride: Int = 100): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), Shingles.words(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), floor((size(col("ws")) - 1) / stride).cast(IntegerType)),
+        i => slice(col("ws"), i * stride + 1, lit(width)))).as(Seq("idx_chunk", "chunk")))
+      .select(col("doc_id"), col("idx_chunk").cast(IntegerType),
+        size(col("chunk")).cast(IntegerType).as("n_palabras_chunk"),
+        md5(array_join(col("chunk"), " ")).as("hash_chunk"))
+  }
+
+  val q40Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, ws,
+      |    unnest(range(0, (len(ws) - 1) // 100 + 1)) AS i
+      |  FROM w)
+      |SELECT doc_id, CAST(i AS INTEGER) AS idx_chunk,
+      |  CAST(len(ws[i*100+1 : i*100+200]) AS INTEGER) AS n_palabras_chunk,
+      |  md5(array_to_string(ws[i*100+1 : i*100+200], ' ')) AS hash_chunk
+      |FROM idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_dedup_components" -> (q38DedupComponents _),
     "q39_pii_scrub"      -> (q39PiiScrub _),
+    "q40_chunking"       -> ((s, d) => q40Chunking(s, d)),
     "q15_dedup_exact"    -> (q15DedupExact _),
     "q16_text_quality"   -> (q16TextQuality _),
     "q17_token_count"    -> (q17TokenCount _),
@@ -516,6 +550,7 @@ object LLMQueries {
   val oracles: Map[String, String] = Map(
     "q38_dedup_components" -> q38Sql,
     "q39_pii_scrub"      -> q39Sql,
+    "q40_chunking"       -> q40Sql,
     "q15_dedup_exact"    -> q15Sql,
     "q19_minhash_dedup"  -> q19Sql,
     "q20_simhash"        -> q20Sql,
