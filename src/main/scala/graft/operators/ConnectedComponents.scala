@@ -14,20 +14,22 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB corpus, billions of pair edges): each round is
   * one equi-join of the edge list with the label table plus one groupBy
-  * min — all shuffles keyed on node id, no broadcast of anything
-  * unbounded. Rounds needed = the largest component DIAMETER, not size:
-  * near-dup graphs are dense cliques and chains from the BoundedPairs
-  * cap, so a handful of rounds converges (`maxIter` bounds the loop
-  * regardless). Label tables are localCheckpointed every round to keep
-  * the plan from growing with the iteration count — the standard
-  * Spark shape for Pregel-style loops.
+  * min, followed by a pointer-halving step (label ← label's label) —
+  * all shuffles keyed on node id, no broadcast of anything unbounded.
+  * Halving makes convergence O(log diameter): the BoundedPairs cap
+  * chains a degenerate bucket of m identical documents into an m-node
+  * PATH (every link verifies at j=1.0), and one-hop propagation alone
+  * would need m rounds to label it. Label tables are localCheckpointed
+  * every round to keep the plan from growing with the iteration count —
+  * the standard Spark shape for Pregel-style loops.
   */
 object ConnectedComponents {
   /** (id, label) for every node in `edges`, where label = min node id of
     * the node's component. Runs Spark jobs when called (driver-side
-    * convergence loop). */
+    * convergence loop). Default maxIter 25 covers component diameters
+    * beyond 2^25 thanks to pointer halving. */
   def labels(edges: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-             maxIter: Int = 15): DataFrame = {
+             maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -42,9 +44,15 @@ object ConnectedComponents {
         .join(cur.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_label")).as("nbr_label"))
-      val next = cur.join(prop, Seq("id"), "left")
+      val hopped = cur.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer halving: adopt the label's own label (labels are node
+      // ids, so they resolve in the same table)
+      val byId = hopped.select(col("id").as("__lid"), col("label").as("__llabel"))
+      val next = hopped.join(byId, hopped("label") === byId("__lid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__llabel"), col("label"))).as("label"))
         .localCheckpoint(true)
       converged = next.join(cur.withColumnRenamed("label", "prev"), Seq("id"))
         .filter(col("label") =!= col("prev")).isEmpty
@@ -57,7 +65,7 @@ object ConnectedComponents {
   /** Label every node with its component representative and size —
     * (id, survivor, size); survivor = min id of the component. */
   def components(edges: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                 maxIter: Int = 15): DataFrame = {
+                 maxIter: Int = 25): DataFrame = {
     val lbl = labels(edges, aCol, bCol, maxIter)
     lbl.join(lbl.groupBy(col("label")).agg(count(lit(1)).as("size")), Seq("label"))
       .select(col("id"), col("label").as("survivor"), col("size"))

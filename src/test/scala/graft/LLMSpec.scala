@@ -250,6 +250,19 @@ class LLMSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
   }
 
+  test("connected components: a long chain converges in logarithmic rounds") {
+    import graft.operators.ConnectedComponents
+    // the BoundedPairs cap turns a degenerate bucket of m identical docs
+    // into an m-node PATH; one-hop propagation alone would need m rounds,
+    // so this pins the pointer-halving behavior (log2(300) ≈ 9 << 25)
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = ConnectedComponents.components(chain)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 300)
+    assert(out.forall { case (_, survivor, size) => survivor == 1L && size == 300L },
+      s"non-converged labels: ${out.filter(_._2 != 1L).take(5).mkString(",")}")
+  }
+
   test("frame sampling yields ceil(duration/step) rows per payload, no shuffle") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select(col("doc_id"), Multimodal.asBinary(col("text")).as("payload"))
