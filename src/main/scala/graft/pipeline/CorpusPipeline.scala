@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.core.Tables
+import graft.llm.{ExactDedup, Shingles, TextAnalysis}
+import graft.operators.ConnectedComponents
+import graft.sources.LakeIO
+
+/** End-to-end training-corpus pipeline: the LLM-data analog of
+  * [[Analytics]]'s lake flow, composing the catalog operators into the
+  * standard pretraining curation sequence over the three lake layers:
+  *
+  *  - stage    `corpus_stage`:  PII-scrubbed text + quality / language /
+  *                              token annotations (zero-shuffle map).
+  *  - domain   `corpus_curado`: exact dedup (md5 keep-min-id) → near-dup
+  *                              component survivors (MinHash→LSH→Jaccard
+  *                              verify→connected components) → benchmark
+  *                              decontamination → per-source token-budget
+  *                              admission.
+  *  - analytics `corpus_chunks`: survivors packed into overlapping word
+  *                              windows (the q40 chunking shape).
+  *
+  * Every stage is an operator the oracle gate already value-checks
+  * individually (q15/q19/q38/q34/q36/q39/q40); the pipeline spec pins
+  * the cross-stage invariants (no duplicate content survives, at most
+  * one survivor per near-dup component, no contaminated or benchmark
+  * doc admitted, every curated doc chunked). Near-dup detection runs on
+  * the RAW text (scrubbing replaces PII with placeholders, which could
+  * otherwise merge distinct documents that differ only in PII). */
+object CorpusPipeline {
+
+  def buildStage(lake: LakeIO, sfDir: String): Unit = {
+    val spark = lake.spark
+    val d = Tables.documents(spark, sfDir)
+    val staged = d.select(col("doc_id"), col("source"),
+      TextAnalysis.scrubPii(col("text")).as("text"),
+      TextAnalysis.qualityScore(col("text")).as("calidad"),
+      TextAnalysis.predictLang(col("text")).as("lang_pred"),
+      size(Shingles.words(col("text"))).cast("long").as("tokens"))
+    lake.write(staged, lake.layers.Stage, "corpus_stage")
+  }
+
+  def buildCurated(lake: LakeIO, sfDir: String, budget: Long = 2000L): Unit = {
+    val spark = lake.spark
+    val staged = lake.read(lake.layers.Stage, "corpus_stage")
+    // exact dedup on the scrubbed text (identical content -> min doc_id)
+    val exact = ExactDedup.dropExact(staged, "text", "doc_id")
+    // near-dup groups collapse to their component survivor
+    val edges = LLMQueries.verifiedPairs(spark, sfDir).select("id_a", "id_b")
+    val losers = ConnectedComponents.labels(edges)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+    // benchmark decontamination: the held-out slice itself never trains,
+    // and corpus docs colliding with it are dropped (q34 semantics)
+    val flags = TrainingQueries.q34Decontaminate(spark, sfDir)
+      .select(col("doc_id"), col("contaminado"))
+    val clean = deduped
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(flags, Seq("doc_id"), "left")
+      .filter(coalesce(col("contaminado"), lit(0)) === 0)
+      .drop("contaminado")
+    // per-source token-budget admission in deterministic hash order
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val admitted = clean
+      .withColumn("__acum", sum(col("tokens")).over(w))
+      .filter(col("__acum") - col("tokens") < budget)
+      .drop("__acum")
+    lake.write(admitted, lake.layers.Domain, "corpus_curado")
+  }
+
+  def buildPacked(lake: LakeIO, width: Int = 200, stride: Int = 100): Unit = {
+    val cur = lake.read(lake.layers.Domain, "corpus_curado")
+    val chunks = cur.select(col("doc_id"), col("source"),
+        Shingles.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"), posexplode(transform(
+        sequence(lit(0), floor((size(col("ws")) - 1) / stride).cast(IntegerType)),
+        i => slice(col("ws"), i * stride + 1, lit(width)))).as(Seq("idx_chunk", "chunk")))
+      .select(col("doc_id"), col("source"), col("idx_chunk").cast(IntegerType),
+        size(col("chunk")).cast(IntegerType).as("n_palabras_chunk"),
+        array_join(col("chunk"), " ").as("texto_chunk"))
+    lake.write(chunks, lake.layers.Analytics, "corpus_chunks")
+  }
+
+  /** Full run; idempotent (overwrite semantics per layer). */
+  def run(spark: SparkSession, sfDir: String, lakeRoot: String,
+          budget: Long = 2000L): LakeIO = {
+    val lake = LakeIO(spark, lakeRoot)
+    buildStage(lake, sfDir)
+    buildCurated(lake, sfDir, budget)
+    buildPacked(lake)
+    lake
+  }
+}
