@@ -185,8 +185,32 @@ object FlowQueries {
       |WHERE a.sid < l.max_sid
       |   OR (a.fin_us + 1800000000) // 1000 + 1 < wm.wm_ms""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** Watermarked stream-stream interval join (view→purchase attribution)
+    * driven to completion with AvailableNow. A watermark delay beyond the
+    * data's time span makes the bounded run's inner-join output exactly
+    * the batch interval join, so the streaming operator itself is
+    * value-checked by the gate (production tunes the delay down and the
+    * join state stays O(watermark + window)). */
+  def q41StreamJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.intervalJoined(spark, dir,
+      typeA = "view", typeB = "purchase",
+      windowSeconds = 3600, watermarkDelay = "90 days")
+
+  val q41Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    make_timestamp(epoch_us(ts)) AS ts
+      |  FROM events)
+      |SELECT a.user_id, a.event_id AS id_a, a.ts AS ts_a,
+      |  b.event_id AS id_b, b.ts AS ts_b
+      |FROM e a JOIN e b ON a.user_id = b.user_id
+      |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+      |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 3600 SECONDS""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_stream_join"    -> (q41StreamJoin _),
     "q9_magic_date"      -> (q9MagicDate _),
     "q10_asof_rate"      -> (q10AsofRate _),
     "q11_merge_upsert"   -> (q11MergeUpsert _),
@@ -196,6 +220,7 @@ object FlowQueries {
     "q37_stream_sessionize" -> (q37StreamSessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q41_stream_join"    -> q41Sql,
     "q9_magic_date"      -> q9Sql,
     "q10_asof_rate"      -> q10Sql,
     "q11_merge_upsert"   -> q11Sql,

@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q37_stream_sessionize" -> 0,
     // q38's label-propagation rounds run before the final plan exists;
     // the budget covers the component-size join over checkpointed labels
-    "q38_dedup_components" -> 4, "q39_pii_scrub" -> 0, "q40_chunking" -> 0)
+    "q38_dedup_components" -> 4, "q39_pii_scrub" -> 0, "q40_chunking" -> 0,
+    "q41_stream_join" -> 0)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
