@@ -20,6 +20,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // streaming state stores commit per partition per batch; size them
+      // to stateful-key cardinality, not batch scan width (StreamConf)
+      .config("spark.graft.stream.statePartitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -34,7 +34,8 @@ object EventsStream {
   /** Tumbling-window rollup (window start, event_type) -> count + exact sum.
     * Epoch-aligned windows, so results match a batch date_trunc rollup. */
   def tumblingCounts(spark: SparkSession, dir: String,
-                     windowLength: String = "1 hour"): DataFrame = {
+                     windowLength: String = "1 hour"): DataFrame =
+      StreamConf.withStatePartitions(spark) {
     val stream = rawStream(spark, dir)
     val agg = stream
       .withWatermark("ts", "1 minute")
@@ -65,7 +66,8 @@ object EventsStream {
     * final watermark so callers know the emitted horizon. */
   def tumblingToParquet(spark: SparkSession, dir: String, outPath: String,
                         checkpointPath: String, windowLength: String = "1 hour",
-                        watermarkDelay: String = "1 minute"): String = {
+                        watermarkDelay: String = "1 minute"): String =
+      StreamConf.withStatePartitions(spark) {
     val path = Tables.path(dir, "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
@@ -103,7 +105,8 @@ object EventsStream {
     * reproduce it from the same watermark arithmetic. */
   def sessionizedEvents(spark: SparkSession, dir: String,
                         gapSeconds: Long = 1800,
-                        watermarkDelay: String = "1 minute"): DataFrame = {
+                        watermarkDelay: String = "1 minute"): DataFrame =
+      StreamConf.withStatePartitions(spark) {
     import spark.implicits._
     val path = Tables.path(dir, "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -150,7 +153,8 @@ object EventsStream {
   def intervalJoined(spark: SparkSession, dir: String,
                      typeA: String, typeB: String,
                      windowSeconds: Long = 3600,
-                     watermarkDelay: String = "30 minutes"): DataFrame = {
+                     watermarkDelay: String = "30 minutes"): DataFrame =
+      StreamConf.withStatePartitions(spark) {
     val stream = rawStream(spark, dir)
     val a = stream.filter(col("event_type") === typeA)
       .select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))

@@ -85,6 +85,24 @@ class EnrichedStreamSpec extends AnyFunSuite {
       s"stream/batch divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
+  test("state-partition knob changes no results and restores the session conf") {
+    import graft.streaming.StreamConf
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(shuffleKey)
+    val base = graft.streaming.EventsStream.tumblingCounts(spark, sf)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set(StreamConf.Key, "2")
+    try {
+      val narrow = graft.streaming.EventsStream.tumblingCounts(spark, sf)
+        .collect().map(_.toSeq).toSet
+      // state partition count is a physical knob: the emitted rollup must
+      // be identical, and the batch-side shuffle width must come back
+      assert(narrow == base)
+      assert(spark.conf.get(shuffleKey) == before,
+        "withStatePartitions must restore the session shuffle width")
+    } finally spark.conf.unset(StreamConf.Key)
+  }
+
   test("stream-static enrichment attaches dim attributes per event") {
     val out = graft.streaming.EventsStream.enriched(spark, sf)
     val total = graft.core.Tables.events(spark, sf).count()
