@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Round-3 analytics wave: SCD2 history build, grouping-set rollups,
+  * pivoted measure blocks, and rank-based distribution metrics — the
+  * serving-layer shapes the reference's Redshift marts compute from the
+  * dimensional model (fact_* rollups, dim history, priority mixes).
+  *
+  * Scale shapes: every query is a single hash shuffle (one window
+  * partitioning or one agg keyset); the pivot's value list is declared so
+  * no distinct-scan job runs before planning; money sums stay
+  * decimal-exact inside the plan and emit portable doubles.
+  */
+object AnalyticsQueries {
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  // ---------------------------------------------------------------- q42
+  /** SCD2 dimension history from an ordered change feed: collapse each
+    * customer's order-priority timeline to its change points, then close
+    * each version with the next one's effective date (reference: the
+    * update_table SCD1 merge's historical sibling — what dim history
+    * would be had the reference kept validity intervals).
+    *
+    * Both windows ride ONE hash partitioning of o_custkey (Spark reuses
+    * the Exchange across the filter), so the history build costs a single
+    * shuffle regardless of version fanout. */
+  def q42Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = ord
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+    changes
+      .withColumn("version", row_number().over(w).cast(IntegerType))
+      .withColumn("vigente_hasta", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderpriority").as("prioridad"),
+        col("o_orderdate").as("vigente_desde"), col("vigente_hasta"))
+  }
+
+  val q42Sql: String =
+    """WITH ordered AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |    lag(o_orderpriority) OVER w AS prev
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |changes AS (
+      |  SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority)
+      |SELECT o_custkey,
+      |  CAST(row_number() OVER w AS INTEGER) AS version,
+      |  o_orderpriority AS prioridad,
+      |  o_orderdate AS vigente_desde,
+      |  lead(o_orderdate) OVER w AS vigente_hasta
+      |FROM changes
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** Grouping-set rollup: revenue by (nation, year) with year subtotals
+    * and a grand total in one pass (reference: the mart's drill-up views).
+    * ROLLUP plans as a single Expand + one hash agg — one shuffle for all
+    * three grouping levels, with map-side partial aggregation; NULL marks
+    * the rolled-up level (nation names are never null in the dim). */
+  def q43Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val cst = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    ord.join(cst, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nacion"),
+        year(col("o_orderdate")).as("anio"), col("o_totalprice"))
+      .rollup(col("nacion"), col("anio"))
+      .agg(count(lit(1)).as("n_pedidos"),
+        sum(dec(col("o_totalprice"))).cast("double").as("imp_total"))
+  }
+
+  val q43Sql: String =
+    """SELECT nacion, anio, count(*) AS n_pedidos,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS imp_total
+      |FROM (
+      |  SELECT n_name AS nacion, CAST(year(o_orderdate) AS INTEGER) AS anio,
+      |    o_totalprice
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |GROUP BY ROLLUP (nacion, anio)""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** Pivoted measure block: order-priority mix per market segment as
+    * columns (reference: the serving marts denormalize category mixes to
+    * columns for BI). With a DECLARED value list, conditional aggregation
+    * beats `DataFrame.pivot` twice over: `.pivot` plans a two-level agg
+    * (an extra Exchange for the pivotfirst pass) and emits NULL for empty
+    * cells, while one conditional agg is a single map-side-combined
+    * shuffle and empty cells are an honest 0. */
+  def q44Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT" -> "n_urgente", "2-HIGH" -> "n_alta",
+      "3-MEDIUM" -> "n_media", "4-NOT SPECIFIED" -> "n_sin_prioridad",
+      "5-LOW" -> "n_baja")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val cst = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val cells = prios.map { case (value, name) =>
+      count(when(col("o_orderpriority") === value, 1)).as(name)
+    }
+    ord.join(cst, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(cells.head, cells.tail: _*)
+  }
+
+  val q44Sql: String =
+    """SELECT c_mktsegment,
+      |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgente,
+      |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_alta,
+      |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_media,
+      |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_sin_prioridad,
+      |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_baja
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  /** Rank-based distribution metrics: each customer's lifetime revenue
+    * placed within their nation — percent_rank, cume_dist, and decile
+    * (reference: fact_cliente_venta's ranking block). All three are exact
+    * integer-rank arithmetic (single int/int divisions — no float
+    * interpolation, so the oracle matches bit-for-bit; ntile ties are
+    * broken by the unique custkey ordering). Two shuffles total: the
+    * revenue agg on custkey, then one window partitioning on nation. */
+  def q45RankDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val cst = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val revenue = ord.groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("imp_total"))
+      .join(cst, col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("imp_total").desc, col("o_custkey"))
+    revenue.select(col("o_custkey"), col("c_nationkey"), col("imp_total"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(10).over(w).cast(IntegerType).as("decil"))
+  }
+
+  val q45Sql: String =
+    """SELECT o_custkey, c_nationkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS imp_total,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  CAST(ntile(10) OVER w AS INTEGER) AS decil
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_custkey, c_nationkey
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |  ORDER BY CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) DESC,
+      |           o_custkey)""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_scd2_history"      -> (q42Scd2History _),
+    "q43_rollup"            -> (q43Rollup _),
+    "q44_pivot"             -> (q44Pivot _),
+    "q45_rank_distribution" -> (q45RankDistribution _))
+
+  val oracles: Map[String, String] = Map(
+    "q42_scd2_history"      -> q42Sql,
+    "q43_rollup"            -> q43Sql,
+    "q44_pivot"             -> q44Sql,
+    "q45_rank_distribution" -> q45Sql)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.AnalyticsQueries
+
+class AnalyticsQueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q42: SCD2 versions tile each customer's timeline without gaps") {
+    val hist = AnalyticsQueries.q42Scd2History(spark, sf).cache()
+    // exactly one open (current) version per customer
+    val open = hist.filter(col("vigente_hasta").isNull)
+      .groupBy(col("o_custkey")).count().filter(col("count") =!= 1).count()
+    assert(open == 0, "each customer must have exactly one open version")
+    // each closed version's end is the next version's start (no gaps,
+    // no overlaps) and consecutive versions always change the attribute
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("version"))
+    val seq = hist
+      .withColumn("next_desde", lead(col("vigente_desde"), 1).over(w))
+      .withColumn("next_prio", lead(col("prioridad"), 1).over(w))
+    assert(seq.filter(col("next_desde").isNotNull &&
+      col("vigente_hasta") =!= col("next_desde")).count() == 0,
+      "closed versions must end exactly where the next begins")
+    assert(seq.filter(col("next_prio").isNotNull &&
+      col("next_prio") === col("prioridad")).count() == 0,
+      "consecutive versions must differ in the tracked attribute")
+    hist.unpersist()
+  }
+
+  test("q43: rollup subtotals reconcile with the grand total") {
+    val r = AnalyticsQueries.q43Rollup(spark, sf).cache()
+    val grand = r.filter(col("nacion").isNull && col("anio").isNull)
+    assert(grand.count() == 1)
+    val total = grand.head().getAs[Long]("n_pedidos")
+    val perNation = r.filter(col("nacion").isNotNull && col("anio").isNull)
+      .agg(sum("n_pedidos")).head().getLong(0)
+    val leaves = r.filter(col("nacion").isNotNull && col("anio").isNotNull)
+      .agg(sum("n_pedidos")).head().getLong(0)
+    assert(perNation == total && leaves == total,
+      s"rollup levels disagree: leaves=$leaves nations=$perNation total=$total")
+    r.unpersist()
+  }
+
+  test("q44: pivoted priority counts sum back to the joined row count") {
+    val p = AnalyticsQueries.q44Pivot(spark, sf)
+    val pivotTotal = p.select(
+      (coalesce(col("n_urgente"), lit(0L)) + coalesce(col("n_alta"), lit(0L)) +
+        coalesce(col("n_media"), lit(0L)) + coalesce(col("n_sin_prioridad"), lit(0L)) +
+        coalesce(col("n_baja"), lit(0L))).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val joined = graft.core.Tables.orders(spark, sf).join(
+      graft.core.Tables.customer(spark, sf),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(pivotTotal == joined,
+      s"pivot cells ($pivotTotal) must partition the joined rows ($joined)")
+  }
+
+  test("q45: rank metrics are exact rational ranks, deciles bounded") {
+    val r = AnalyticsQueries.q45RankDistribution(spark, sf).cache()
+    assert(r.filter(col("decil") < 1 || col("decil") > 10).count() == 0)
+    assert(r.filter(col("pct_rank") < 0 || col("pct_rank") > 1).count() == 0)
+    assert(r.filter(col("cume") <= 0 || col("cume") > 1).count() == 0)
+    // the top customer per nation has pct_rank exactly 0
+    val tops = r.groupBy(col("c_nationkey"))
+      .agg(min(col("pct_rank")).as("mn")).filter(col("mn") =!= 0.0).count()
+    assert(tops == 0, "each nation's top customer must sit at pct_rank 0")
+    r.unpersist()
+  }
+}

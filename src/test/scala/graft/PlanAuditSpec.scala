@@ -45,7 +45,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q38's label-propagation rounds run before the final plan exists;
     // the budget covers the component-size join over checkpointed labels
     "q38_dedup_components" -> 4, "q39_pii_scrub" -> 0, "q40_chunking" -> 0,
-    "q41_stream_join" -> 0)
+    "q41_stream_join" -> 0,
+    // q42's two windows share one o_custkey partitioning; q43's ROLLUP is
+    // one Expand+agg; q44's declared-value pivot is one agg; q45 = revenue
+    // agg + nation window
+    "q42_scd2_history" -> 1, "q43_rollup" -> 1, "q44_pivot" -> 1,
+    "q45_rank_distribution" -> 2)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
