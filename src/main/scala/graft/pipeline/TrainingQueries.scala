@@ -131,14 +131,101 @@ object TrainingQueries {
       |SELECT doc_id, source, tokens, tokens_acum FROM c
       |WHERE tokens_acum - tokens < 2000""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Training-sequence packing: assign documents to fixed-token-budget
+    * sequences (the context-window packing step that turns a curated
+    * corpus into training rows). Per source, documents take a
+    * deterministic pseudo-random order and each lands in the sequence its
+    * running-token offset starts in — the streaming-friendly running-sum
+    * approximation of greedy bin packing (no sequential dependency beyond
+    * the window cumsum, so it scales as one shuffle + one window pass;
+    * true first-fit-decreasing is inherently sequential per bin). */
+  def q46SequencePack(spark: SparkSession, dir: String,
+                      seqTokens: Long = 1024L): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.select(col("doc_id"), col("source"),
+        size(Shingles.words(col("text"))).cast("long").as("tokens"))
+      .withColumn("tokens_acum", sum(col("tokens")).over(w))
+      .withColumn("secuencia",
+        expr(s"(tokens_acum - tokens) div $seqTokens").cast(IntegerType))
+      .withColumn("offset_seq",
+        (col("tokens_acum") - col("tokens")) % seqTokens)
+  }
+
+  val q46Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, CAST(sum(tokens) OVER (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tokens_acum
+      |  FROM t)
+      |SELECT doc_id, source, tokens, tokens_acum,
+      |  CAST((tokens_acum - tokens) // 1024 AS INTEGER) AS secuencia,
+      |  CAST((tokens_acum - tokens) % 1024 AS BIGINT) AS offset_seq
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** Per-source quality gate: keep each source's top 80% of documents by
+    * the q16 quality score (rank-based cutoff, NOT a global threshold —
+    * per-source quantile gating is how mixture builds avoid one noisy
+    * source flooding the filter). The cutoff is exact integer arithmetic
+    * (ceil(0.8·n) via (8n+9) div 10) over two window functions sharing
+    * one source partitioning — a single shuffle at any corpus size. */
+  def q47QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val calidad = graft.llm.TextAnalysis.qualityScore(col("text"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("calidad").desc, col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    d.select(col("doc_id"), col("source"), calidad.as("calidad"))
+      .withColumn("rango", row_number().over(wRank).cast(IntegerType))
+      .withColumn("n_fuente", count(lit(1)).over(wAll).cast(IntegerType))
+      .filter(col("rango") <= expr("(8 * n_fuente + 9) div 10"))
+  }
+
+  private val q47SwPat =
+    "\\b(" + graft.llm.TextAnalysis.EnglishStopwords.mkString("|") + ")\\b"
+
+  val q47Sql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '$q47SwPat')) AS DOUBLE) AS n_stop,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_palabras,
+      |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punt,
+      |    CAST(length(text) AS DOUBLE) AS n_chars
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source,
+      |    (n_stop / n_palabras) * 0.5 + (1.0 - n_punt / n_chars) * 0.3
+      |      + least(n_palabras / 200.0, 1.0) * 0.2 AS calidad
+      |  FROM m),
+      |r AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY calidad DESC, doc_id) AS INTEGER) AS rango,
+      |    CAST(count(*) OVER (PARTITION BY source) AS INTEGER) AS n_fuente
+      |  FROM s)
+      |SELECT doc_id, source, calidad, rango, n_fuente FROM r
+      |WHERE rango <= (8 * n_fuente + 9) // 10""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_decontaminate" -> (q34Decontaminate _),
     "q35_repetition"    -> (q35Repetition _),
-    "q36_token_budget"  -> ((s, d) => q36TokenBudget(s, d)))
+    "q36_token_budget"  -> ((s, d) => q36TokenBudget(s, d)),
+    "q46_sequence_pack" -> ((s, d) => q46SequencePack(s, d)),
+    "q47_quality_gate"  -> (q47QualityGate _))
 
   val oracles: Map[String, String] = Map(
     "q34_decontaminate" -> q34Sql,
     "q35_repetition"    -> q35Sql,
-    "q36_token_budget"  -> q36Sql)
+    "q36_token_budget"  -> q36Sql,
+    "q46_sequence_pack" -> q46Sql,
+    "q47_quality_gate"  -> q47Sql)
 }

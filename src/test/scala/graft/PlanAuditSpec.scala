@@ -50,7 +50,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // one Expand+agg; q44's declared-value pivot is one agg; q45 = revenue
     // agg + nation window
     "q42_scd2_history" -> 1, "q43_rollup" -> 1, "q44_pivot" -> 1,
-    "q45_rank_distribution" -> 2)
+    "q45_rank_distribution" -> 2,
+    // q46 = one source-window cumsum; q47's two windows share one source
+    // partitioning
+    "q46_sequence_pack" -> 1, "q47_quality_gate" -> 1)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;

@@ -50,4 +50,42 @@ class TrainingQueriesSpec extends AnyFunSuite {
       .groupBy("source").count().filter(col("count") > 1)
     assert(over.count() == 0)
   }
+
+  test("sequence packing: sequences are contiguous and offsets consistent") {
+    val df = TrainingQueries.q46SequencePack(spark, sf).cache()
+    // offset is the running total before the doc, reduced mod the budget
+    assert(df.filter(
+      (col("tokens_acum") - col("tokens")) % 1024 =!= col("offset_seq")).count() == 0)
+    // sequence ids per source are dense from 0 (no empty sequences: every
+    // bin boundary falls inside or at the start of some doc)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("secuencia"))
+    val gaps = df.select(col("source"), col("secuencia")).distinct()
+      .withColumn("prev", lag(col("secuencia"), 1, -1).over(w))
+      .filter(col("secuencia") - col("prev") > 1)
+    assert(gaps.count() == 0, "sequence ids must be dense per source")
+    df.unpersist()
+  }
+
+  test("quality gate: keeps exactly ceil(80%) per source, highest scores first") {
+    val df = TrainingQueries.q47QualityGate(spark, sf).cache()
+    val d = graft.core.Tables.documents(spark, sf)
+    val kept = df.groupBy("source").count()
+    val totals = d.groupBy("source").count().withColumnRenamed("count", "n")
+    // exact rank cutoff: ceil(0.8 * n) kept per source
+    val bad = kept.join(totals, "source")
+      .filter(col("count") =!= expr("(8 * n + 9) div 10"))
+    assert(bad.count() == 0, "each source must keep exactly ceil(0.8*n) docs")
+    // nothing dropped scores above anything kept within a source
+    val minKept = df.groupBy("source").agg(min("calidad").as("mn"))
+    val dropped = graft.pipeline.LLMQueries.q16TextQuality(spark, sf)
+      .join(d.select("doc_id", "source"), "doc_id")
+      .join(df.select(col("doc_id").as("kept_id")),
+        col("doc_id") === col("kept_id"), "left_anti")
+      .join(minKept, "source")
+      .filter(col("calidad") > col("mn"))
+    assert(dropped.count() == 0,
+      "a dropped doc must never outscore a kept doc in its source")
+    df.unpersist()
+  }
 }
