@@ -134,6 +134,71 @@ final case class TxnTable(spark: SparkSession, root: String,
       .parquet(es.map(e => filePath(e).toString): _*)
   }
 
+  /** Stats-pruned range read: scans only the files whose manifest
+    * [min,max] can contain `statsColumn` values in [lo, hi] — the
+    * file-list analog of parquet row-group pruning, resolved driver-side
+    * from the manifest with NO data scan (reference: the Delta data
+    * skipping the merge cost model rests on). Files carrying no stats for
+    * the column stay in the scan, so the result always equals
+    * `read().filter(between(lo, hi))`; at 100 TB the difference is
+    * opening the 3 files a key range lives in instead of 30 000. */
+  def readRange(lo: Any, hi: Any, v: Long = version()): DataFrame = {
+    val c = statsColumn.getOrElse(throw new IllegalStateException(
+      s"readRange needs statsColumn configured on $root"))
+    val es = entriesFull(v)
+    require(es.nonEmpty, s"table $root has no committed version $v")
+    val (sLo, sHi) = (statRender(lo), statRender(hi))
+    val hits = es.filter(_.stat.forall(st =>
+      st.column != c || overlaps(st, sLo, sHi)))
+    val pred = col(c).between(lit(lo), lit(hi))
+    if (hits.isEmpty) readVersion(v).filter(pred).limit(0)
+    else spark.read.option("basePath", dataDir.toString)
+      .option("mergeSchema", "true")
+      .parquet(hits.map(e => filePath(e).toString): _*)
+      .filter(pred)
+  }
+
+  /** Row-level changes between two committed versions, cost bounded by
+    * CHURN, not table size: files common to both manifests cannot
+    * contribute changes (data files are immutable), so only the
+    * added/removed file sets are scanned and anti-joined. Emits Delta-CDF
+    * shaped rows — `_change_type` "insert" for rows present only in the
+    * newer version, "delete" for rows present only in the older; an
+    * update appears as its delete+insert pair. Duplicate-multiset
+    * semantics via exceptAll (a row appearing twice then once yields one
+    * delete). */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changes($fromV, $toV): versions out of order")
+    val before = entriesFull(fromV).toSet
+    val after = entriesFull(toV).toSet
+    require(fromV == 0 || before.nonEmpty,
+      s"table $root has no committed version $fromV (vacuumed?)")
+    require(after.nonEmpty, s"table $root has no committed version $toV")
+    def readSet(es: Set[TxnEntry]): Option[DataFrame] =
+      if (es.isEmpty) None
+      else Some(spark.read.option("basePath", dataDir.toString)
+        .option("mergeSchema", "true")
+        .parquet(es.toSeq.map(e => filePath(e).toString): _*))
+    val added = readSet(after -- before)
+    val removed = readSet(before -- after)
+    // align schema-evolved sides: missing columns read as null
+    def aligned(df: DataFrame, cols: Seq[String]): DataFrame =
+      df.select(cols.map(n =>
+        if (df.columns.contains(n)) col(n) else lit(null).as(n)): _*)
+    (added, removed) match {
+      case (None, None) =>
+        read().limit(0).withColumn("_change_type", lit(""))
+      case (Some(a), None) => a.withColumn("_change_type", lit("insert"))
+      case (None, Some(r)) => r.withColumn("_change_type", lit("delete"))
+      case (Some(a), Some(r)) =>
+        val cols = (a.columns ++ r.columns.filterNot(a.columns.contains)).toSeq
+        val aa = aligned(a, cols)
+        val rr = aligned(r, cols)
+        aa.exceptAll(rr).withColumn("_change_type", lit("insert"))
+          .unionByName(rr.exceptAll(aa).withColumn("_change_type", lit("delete")))
+    }
+  }
+
   // ------------------------------------------------------------- writing
   /** Stage `df`'s files into data/ under fresh names WITHOUT committing.
     * Returns the staged entries (with `statsColumn` min/max per file when

@@ -154,6 +154,45 @@ class TxnLogSpec extends AnyFunSuite {
     assert(t.read().count() == 7)
   }
 
+  test("readRange scans only the files whose stats overlap the range") {
+    val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
+      statsColumn = Some("id"))
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    t.append(Seq((10L, "c"), (11L, "d")).toDF("id", "v").coalesce(1))
+    t.append(Seq((20L, "e"), (21L, "f")).toDF("id", "v").coalesce(1))
+    val narrow = t.readRange(10L, 11L)
+    // pruning: one of three files opened, resolved from the manifest alone
+    assert(narrow.inputFiles.length == 1,
+      s"expected 1 pruned scan file, got ${narrow.inputFiles.length}")
+    // semantics: identical to the unpruned filter
+    assert(narrow.as[(Long, String)].collect().toSet ==
+      t.read().filter(col("id").between(10, 11)).as[(Long, String)].collect().toSet)
+    // a range outside every file matches nothing and scans nothing extra
+    assert(t.readRange(500L, 600L).count() == 0)
+  }
+
+  test("changes() is churn-bounded row-level CDC between versions") {
+    val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
+      statsColumn = Some("id"))
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)) // v1
+    t.append(Seq((10L, "c"), (11L, "d")).toDF("id", "v").coalesce(1))  // v2
+    t.upsert(Seq((10L, "C!")).toDF("id", "v"), Seq("id"))              // v3
+    // v1 -> v2: pure append — inserts only, and the untouched v1 file is
+    // common to both manifests so it is never scanned
+    val d12 = t.changes(1, 2)
+    assert(d12.inputFiles.length == 1, "common files must not be scanned")
+    assert(d12.as[(Long, String, String)].collect().toSet ==
+      Set((10L, "c", "insert"), (11L, "d", "insert")))
+    // v2 -> v3: the upsert rewrote one file; the update surfaces as its
+    // delete+insert pair, the carried row (11) cancels out in exceptAll
+    val d23 = t.changes(2, 3).as[(Long, String, String)].collect().toSet
+    assert(d23 == Set((10L, "C!", "insert"), (10L, "c", "delete")),
+      s"expected the updated row's CDF pair, got $d23")
+    // from version 0: everything is an insert
+    assert(t.changes(0, 3).filter(col("_change_type") =!= "insert").count() == 0)
+    assert(t.changes(0, 3).count() == 4)
+  }
+
   test("every manifest surviving a vacuum stays fully readable") {
     val t = freshTable()
     t.overwrite(Seq((1L, "v1")).toDF("id", "v"))
