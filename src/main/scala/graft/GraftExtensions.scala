@@ -28,7 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "max_word_freq" -> (exprs => MaxWordFreqExpr(exprs.head)),
     "minhash_bands" -> (exprs =>
       MinHashBandsExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
-    "simhash64_md5" -> (exprs => SimHashMd5Expr(exprs.head)))
+    "simhash64_md5" -> (exprs => SimHashMd5Expr(exprs.head)),
+    "marker_count" -> (exprs =>
+      MarkerCountExpr(exprs(0), exprs(1).eval().toString.split('|').toSeq)))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, builder) =>

@@ -31,6 +31,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(s.sql("SELECT size(minhash_signature('a b c', 2, 16))").head().getInt(0) == 16)
       assert(s.sql(
         "SELECT lsh_bucket(array(CAST(1.0 AS FLOAT)), 4) >= 0").head().getBoolean(0))
+      assert(s.sql("SELECT marker_count('the cat and the dog', 'the|and')")
+        .head().getInt(0) == 3)
+      // completeness: EVERY name in the manual registry must resolve via
+      // the injected catalog too — a kernel added to GraftFunctions but
+      // not GraftExtensions fails here (marker_count taught this)
+      val missing = graft.functions.GraftFunctions.Names.filterNot(n =>
+        s.catalog.functionExists(n))
+      assert(missing.isEmpty, s"not injected by GraftExtensions: $missing")
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
