@@ -18,18 +18,23 @@ import graft.sources.LakeIO
   *  - domain   `corpus_curado`: exact dedup (md5 keep-min-id) → near-dup
   *                              component survivors (MinHash→LSH→Jaccard
   *                              verify→connected components) → benchmark
-  *                              decontamination → per-source token-budget
-  *                              admission.
+  *                              decontamination → per-source quality gate
+  *                              (top 80% by score) → per-source
+  *                              token-budget admission.
   *  - analytics `corpus_chunks`: survivors packed into overlapping word
   *                              windows (the q40 chunking shape).
+  *  - analytics `corpus_secuencias`: survivors assigned to fixed-token
+  *                              training sequences (the q46 running-sum
+  *                              packing shape).
   *
   * Every stage is an operator the oracle gate already value-checks
-  * individually (q15/q19/q38/q34/q36/q39/q40); the pipeline spec pins
-  * the cross-stage invariants (no duplicate content survives, at most
-  * one survivor per near-dup component, no contaminated or benchmark
-  * doc admitted, every curated doc chunked). Near-dup detection runs on
-  * the RAW text (scrubbing replaces PII with placeholders, which could
-  * otherwise merge distinct documents that differ only in PII). */
+  * individually (q15/q19/q38/q34/q36/q39/q40/q46/q47); the pipeline spec
+  * pins the cross-stage invariants (no duplicate content survives, at
+  * most one survivor per near-dup component, no contaminated or benchmark
+  * doc admitted, every curated doc chunked and sequenced). Near-dup
+  * detection runs on the RAW text (scrubbing replaces PII with
+  * placeholders, which could otherwise merge distinct documents that
+  * differ only in PII). */
 object CorpusPipeline {
 
   def buildStage(lake: LakeIO, sfDir: String): Unit = {
@@ -63,11 +68,23 @@ object CorpusPipeline {
       .join(flags, Seq("doc_id"), "left")
       .filter(coalesce(col("contaminado"), lit(0)) === 0)
       .drop("contaminado")
+    // per-source quality gate (q47 shape): keep the top 80% by the staged
+    // quality score before spending budget on low-quality docs. Shares the
+    // source hash partitioning with the admission window below — one
+    // Exchange, two sort orders.
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("calidad").desc, col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    val gated = clean
+      .withColumn("__rango", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rango") <= expr("(8 * __n + 9) div 10"))
+      .drop("__rango", "__n")
     // per-source token-budget admission in deterministic hash order
     val w = Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val admitted = clean
+    val admitted = gated
       .withColumn("__acum", sum(col("tokens")).over(w))
       .filter(col("__acum") - col("tokens") < budget)
       .drop("__acum")
@@ -87,6 +104,23 @@ object CorpusPipeline {
     lake.write(chunks, lake.layers.Analytics, "corpus_chunks")
   }
 
+  /** Curated docs → fixed-token training sequences (the q46 running-sum
+    * packing shape): one source-window cumsum assigns each doc to the
+    * sequence its token offset starts in. */
+  def buildSequences(lake: LakeIO, seqTokens: Long = 1024L): Unit = {
+    val cur = lake.read(lake.layers.Domain, "corpus_curado")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seqs = cur.select(col("doc_id"), col("source"), col("tokens"))
+      .withColumn("__acum", sum(col("tokens")).over(w))
+      .withColumn("secuencia",
+        expr(s"(__acum - tokens) div $seqTokens").cast(IntegerType))
+      .withColumn("offset_seq", (col("__acum") - col("tokens")) % seqTokens)
+      .drop("__acum")
+    lake.write(seqs, lake.layers.Analytics, "corpus_secuencias")
+  }
+
   /** Full run; idempotent (overwrite semantics per layer). */
   def run(spark: SparkSession, sfDir: String, lakeRoot: String,
           budget: Long = 2000L): LakeIO = {
@@ -94,6 +128,7 @@ object CorpusPipeline {
     buildStage(lake, sfDir)
     buildCurated(lake, sfDir, budget)
     buildPacked(lake)
+    buildSequences(lake)
     lake
   }
 }

@@ -50,9 +50,45 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .filter(col("__acum") - col("tokens") >= 2000L)
     assert(over.isEmpty, "no admitted doc may start past the token budget")
 
+    // quality gate: recompute the gate's input (post-dedup, post-decontam
+    // docs) and pin the per-source ceiling — curated counts can never
+    // exceed ceil(80%) of what reached the gate
+    val exactKept = staged.groupBy(md5(col("text")).as("__h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val ccLosers = graft.operators.ConnectedComponents
+      .labels(LLMQueries.verifiedPairs(spark, sf).select("id_a", "id_b"))
+      .filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
+    val cleanPerSource = staged
+      .join(exactKept, Seq("doc_id"), "left_semi")
+      .join(ccLosers, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(spark.createDataset(contaminated.toSeq).toDF("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val curatedPerSource = curated.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    curatedPerSource.foreach { case (src, n) =>
+      val ceil80 = (8 * cleanPerSource(src) + 9) / 10
+      assert(n <= ceil80,
+        s"source $src curated $n docs > gate ceiling $ceil80")
+    }
+
     // every curated doc is chunked, and chunk ids never leave the curated set
     val chunkIds = chunks.select("doc_id").distinct().as[Long].collect().toSet
     assert(chunkIds == ids, "chunk stage must cover exactly the curated docs")
     assert(chunks.count() >= curated.count())
+
+    // sequence packing covers exactly the curated docs, offsets stay inside
+    // the sequence budget, and sequence ids are dense per source
+    val seqs = lake.read(lake.layers.Analytics, "corpus_secuencias")
+    assert(seqs.select("doc_id").distinct().as[Long].collect().toSet == ids,
+      "sequence stage must cover exactly the curated docs")
+    assert(seqs.filter(col("offset_seq") < 0 || col("offset_seq") >= 1024).isEmpty)
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("secuencia"))
+    val gaps = seqs.select(col("source"), col("secuencia")).distinct()
+      .withColumn("__prev", lag(col("secuencia"), 1, -1).over(wSeq))
+      .filter(col("secuencia") - col("__prev") > 1)
+    assert(gaps.isEmpty, "sequence ids must be dense per source")
   }
 }
