@@ -163,16 +163,50 @@ object AnalyticsQueries {
       |  ORDER BY CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) DESC,
       |           o_custkey)""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Keyless range join via bin bucketing: orders classified into
+    * OVERLAPPING price bands (a rate-table shape — each order can match
+    * several bands, no equality key exists). The naive BETWEEN join plans
+    * a BroadcastNestedLoopJoin; [[graft.operators.RangeJoin.byBins]]
+    * restores an equi-key by discretizing the price axis, so the plan is
+    * an ordinary hash join + residual filter at O(N + bands·spanBins)
+    * instead of O(N·bands). */
+  def q48BandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val bands = spark.range(30).select(
+      col("id").cast(IntegerType).as("banda"),
+      (col("id") * 15000.0).as("lo"),
+      (col("id") * 15000.0 + 40000.0).as("hi"))
+    graft.operators.RangeJoin
+      .byBins(ord, col("o_totalprice"), bands, col("lo"), col("hi"), 20000.0)
+      .groupBy(col("banda"))
+      .agg(count(lit(1)).as("n_pedidos"),
+        sum(dec(col("o_totalprice"))).cast("double").as("imp_total"))
+  }
+
+  val q48Sql: String =
+    """WITH bands AS (
+      |  SELECT CAST(i AS INTEGER) AS banda, i * 15000.0 AS lo,
+      |    i * 15000.0 + 40000.0 AS hi
+      |  FROM range(30) t(i))
+      |SELECT banda, count(*) AS n_pedidos,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS imp_total
+      |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice <= hi
+      |GROUP BY banda""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_scd2_history"      -> (q42Scd2History _),
     "q43_rollup"            -> (q43Rollup _),
     "q44_pivot"             -> (q44Pivot _),
-    "q45_rank_distribution" -> (q45RankDistribution _))
+    "q45_rank_distribution" -> (q45RankDistribution _),
+    "q48_band_join"         -> (q48BandJoin _))
 
   val oracles: Map[String, String] = Map(
     "q42_scd2_history"      -> q42Sql,
     "q43_rollup"            -> q43Sql,
     "q44_pivot"             -> q44Sql,
-    "q45_rank_distribution" -> q45Sql)
+    "q45_rank_distribution" -> q45Sql,
+    "q48_band_join"         -> q48Sql)
 }

@@ -57,6 +57,31 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       s"pivot cells ($pivotTotal) must partition the joined rows ($joined)")
   }
 
+  test("range join by bins equals the naive range join, without the BNLJ") {
+    import spark.implicits._
+    val fact = Seq((1L, -5.0), (2L, 0.0), (3L, 7.5), (4L, 19.99), (5L, 42.0))
+      .toDF("id", "v")
+    // overlapping and negative intervals, plus one matching nothing
+    val dims = Seq((10, -10.0, 0.0), (11, -1.0, 8.0), (12, 7.5, 20.0),
+      (13, 100.0, 110.0)).toDF("dim_id", "lo", "hi")
+    val binned = graft.operators.RangeJoin
+      .byBins(fact, col("v"), dims, col("lo"), col("hi"), 5.0)
+      .select("id", "dim_id").as[(Long, Int)].collect().toSet
+    val naive = fact.crossJoin(dims)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("id", "dim_id").as[(Long, Int)].collect().toSet
+    assert(binned == naive, s"missing=${naive -- binned} extra=${binned -- naive}")
+    // each pair appears exactly once even when an interval spans many bins
+    val counts = graft.operators.RangeJoin
+      .byBins(fact, col("v"), dims, col("lo"), col("hi"), 0.5)
+      .groupBy("id", "dim_id").count().filter(col("count") > 1).count()
+    assert(counts == 0, "a fact row has ONE bin — pairs can never duplicate")
+    // and the catalog query's plan stays free of nested-loop joins
+    val plan = graft.pipeline.AnalyticsQueries.q48BandJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("q45: rank metrics are exact rational ranks, deciles bounded") {
     val r = AnalyticsQueries.q45RankDistribution(spark, sf).cache()
     assert(r.filter(col("decil") < 1 || col("decil") > 10).count() == 0)
