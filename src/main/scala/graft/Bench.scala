@@ -33,10 +33,13 @@ object Bench {
     catch { case _: Throwable => () }
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
-    // Each query runs twice and reports the faster run: single-JVM container
-    // timings blip by seconds under GC/JIT noise, and the steady-state time
-    // is what scales. Shuffle bytes come from the second (warm) run.
-    val runsPerQuery = 2
+    // Each query runs twice (override: SPARK_GRAFT_BENCH_RUNS) and reports
+    // the faster run: single-JVM container timings blip by seconds under
+    // GC/JIT noise, and the steady-state time is what scales. All run
+    // times are emitted under "runs" so spread is inspectable. Shuffle
+    // bytes come from the last (warm) run.
+    val runsPerQuery =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var error: Option[String] = None
       val timings = (1 to runsPerQuery).map { _ =>
@@ -58,7 +61,7 @@ object Bench {
         Thread.sleep(50)
         (elapsed, meter.bytes.get() - s0)
       }
-      (name, timings.map(_._1).min, timings.last._2, error)
+      (name, timings.map(_._1), timings.last._2, error)
     }
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
@@ -67,15 +70,18 @@ object Bench {
         case c if c < ' ' => "\\u%04x".format(c.toInt)
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v.min }
+      .mkString("{", ",", "}")
+    val runs = results.map { case (k, v, _, _) =>
+      s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, b, _) => s"\"" + k + "\":" + b }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":" + jsonStr(e) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.min).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"runs_per_query":$runsPerQuery,"agg":"min","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"runs_per_query":$runsPerQuery,"agg":"min","runs":$runs,"sf":"$sfDir"}"""
     println(line)
     // stdout can be truncated by log-capture tooling; the file is the
     // durable copy of the full JSON line

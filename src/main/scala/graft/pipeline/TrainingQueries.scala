@@ -214,18 +214,42 @@ object TrainingQueries {
       |SELECT doc_id, source, calidad, rango, n_fuente FROM r
       |WHERE rango <= (8 * n_fuente + 9) // 10""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Deterministic train/validation split: a document's partition is a
+    * pure function of its id (first md5 hex nibble = '0' → val, ~6.25%),
+    * so the split is reproducible across runs, clusters, and engines —
+    * no sampling state, no seed coordination, and membership can be
+    * recomputed from the id alone (the property eval-set bookkeeping
+    * actually needs). Zero-shuffle map stage. */
+  def q49TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), col("source"),
+      size(Shingles.words(col("text"))).cast("long").as("tokens"),
+      when(substring(md5(col("doc_id").cast("string")), 1, 1) === "0", "val")
+        .otherwise("train").as("particion"))
+  }
+
+  val q49Sql: String =
+    """SELECT doc_id, source,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+      |    THEN 'val' ELSE 'train' END AS particion
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_decontaminate" -> (q34Decontaminate _),
     "q35_repetition"    -> (q35Repetition _),
     "q36_token_budget"  -> ((s, d) => q36TokenBudget(s, d)),
     "q46_sequence_pack" -> ((s, d) => q46SequencePack(s, d)),
-    "q47_quality_gate"  -> (q47QualityGate _))
+    "q47_quality_gate"  -> (q47QualityGate _),
+    "q49_train_split"   -> (q49TrainSplit _))
 
   val oracles: Map[String, String] = Map(
     "q34_decontaminate" -> q34Sql,
     "q35_repetition"    -> q35Sql,
     "q36_token_budget"  -> q36Sql,
     "q46_sequence_pack" -> q46Sql,
-    "q47_quality_gate"  -> q47Sql)
+    "q47_quality_gate"  -> q47Sql,
+    "q49_train_split"   -> q49Sql)
 }
