@@ -142,6 +142,15 @@ class PlanAuditSpec extends AnyFunSuite {
       l.contains("orders.parquet") &&
         l.contains("GreaterThanOrEqual(o_orderdate")),
       "q2's date range must appear in the orders scan's PushedFilters")
+    // the SCD2 build must not drag unused orders columns into its window
+    assert(scans("q42_scd2_history").exists(_.contains(
+      "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+        "o_orderdate:timestamp_ntz,o_orderpriority:string>")),
+      "q42 must scan only the four columns the history build touches")
+    // the split assignment reads id+source+text, never the full table
+    assert(scans("q49_train_split").exists(_.contains(
+      "ReadSchema: struct<doc_id:bigint,text:string,source:string>")),
+      "q49 must scan only doc_id+text+source")
   }
 
   test("every query stays within its shuffle budget") {
