@@ -150,11 +150,10 @@ object EventsStream {
     * passes — state is O(events within watermark + window), not O(stream).
     * Inner join: Spark's only stream-stream mode with no emission delay
     * beyond the watermark itself. */
-  def intervalJoined(spark: SparkSession, dir: String,
-                     typeA: String, typeB: String,
-                     windowSeconds: Long = 3600,
-                     watermarkDelay: String = "30 minutes"): DataFrame =
-      StreamConf.withStatePartitions(spark) {
+  private def intervalJoinFrame(spark: SparkSession, dir: String,
+                                typeA: String, typeB: String,
+                                windowSeconds: Long,
+                                watermarkDelay: String): DataFrame = {
     val stream = rawStream(spark, dir)
     val a = stream.filter(col("event_type") === typeA)
       .select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
@@ -163,17 +162,46 @@ object EventsStream {
       .select(col("user_id").as("__user_b"), col("event_id").as("id_b"),
         col("ts").as("ts_b"))
       .withWatermark("ts_b", watermarkDelay)
-    val joined = a.join(b,
+    a.join(b,
       col("user_id") === col("__user_b") &&
         col("ts_b") >= col("ts_a") &&
         col("ts_b") <= col("ts_a") + expr(s"INTERVAL $windowSeconds SECONDS"))
       .select(col("user_id"), col("id_a"), col("ts_a"), col("id_b"), col("ts_b"))
+  }
+
+  def intervalJoined(spark: SparkSession, dir: String,
+                     typeA: String, typeB: String,
+                     windowSeconds: Long = 3600,
+                     watermarkDelay: String = "30 minutes"): DataFrame =
+      StreamConf.withStatePartitions(spark) {
+    val joined = intervalJoinFrame(spark, dir, typeA, typeB,
+      windowSeconds, watermarkDelay)
     val name = "graft_sjoin_" + java.lang.Integer.toHexString(
       (dir + typeA + typeB).hashCode).replace('-', '_')
     val q = joined.writeStream.outputMode("append").format("memory")
       .queryName(name).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Production sink path for the interval join: same watermarked
+    * stream-stream inner join as [[intervalJoined]], written APPEND-mode
+    * to a parquet file sink with a checkpoint — restart against an
+    * exhausted source re-emits nothing (exactly-once per restart), and
+    * join state is evicted as the watermark passes, so a continuous run
+    * holds O(watermark + window) state per key range, never the stream. */
+  def intervalJoinToParquet(spark: SparkSession, dir: String,
+                            outPath: String, checkpointPath: String,
+                            typeA: String, typeB: String,
+                            windowSeconds: Long = 3600,
+                            watermarkDelay: String = "30 minutes"): Unit =
+      StreamConf.withStatePartitions(spark) {
+    val joined = intervalJoinFrame(spark, dir, typeA, typeB,
+      windowSeconds, watermarkDelay)
+    val q = joined.writeStream.outputMode("append").format("parquet")
+      .option("path", outPath).option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
   }
 
   /** Stream-static enrichment: the event stream joined against a broadcast

@@ -85,6 +85,32 @@ class EnrichedStreamSpec extends AnyFunSuite {
       s"stream/batch divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
+  test("interval-join parquet sink: full pair set once, restart adds nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sjoin_sink")
+    val out = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    graft.streaming.EventsStream.intervalJoinToParquet(
+      spark, sf, out, ckpt, "view", "purchase",
+      windowSeconds = 3600, watermarkDelay = "90 days")
+    val emitted = spark.read.parquet(out)
+      .select("user_id", "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // inner stream-stream joins emit per batch with no watermark delay, so
+    // the bounded run's file sink holds exactly the memory-sink pair set
+    val viaMemory = graft.streaming.EventsStream.intervalJoined(
+        spark, sf, "view", "purchase",
+        windowSeconds = 3600, watermarkDelay = "90 days")
+      .select("user_id", "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(emitted == viaMemory && emitted.nonEmpty)
+    // restart against the exhausted source: exactly-once, no re-emission
+    graft.streaming.EventsStream.intervalJoinToParquet(
+      spark, sf, out, ckpt, "view", "purchase",
+      windowSeconds = 3600, watermarkDelay = "90 days")
+    assert(spark.read.parquet(out).count() == emitted.size,
+      "restart must not duplicate joined pairs")
+  }
+
   test("state-partition knob changes no results and restores the session conf") {
     import graft.streaming.StreamConf
     val shuffleKey = "spark.sql.shuffle.partitions"
