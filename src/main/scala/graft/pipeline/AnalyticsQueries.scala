@@ -195,18 +195,64 @@ object AnalyticsQueries {
       |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice <= hi
       |GROUP BY banda""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Cross-fact KPI union (reference: analytics/fact_kpi_detalle.py —
+    * pedido/venta/visita branches conformed to one KPI grain and
+    * unioned): three independently-aggregated sources share the
+    * (kpi, id_periodo, cantidad, valor) shape and union metadata-only.
+    * Each branch is one map-side-combined shuffle at its own grain; the
+    * union adds none, so the whole KPI build costs three small
+    * aggregations regardless of fact skew. */
+  def q50KpiUnion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Periods
+    val ventas = Tables.orders(spark, dir)
+      .groupBy(Periods.periodOf(col("o_orderdate")).as("id_periodo"))
+      .agg(count(lit(1)).as("cantidad"),
+        sum(dec(col("o_totalprice"))).cast("double").as("valor"))
+      .withColumn("kpi", lit("ventas"))
+    val neto = Tables.lineitem(spark, dir)
+      .groupBy(Periods.periodOf(col("l_shipdate")).as("id_periodo"))
+      .agg(count(lit(1)).as("cantidad"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("valor"))
+      .withColumn("kpi", lit("lineas_neto"))
+    val eventos = Tables.events(spark, dir)
+      .groupBy(Periods.periodOf(col("ts")).as("id_periodo"))
+      .agg(count(lit(1)).as("cantidad"),
+        sum(dec(col("value"))).cast("double").as("valor"))
+      .withColumn("kpi", lit("eventos"))
+    ventas.unionByName(neto).unionByName(eventos)
+      .select(col("kpi"), col("id_periodo"), col("cantidad"), col("valor"))
+  }
+
+  val q50Sql: String =
+    """SELECT 'ventas' AS kpi, strftime(o_orderdate, '%Y%m') AS id_periodo,
+      |  count(*) AS cantidad,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS valor
+      |FROM orders GROUP BY 2
+      |UNION ALL
+      |SELECT 'lineas_neto', strftime(l_shipdate, '%Y%m'), count(*),
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+      |FROM lineitem GROUP BY 2
+      |UNION ALL
+      |SELECT 'eventos', strftime(ts, '%Y%m'), count(*),
+      |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |FROM events GROUP BY 2""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_scd2_history"      -> (q42Scd2History _),
     "q43_rollup"            -> (q43Rollup _),
     "q44_pivot"             -> (q44Pivot _),
     "q45_rank_distribution" -> (q45RankDistribution _),
-    "q48_band_join"         -> (q48BandJoin _))
+    "q48_band_join"         -> (q48BandJoin _),
+    "q50_kpi_union"         -> (q50KpiUnion _))
 
   val oracles: Map[String, String] = Map(
     "q42_scd2_history"      -> q42Sql,
     "q43_rollup"            -> q43Sql,
     "q44_pivot"             -> q44Sql,
     "q45_rank_distribution" -> q45Sql,
-    "q48_band_join"         -> q48Sql)
+    "q48_band_join"         -> q48Sql,
+    "q50_kpi_union"         -> q50Sql)
 }
