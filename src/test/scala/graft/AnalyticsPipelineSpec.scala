@@ -53,4 +53,44 @@ class AnalyticsPipelineSpec extends AnyFunSuite {
       .agg(sum("imp_neto")).head().getDecimal(0).signum == 0)
     assert(after.filter($"id_periodo" =!= onePeriod).count() == otherPeriodCount)
   }
+
+  test("incremental fact rebuild touches only the changed periods") {
+    val root = Files.createTempDirectory("graft_pipeline_inc").toString
+    val lake = Analytics.run(spark, sf, root)
+    val factDir = new java.io.File(s"$root/analytics/fact_cliente_periodo")
+
+    // late data lands in ONE period: double one detail row's amounts
+    val tvd = lake.read(lake.layers.Domain, "t_venta_detalle")
+    val lateRow = tvd.orderBy($"id_venta_detalle").limit(1)
+      .withColumn("imp_neto", $"imp_neto" * 2)
+      .withColumn("cant", $"cant" * 2)
+      .collect()
+    val late = spark.createDataFrame(
+      spark.sparkContext.parallelize(lateRow.toIndexedSeq), tvd.schema)
+    // partition-column inference reads id_periodo back as an integer
+    val period = String.valueOf(lateRow.head.getAs[Any]("id_periodo"))
+    lake.upsert(late, lake.layers.Domain, "t_venta_detalle",
+      keys = Seq("id_venta_detalle"), partitionBy = Seq("id_periodo"))
+
+    // snapshot the files of an UNTOUCHED period partition
+    val untouched = factDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("id_periodo=") &&
+        f.getName != s"id_periodo=$period").head
+    def listing(d: java.io.File) =
+      d.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    val before = listing(untouched)
+
+    Analytics.buildAnalyticsIncremental(lake, Seq(period))
+
+    // untouched partitions carry identical files; nothing was rewritten
+    assert(listing(untouched) == before,
+      "incremental rebuild must not rewrite unchanged period partitions")
+    // the rebuilt table equals a from-scratch recompute of the full fact
+    val expectedSum = lake.read(lake.layers.Domain, "t_venta_detalle")
+      .agg(sum("imp_neto")).head().getDecimal(0)
+    val fact = lake.read(lake.layers.Analytics, "fact_cliente_periodo")
+    assert(fact.agg(sum("imp_neto")).head().getDecimal(0)
+      .compareTo(expectedSum) == 0,
+      "incremental fact must reconcile with the full detail after late data")
+  }
 }
