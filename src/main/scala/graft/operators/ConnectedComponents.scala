@@ -44,19 +44,20 @@ object ConnectedComponents {
         .join(cur.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_label")).as("nbr_label"))
+      // prev rides along so convergence needs no extra O(N) join — one
+      // filter over the checkpointed round output decides it
       val hopped = cur.join(prop, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer halving: adopt the label's own label (labels are node
       // ids, so they resolve in the same table)
       val byId = hopped.select(col("id").as("__lid"), col("label").as("__llabel"))
       val next = hopped.join(byId, hopped("label") === byId("__lid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("prev"),
           least(col("label"), coalesce(col("__llabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = next.join(cur.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).isEmpty
-      cur = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      cur = next.drop("prev")
       i += 1
     }
     cur
