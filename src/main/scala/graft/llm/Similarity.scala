@@ -119,13 +119,23 @@ object Similarity {
     val build = c.select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
       col("__nrm").as("__cn"), explode(grid).as("__gi"), col("__blk").as("__gj"))
     probe.join(build, Seq("__gi", "__gj"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), struct(
-          cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("cosine"),
-          (-col("neighbor_id")).as("neg_id")).as("cand"))
+      // the grid meets every unordered pair in BOTH orientations (cells
+      // (blk a, blk b) and (blk b, blk a)); keeping one halves the join
+      // residue AND the cosine evaluations — both directions are emitted
+      // from the single scored row below
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("__cos"))
+      .select(explode(array(
+          struct(col("query_id").as("qid"),
+            struct(col("__cos").as("cosine"),
+              (-col("neighbor_id")).as("neg_id")).as("cand")),
+          struct(col("neighbor_id").as("qid"),
+            struct(col("__cos").as("cosine"),
+              (-col("query_id")).as("neg_id")).as("cand")))).as("e"))
       // max over (cosine, -id): highest cosine wins, ties -> smallest id.
-      .groupBy(col("query_id"))
-      .agg(max(col("cand")).as("best"))
+      .groupBy(col("e.qid").as("query_id"))
+      .agg(max(col("e.cand")).as("best"))
       .select(col("query_id"), (-col("best.neg_id")).as("neighbor_id"),
         col("best.cosine").as("cosine"))
   }
