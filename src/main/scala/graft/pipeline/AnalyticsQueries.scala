@@ -239,6 +239,74 @@ object AnalyticsQueries {
       |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
       |FROM events GROUP BY 2""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** View→purchase conversion funnel per market segment: first-touch
+    * timestamps per user (one agg with conditional min — no per-step
+    * scans), conversion = first purchase strictly after first view,
+    * rolled up to the customer dim. Rate is one exact int/int division.
+    * Two shuffles: the per-user agg and the segment rollup (dim side
+    * broadcast). */
+  def q51Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("primera_vista"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("primera_compra"))
+      .filter(col("primera_vista").isNotNull)
+    val cst = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    firsts.join(broadcast(cst), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_vistas"),
+        count(when(col("primera_compra") > col("primera_vista"), 1))
+          .as("n_convertidos"))
+      .withColumn("tasa_conversion",
+        col("n_convertidos").cast("double") / col("n_vistas").cast("double"))
+  }
+
+  val q51Sql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS primera_vista,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS primera_compra
+      |  FROM events GROUP BY user_id)
+      |SELECT c_mktsegment, count(*) AS n_vistas,
+      |  count(*) FILTER (WHERE primera_compra > primera_vista) AS n_convertidos,
+      |  CAST(count(*) FILTER (WHERE primera_compra > primera_vista) AS DOUBLE)
+      |    / count(*) AS tasa_conversion
+      |FROM f JOIN customer ON user_id = c_custkey
+      |WHERE primera_vista IS NOT NULL
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  /** Retention cohort matrix: users grouped by first-activity month,
+    * counted in each month they return. The standard retention rollup —
+    * first-touch agg, distinct activity pairs (both shuffles keyed on
+    * user_id, so they share one Exchange), then the cohort×period count. */
+  def q52CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Periods
+    val ev = Tables.events(spark, dir)
+    val cohorte = ev.groupBy(col("user_id"))
+      .agg(Periods.periodOf(min(col("ts"))).as("cohorte"))
+    val activity = ev
+      .select(col("user_id"), Periods.periodOf(col("ts")).as("periodo"))
+      .distinct()
+    cohorte.join(activity, Seq("user_id"))
+      .groupBy(col("cohorte"), col("periodo"))
+      .agg(count(lit(1)).as("n_usuarios"))
+  }
+
+  val q52Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, strftime(min(ts), '%Y%m') AS cohorte
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT user_id, strftime(ts, '%Y%m') AS periodo FROM events)
+      |SELECT cohorte, periodo, count(*) AS n_usuarios
+      |FROM c JOIN a USING (user_id)
+      |GROUP BY cohorte, periodo""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_scd2_history"      -> (q42Scd2History _),
@@ -246,7 +314,9 @@ object AnalyticsQueries {
     "q44_pivot"             -> (q44Pivot _),
     "q45_rank_distribution" -> (q45RankDistribution _),
     "q48_band_join"         -> (q48BandJoin _),
-    "q50_kpi_union"         -> (q50KpiUnion _))
+    "q50_kpi_union"         -> (q50KpiUnion _),
+    "q51_funnel"            -> (q51Funnel _),
+    "q52_cohort_retention"  -> (q52CohortRetention _))
 
   val oracles: Map[String, String] = Map(
     "q42_scd2_history"      -> q42Sql,
@@ -254,5 +324,7 @@ object AnalyticsQueries {
     "q44_pivot"             -> q44Sql,
     "q45_rank_distribution" -> q45Sql,
     "q48_band_join"         -> q48Sql,
-    "q50_kpi_union"         -> q50Sql)
+    "q50_kpi_union"         -> q50Sql,
+    "q51_funnel"            -> q51Sql,
+    "q52_cohort_retention"  -> q52Sql)
 }

@@ -56,7 +56,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q46_sequence_pack" -> 1, "q47_quality_gate" -> 1,
     // q48 = bin equi-join (broadcast dims) + band agg; q49 is a pure map;
     // q50 = one agg per KPI branch, metadata-only union
-    "q48_band_join" -> 1, "q49_train_split" -> 0, "q50_kpi_union" -> 3)
+    "q48_band_join" -> 1, "q49_train_split" -> 0, "q50_kpi_union" -> 3,
+    // q51 = user-first-touch agg + segment rollup (dim broadcast);
+    // q52's first-touch agg and distinct share the user partitioning
+    "q51_funnel" -> 2, "q52_cohort_retention" -> 3)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
