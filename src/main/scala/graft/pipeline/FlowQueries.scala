@@ -208,9 +208,72 @@ object FlowQueries {
       |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 3600 SECONDS""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Hopping (sliding) windows in batch: each event lands in the three
+    * 3-hour windows (stride 1 h) covering it, via an exploded window-start
+    * sequence — the batch twin of streaming `window(ts, "3 hours",
+    * "1 hour")`. Explode is pipelined; the single shuffle is the window
+    * agg with map-side combine, so cost is 3× event rows into a combiner,
+    * not a self-join per hop. */
+  def q53HoppingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(spark, dir)
+    val hourUs = 3600L * 1000000L
+    // div, not "/": Column "/" on longs is DOUBLE division, and a
+    // one-ulp-low quotient would truncate to the wrong hour
+    val h0 = expr(s"unix_micros(ts) div $hourUs") // epoch hour
+    ev.select(col("event_type"), col("value"),
+        explode(sequence(h0 - 2, h0)).as("ventana_h"))
+      .groupBy(col("ventana_h"), col("event_type"))
+      .agg(count(lit(1)).as("n_eventos"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("imp_valor"))
+      .withColumn("ventana", timestamp_micros(col("ventana_h") * hourUs))
+      .drop("ventana_h")
+  }
+
+  val q53Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, value, epoch_us(ts) // 3600000000 AS h0
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, value, unnest(range(h0 - 2, h0 + 1)) AS ventana_h
+      |  FROM e)
+      |SELECT event_type, count(*) AS n_eventos,
+      |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS imp_valor,
+      |  make_timestamp(ventana_h * 3600000000) AS ventana
+      |FROM x GROUP BY event_type, ventana_h""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Event-type transition matrix (Markov counts): for each user's
+    * time-ordered event stream, count (from → to) consecutive-type pairs.
+    * One window shuffle on user_id; the matrix agg combines map-side into
+    * at most |types|² rows per task. */
+  def q54Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_type").as("hasta"),
+        lag(col("event_type"), 1).over(w).as("desde"))
+      .filter(col("desde").isNotNull)
+      .groupBy(col("desde"), col("hasta"))
+      .agg(count(lit(1)).as("n_transiciones"))
+  }
+
+  val q54Sql: String =
+    """WITH s AS (
+      |  SELECT event_type AS hasta,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS desde
+      |  FROM events)
+      |SELECT desde, hasta, count(*) AS n_transiciones
+      |FROM s WHERE desde IS NOT NULL
+      |GROUP BY desde, hasta""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_stream_join"    -> (q41StreamJoin _),
+    "q53_hopping_window" -> (q53HoppingWindow _),
+    "q54_transitions"    -> (q54Transitions _),
     "q9_magic_date"      -> (q9MagicDate _),
     "q10_asof_rate"      -> (q10AsofRate _),
     "q11_merge_upsert"   -> (q11MergeUpsert _),
@@ -221,6 +284,8 @@ object FlowQueries {
 
   val oracles: Map[String, String] = Map(
     "q41_stream_join"    -> q41Sql,
+    "q53_hopping_window" -> q53Sql,
+    "q54_transitions"    -> q54Sql,
     "q9_magic_date"      -> q9Sql,
     "q10_asof_rate"      -> q10Sql,
     "q11_merge_upsert"   -> q11Sql,

@@ -59,7 +59,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q48_band_join" -> 1, "q49_train_split" -> 0, "q50_kpi_union" -> 3,
     // q51 = user-first-touch agg + segment rollup (dim broadcast);
     // q52's first-touch agg and distinct share the user partitioning
-    "q51_funnel" -> 2, "q52_cohort_retention" -> 3)
+    "q51_funnel" -> 2, "q52_cohort_retention" -> 3,
+    // q53 = exploded hops into one combined agg; q54 = user window + matrix agg
+    "q53_hopping_window" -> 1, "q54_transitions" -> 2)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
