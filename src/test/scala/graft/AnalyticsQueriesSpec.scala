@@ -82,6 +82,35 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("range join: randomized parity with the naive join across bin widths") {
+    import spark.implicits._
+    // seeded randomized sweep: 300 facts × 60 intervals (incl. negative,
+    // point, and many-bin-spanning), three bin widths — one Spark job per
+    // width instead of a per-case property loop
+    val rnd = new scala.util.Random(20260812L)
+    val fact = (1 to 300).map(i => (i.toLong, rnd.nextDouble() * 200 - 100))
+      .toDF("id", "v")
+    val dims = (1 to 60).map { i =>
+      val lo = rnd.nextDouble() * 200 - 100
+      val span = rnd.nextInt(3) match {
+        case 0 => 0.0                       // point interval
+        case 1 => rnd.nextDouble() * 5      // narrow
+        case _ => rnd.nextDouble() * 80     // spans many bins
+      }
+      (i, lo, lo + span)
+    }.toDF("dim_id", "lo", "hi")
+    val naive = fact.crossJoin(dims)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("id", "dim_id").as[(Long, Int)].collect().toSet
+    for (w <- Seq(0.7, 8.0, 300.0)) {
+      val binned = graft.operators.RangeJoin
+        .byBins(fact, col("v"), dims, col("lo"), col("hi"), w)
+        .select("id", "dim_id").as[(Long, Int)].collect().toSet
+      assert(binned == naive,
+        s"width $w: missing=${(naive -- binned).take(3)} extra=${(binned -- naive).take(3)}")
+    }
+  }
+
   test("q45: rank metrics are exact rational ranks, deciles bounded") {
     val r = AnalyticsQueries.q45RankDistribution(spark, sf).cache()
     assert(r.filter(col("decil") < 1 || col("decil") > 10).count() == 0)
