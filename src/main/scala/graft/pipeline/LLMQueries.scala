@@ -530,7 +530,103 @@ object LLMQueries {
       |  md5(array_to_string(ws[i*100+1 : i*100+200], ' ')) AS hash_chunk
       |FROM idx""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** IVF ANN as a VALUE-CHECKED catalog query. Centroids come from the
+    * portable deterministic sample (first md5 hex nibble of vec_id =
+    * '0'), every vector is assigned to its max-cosine centroid, queries
+    * probe their top-2 cells, and the approximate NN is the best
+    * candidate inside the probed cells — assignment, probing, and the
+    * (deliberately imperfect) recall are all deterministic functions of
+    * the data, so DuckDB verifies the IVF semantics end to end. The
+    * library ivfTopK (hash-sampled centroids + optional Lloyd rounds)
+    * stays the raw-speed variant.
+    *
+    * Scale shape: the centroid set is a bounded collect (a fixed cell
+    * count in production) shipped as one literal; assignment is the
+    * inherent N×C distance stream — pipelined explode into a map-side
+    * argmax, no join; candidate scoring is an equi-join on the cell id,
+    * so work is sum-of-probed-cells, never N². */
+  def q55AnnIvf(spark: SparkSession, dir: String, probes: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val cents: Seq[(Long, Seq[Float], Double)] = base
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 1) === "0")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq, r.getDouble(2)))
+      .toSeq
+    val centLit = typedLit(cents)
+    // (vec_id, cid, cos) for every vector × centroid in `df`
+    def cellScores(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(centLit).as("c"))
+      .select(col("vec_id"), col("c._1").as("cid"),
+        Similarity.cosine(col("embedding"), col("c._2"), col("nrm"),
+          col("c._3")).as("cos"))
+    val assigned = cellScores(base)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("b"))
+      .select(col("vec_id"), (-col("b.neg")).as("celda"))
+    val inCells = base.join(assigned, Seq("vec_id"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid").asc)
+    val probed = cellScores(base.filter(col("vec_id") < 5))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= probes)
+      .select(col("vec_id").as("query_id"), col("cid").as("celda"))
+    val queriesSide = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    probed.join(queriesSide, Seq("query_id"))
+      .join(inCells, Seq("celda"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), struct(
+        Similarity.cosine(col("qv"), col("embedding"), col("qn"),
+          col("nrm")).as("cosine"),
+        (-col("vec_id")).as("neg")).as("cand"))
+      .groupBy(col("query_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("query_id"), (-col("best.neg")).as("neighbor_id"),
+        col("best.cosine").as("cosine"))
+  }
+
+  val q55Sql: String = {
+    def dot2(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"""WITH n AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+      |cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n
+      |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+      |scored AS (
+      |  SELECT n.vec_id, cent.cid,
+      |    ${dot2("n.embedding", "cent.cvec")} / (n.nrm * cent.cnrm) AS cos
+      |  FROM n, cent),
+      |assign AS (
+      |  SELECT vec_id, cid AS celda FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id AS query_id, cid AS celda FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cid ASC) AS rn FROM scored WHERE vec_id < 5)
+      |  WHERE rn <= 2),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probe p JOIN assign a USING (celda)
+      |  WHERE a.vec_id <> p.query_id),
+      |fin AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    ${dot2("q.embedding", "b.embedding")} / (q.nrm * b.nrm) AS cosine
+      |  FROM cand c JOIN n q ON q.vec_id = c.query_id
+      |  JOIN n b ON b.vec_id = c.neighbor_id)
+      |SELECT query_id, neighbor_id, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM fin)
+      |WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_ann_ivf"          -> ((s, d) => q55AnnIvf(s, d)),
     "q38_dedup_components" -> (q38DedupComponents _),
     "q39_pii_scrub"      -> (q39PiiScrub _),
     "q40_chunking"       -> ((s, d) => q40Chunking(s, d)),
@@ -548,6 +644,7 @@ object LLMQueries {
     "q26_multimodal_meta" -> (q26MultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q55_ann_ivf"          -> q55Sql,
     "q38_dedup_components" -> q38Sql,
     "q39_pii_scrub"      -> q39Sql,
     "q40_chunking"       -> q40Sql,

@@ -61,7 +61,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q52's first-touch agg and distinct share the user partitioning
     "q51_funnel" -> 2, "q52_cohort_retention" -> 3,
     // q53 = exploded hops into one combined agg; q54 = user window + matrix agg
-    "q53_hopping_window" -> 1, "q54_transitions" -> 2)
+    "q53_hopping_window" -> 1, "q54_transitions" -> 2,
+    // q55 = assignment argmax + vec_id join + probe window + cell join + final agg
+    "q55_ann_ivf" -> 6)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
