@@ -193,6 +193,21 @@ class TxnLogSpec extends AnyFunSuite {
     assert(t.changes(0, 3).count() == 4)
   }
 
+  test("changes() aligns schema-evolved versions (missing columns as null)") {
+    val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
+      statsColumn = Some("id"))
+    t.overwrite(Seq((1L, "a")).toDF("id", "v").coalesce(1))          // v1
+    t.upsert(Seq((1L, "a2", 9)).toDF("id", "v", "extra"), Seq("id")) // v2: drift
+    val d = t.changes(1, 2)
+    assert(d.columns.toSet == Set("id", "v", "extra", "_change_type"))
+    val rows = d.select("id", "v", "extra", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.get(2), r.getString(3))).toSet
+    // the pre-drift row reads with the evolved column as null
+    assert(rows == Set((1L, "a2", 9, "insert"), (1L, "a", null, "delete")),
+      s"got $rows")
+  }
+
   test("every manifest surviving a vacuum stays fully readable") {
     val t = freshTable()
     t.overwrite(Seq((1L, "v1")).toDF("id", "v"))
