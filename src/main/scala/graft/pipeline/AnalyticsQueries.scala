@@ -281,18 +281,18 @@ object AnalyticsQueries {
 
   // ---------------------------------------------------------------- q52
   /** Retention cohort matrix: users grouped by first-activity month,
-    * counted in each month they return. The standard retention rollup —
-    * first-touch agg, distinct activity pairs (both shuffles keyed on
-    * user_id, so they share one Exchange), then the cohort×period count. */
+    * counted in each month they return. ONE pass over events: per user,
+    * the first-touch min and the distinct-period set come from a single
+    * aggregation (set size is bounded by the calendar, not activity), so
+    * the 100 TB plan is one scan + one user-keyed shuffle + the tiny
+    * cohort×period count — not the textbook two-scans-and-a-join. */
   def q52CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Periods
     val ev = Tables.events(spark, dir)
-    val cohorte = ev.groupBy(col("user_id"))
-      .agg(Periods.periodOf(min(col("ts"))).as("cohorte"))
-    val activity = ev
-      .select(col("user_id"), Periods.periodOf(col("ts")).as("periodo"))
-      .distinct()
-    cohorte.join(activity, Seq("user_id"))
+    ev.groupBy(col("user_id"))
+      .agg(Periods.periodOf(min(col("ts"))).as("cohorte"),
+        collect_set(Periods.periodOf(col("ts"))).as("periodos"))
+      .select(col("cohorte"), explode(col("periodos")).as("periodo"))
       .groupBy(col("cohorte"), col("periodo"))
       .agg(count(lit(1)).as("n_usuarios"))
   }

@@ -58,8 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // q50 = one agg per KPI branch, metadata-only union
     "q48_band_join" -> 1, "q49_train_split" -> 0, "q50_kpi_union" -> 3,
     // q51 = user-first-touch agg + segment rollup (dim broadcast);
-    // q52's first-touch agg and distinct share the user partitioning
-    "q51_funnel" -> 2, "q52_cohort_retention" -> 3,
+    // q52 = single-pass user agg (min + bounded period set) + matrix count
+    "q51_funnel" -> 2, "q52_cohort_retention" -> 2,
     // q53 = exploded hops into one combined agg; q54 = user window + matrix agg
     "q53_hopping_window" -> 1, "q54_transitions" -> 2,
     // q55 = assignment argmax + vec_id join + probe window + cell join + final agg
