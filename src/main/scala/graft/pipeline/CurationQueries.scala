@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.llm.Shingles
+
+/** Corpus-curation wave 2 (round 3): the mixture/layout ops a pretraining
+  * build runs AFTER dedup and quality gating — corpus-common-boilerplate
+  * scoring, temperature-based language rebalancing, and the deterministic
+  * global shuffle that turns a curated corpus into training shards.
+  *
+  * Everything here is oracle-checked (DuckDB) through the portable md5
+  * hash family the q36/q46/q49 wave established. */
+object CurationQueries {
+
+  // ---------------------------------------------------------------- q56
+  /** Corpus-common-boilerplate scoring: for each document, the fraction of
+    * its distinct word-3-grams that are "common" in the corpus (appear in
+    * >= 3 documents) — the within-corpus twin of q34's benchmark
+    * decontamination, and the signal C4-style pipelines use to strip
+    * boilerplate that repeats across many pages.
+    *
+    * Scale shape (100 TB): grams shuffle as 8-byte xxhash64 keys, never as
+    * strings; document frequency is one hash aggregation; the gram→df join
+    * is keyed on the same 8-byte hash so AQE can pick broadcast vs shuffle
+    * by the real size of the common-gram set. Two exchanges total on the
+    * gram stream (df agg reuses the join's partitioning) + one on doc_id.
+    * As in q34, hash collisions could only merge two distinct grams'
+    * df counts (~n²/2^65) — zero on this corpus, oracle-verified. */
+  def q56Boilerplate(spark: SparkSession, dir: String,
+                     minDf: Int = 3): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // shingles() is distinct-per-document, so (doc_id, gh) needs no dedup
+    val grams = d
+      .select(col("doc_id"), explode(Shingles.shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val gramDf = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"))
+    grams.join(gramDf, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L))
+          .cast(IntegerType).as("n_comunes"))
+      .withColumn("frac_comun",
+        col("n_comunes").cast("double") / col("n_grams"))
+  }
+
+  val q56Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 3, 0) + 2),
+      |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')))) AS g
+      |  FROM documents),
+      |df AS (
+      |  SELECT g, count(*) AS df FROM g GROUP BY g)
+      |SELECT g.doc_id,
+      |  CAST(count(*) AS INTEGER) AS n_grams,
+      |  CAST(sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS INTEGER) AS n_comunes,
+      |  CAST(sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS frac_comun
+      |FROM g JOIN df USING (g)
+      |GROUP BY g.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  /** Temperature-based language rebalancing: per language, keep
+    * ceil(3·sqrt(n_lang)) documents chosen in deterministic md5 order —
+    * the alpha=0.5 sampling step multilingual pretraining mixes with so
+    * high-resource languages stop drowning low-resource ones (quota grows
+    * sublinearly with corpus share).
+    *
+    * sqrt is IEEE-exact in both engines (unlike pow(x, alpha) for general
+    * alpha, which is libm-dependent — the reason the catalog form pins
+    * alpha to 0.5), so quota and membership are bit-reproducible.
+    *
+    * Scale shape: one shuffle keyed on lang; rank + count ride the same
+    * window partitioning. Languages are few, so at extreme scale each
+    * stratum is one reducer — the same documented trade as q47's
+    * per-source gate; a two-level refinement (hash-prefix pre-filter, then
+    * exact rank among survivors) drops in without changing semantics. */
+  def q57TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val wAll = Window.partitionBy(col("lang"))
+    d.select(col("doc_id"), col("lang"))
+      .withColumn("n_lang", count(lit(1)).over(wAll).cast(IntegerType))
+      .withColumn("rango", row_number().over(wRank).cast(IntegerType))
+      .withColumn("cuota", ceil(sqrt(col("n_lang")) * 3).cast(IntegerType))
+      .filter(col("rango") <= col("cuota"))
+  }
+
+  val q57Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    CAST(count(*) OVER (PARTITION BY lang) AS INTEGER) AS n_lang,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rango
+      |  FROM documents)
+      |SELECT doc_id, lang, n_lang, rango,
+      |  CAST(ceil(sqrt(n_lang) * 3) AS INTEGER) AS cuota
+      |FROM r WHERE rango <= CAST(ceil(sqrt(n_lang) * 3) AS INTEGER)""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** Deterministic global shuffle → training shards: every document lands
+    * in one of 256 shards (two md5 hex nibbles) with a dense intra-shard
+    * ordinal in md5 order — the reproducible corpus layout a training run
+    * reads sequentially (shard files, shuffled order, no seed state).
+    * Membership AND position are pure functions of doc_id, so any engine
+    * can recompute a shard independently.
+    *
+    * Scale shape: one shuffle keyed on the 256 shard prefixes, position
+    * from a window on that same partitioning; md5 is uniform so shards
+    * stay balanced at any corpus size (widen the prefix for more). */
+  def q58ShuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val wPos = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    d.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", substring(col("h"), 1, 2))
+      .withColumn("pos", row_number().over(wPos).cast(IntegerType))
+      .drop("h")
+  }
+
+  val q58Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents)
+      |SELECT doc_id, source, substr(h, 1, 2) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY substr(h, 1, 2)
+      |    ORDER BY h, doc_id) AS INTEGER) AS pos
+      |FROM h""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_boilerplate"     -> ((s, d) => q56Boilerplate(s, d)),
+    "q57_temperature_mix" -> (q57TemperatureMix _),
+    "q58_shuffle_shard"   -> (q58ShuffleShard _))
+
+  val oracles: Map[String, String] = Map(
+    "q56_boilerplate"     -> q56Sql,
+    "q57_temperature_mix" -> q57Sql,
+    "q58_shuffle_shard"   -> q58Sql)
+}
