@@ -30,7 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashBandsExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
     "simhash64_md5" -> (exprs => SimHashMd5Expr(exprs.head)),
     "marker_count" -> (exprs =>
-      MarkerCountExpr(exprs(0), exprs(1).eval().toString.split('|').toSeq)))
+      MarkerCountExpr(exprs(0), exprs(1).eval().toString.split('|').toSeq)),
+    "bloom_agg" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0)
+        .toAggregateExpression()),
+    "bloom_might_contain" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, builder) =>

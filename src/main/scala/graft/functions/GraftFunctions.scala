@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
 object GraftFunctions {
   val Names = Seq("float_dot", "token_count", "rolling_min_hash", "bottom_k_sample",
     "minhash_signature", "simhash64", "lsh_bucket", "word_shingles",
-    "max_word_freq", "minhash_bands", "simhash64_md5", "marker_count")
+    "max_word_freq", "minhash_bands", "simhash64_md5", "marker_count",
+    "bloom_agg", "bloom_might_contain")
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -43,6 +44,17 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("marker_count",
       exprs => MarkerCountExpr(exprs(0),
         exprs(1).eval().toString.split('|').toSeq), "built-in")
+    // Spark's internal runtime-filter bloom expressions, surfaced for
+    // explicit use (semi-join prefilters a planner rule can't see):
+    // bloom_agg(xxhash64_col, est_items, num_bits) -> binary;
+    // bloom_might_contain(bloom_binary_lit, xxhash64_col) -> boolean.
+    reg.createOrReplaceTempFunction("bloom_agg",
+      exprs => org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0)
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 
   /** Idempotent registration against the active session. */

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{BloomDecontaminate, Shingles}
+
+class BloomSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = graft.core.Tables.documents(spark, sf)
+  private def bench = docs.filter(col("doc_id") % 50 === 0)
+  private def corpus = docs.filter(col("doc_id") % 50 =!= 0)
+
+  test("bloom-prefiltered decontamination is bit-identical to the exact join") {
+    val exact = graft.pipeline.TrainingQueries.q34Decontaminate(spark, sf)
+    val bloom = BloomDecontaminate.flag(corpus, bench)
+    assert(bloom.schema.fieldNames.sorted.sameElements(exact.schema.fieldNames.sorted))
+    assert(exact.except(bloom).count() == 0 && bloom.except(exact).count() == 0)
+  }
+
+  test("no false negatives: every true benchmark gram passes the filter") {
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(Shingles.shingles(col("text"), 8)).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+    val benchHashes = grams(bench).distinct()
+    val bf = BloomDecontaminate.buildBloom(benchHashes, "gh", 1L << 18, 1L << 22)
+    val missed = benchHashes
+      .filter(!BloomDecontaminate.mightContain(bf, col("gh")))
+    assert(missed.count() == 0, "a bloom filter must never reject an inserted key")
+  }
+
+  test("the prefilter is selective: candidate stream shrinks before the join") {
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(Shingles.shingles(col("text"), 8)).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+    val bf = BloomDecontaminate.buildBloom(
+      grams(bench).distinct(), "gh", 1L << 18, 1L << 22)
+    val all = grams(corpus).count()
+    val kept = grams(corpus)
+      .filter(BloomDecontaminate.mightContain(bf, col("gh"))).count()
+    // the corpus is mostly non-contaminated, so the prefilter must drop
+    // the bulk of the gram stream (fp-rate + true hits only survive)
+    assert(kept < all / 2, s"prefilter kept $kept of $all grams")
+  }
+
+  test("probe runs inside whole-stage codegen before any exchange") {
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(Shingles.shingles(col("text"), 8)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val bf = BloomDecontaminate.buildBloom(
+      grams(bench).select("gh").distinct(), "gh", 1L << 18, 1L << 22)
+    val filtered = grams(corpus)
+      .filter(BloomDecontaminate.mightContain(bf, col("gh")))
+      .groupBy("doc_id").count()
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the might_contain predicate must sit under WholeStageCodegen and
+    // upstream of the aggregation's exchange
+    assert(plan.contains("bloom_might_contain") || plan.contains("might_contain"),
+      s"probe missing from plan:\n$plan")
+    val exchangeIdx = plan.indexOf("Exchange")
+    val probeIdx = math.max(plan.indexOf("bloom_might_contain"),
+      plan.indexOf("might_contain"))
+    assert(exchangeIdx >= 0 && probeIdx > exchangeIdx,
+      "probe must appear below (after, in printed order) the exchange — " +
+        s"i.e. map-side, pre-shuffle:\n$plan")
+  }
+}
