@@ -208,6 +208,20 @@ object FlowQueries {
       |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 3600 SECONDS""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** Streaming exact dedup (dropDuplicatesWithinWatermark) driven to
+    * completion with AvailableNow over a self-unioned source — every event
+    * redelivered once, the dedup collapses the stream back to the distinct
+    * event set, and the gate value-checks it against a plain SELECT (the
+    * duplicates are bit-identical so survivor choice cannot diverge). */
+  def q59StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.dedupedRun(spark, dir)
+
+  val q59Sql: String =
+    """SELECT event_id, user_id, event_type, value,
+      |  make_timestamp(epoch_us(ts)) AS ts
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------------- q53
   /** Hopping (sliding) windows in batch: each event lands in the three
     * 3-hour windows (stride 1 h) covering it, via an exploded window-start
@@ -272,6 +286,7 @@ object FlowQueries {
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_stream_join"    -> (q41StreamJoin _),
+    "q59_stream_dedup"   -> (q59StreamDedup _),
     "q53_hopping_window" -> (q53HoppingWindow _),
     "q54_transitions"    -> (q54Transitions _),
     "q9_magic_date"      -> (q9MagicDate _),
@@ -284,6 +299,7 @@ object FlowQueries {
 
   val oracles: Map[String, String] = Map(
     "q41_stream_join"    -> q41Sql,
+    "q59_stream_dedup"   -> q59Sql,
     "q53_hopping_window" -> q53Sql,
     "q54_transitions"    -> q54Sql,
     "q9_magic_date"      -> q9Sql,

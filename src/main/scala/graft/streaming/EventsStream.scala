@@ -142,6 +142,28 @@ object EventsStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Bounded catalog run of [[dedupedStream]]: the source unioned with
+    * itself simulates an at-least-once redelivery of every event, and the
+    * dedup must collapse it back to exactly the distinct event set. The
+    * duplicate rows are bit-identical, so survivor choice is unambiguous
+    * and the output is value-checkable against a plain SELECT of the
+    * table — the streaming dedup operator itself passes the driver gate.
+    * Production tunes the watermark delay down and dedup state stays
+    * O(ids within the watermark), never O(stream). */
+  def dedupedRun(spark: SparkSession, dir: String,
+                 watermarkDelay: String = "90 days"): DataFrame =
+      StreamConf.withStatePartitions(spark) {
+    val s = rawStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    val deduped = dedupedStream(s.union(s), Seq("event_id"), watermarkDelay)
+    val name = "graft_sdedup_" + java.lang.Integer.toHexString(dir.hashCode).replace('-', '_')
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Stream-stream interval join: pair each `typeA` event with the same
     * user's `typeB` events landing within `windowSeconds` AFTER it (the
     * view→purchase attribution shape). Both sides carry event-time

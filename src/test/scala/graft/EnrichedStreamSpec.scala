@@ -129,6 +129,14 @@ class EnrichedStreamSpec extends AnyFunSuite {
     } finally spark.conf.unset(StreamConf.Key)
   }
 
+  test("bounded dedup run collapses a self-unioned source to the distinct set") {
+    val out = graft.streaming.EventsStream.dedupedRun(spark, sf)
+    val total = graft.core.Tables.events(spark, sf).count()
+    // every event redelivered once; dedup must emit each exactly once
+    assert(out.count() == total)
+    assert(out.select("event_id").distinct().count() == total)
+  }
+
   test("stream-static enrichment attaches dim attributes per event") {
     val out = graft.streaming.EventsStream.enriched(spark, sf)
     val total = graft.core.Tables.events(spark, sf).count()
