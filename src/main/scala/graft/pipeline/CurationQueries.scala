@@ -75,12 +75,30 @@ object CurationQueries {
     * alpha, which is libm-dependent — the reason the catalog form pins
     * alpha to 0.5), so quota and membership are bit-reproducible.
     *
-    * Scale shape: one shuffle keyed on lang; rank + count ride the same
-    * window partitioning. Languages are few, so at extreme scale each
-    * stratum is one reducer — the same documented trade as q47's
-    * per-source gate; a two-level refinement (hash-prefix pre-filter, then
-    * exact rank among survivors) drops in without changing semantics. */
+    * Scale shape: the catalog form runs on operators/StratifiedQuota —
+    * languages are few and huge, so a single PARTITION BY lang window
+    * would rank each whole language on one reducer; the two-level split
+    * (histogram over 256 md5-prefix buckets → exact rank within
+    * (lang, bucket) + bucket offset) spreads every language over 256
+    * reducers and stays bit-identical to the window form
+    * (StratifiedQuotaSpec pins the equality). */
   def q57TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val h = md5(col("doc_id").cast("string"))
+    graft.operators.StratifiedQuota.select(
+        d.select(col("doc_id"), col("lang")),
+        group = Seq("lang"), priority = h, bucket = substring(h, 1, 2),
+        tiebreaks = Seq(col("doc_id")),
+        quotaOf = n => ceil(sqrt(n) * 3).cast(IntegerType),
+        nCol = "n_lang")
+      .select(col("doc_id"), col("lang"),
+        col("n_lang").cast(IntegerType).as("n_lang"),
+        col("rango"), col("cuota"))
+  }
+
+  /** Single-window reference form of q57 — the spec pin for the two-level
+    * StratifiedQuota rewrite (bit-identical output, one reducer per lang). */
+  def q57WindowForm(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val wRank = Window.partitionBy(col("lang"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
