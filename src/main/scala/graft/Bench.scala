@@ -79,9 +79,18 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":" + jsonStr(e) }
       .mkString("{", ",", "}")
+    // Order statistics over the recorded runs (nearest-rank): with the
+    // default 2 runs p50 is just the faster run; raise
+    // SPARK_GRAFT_BENCH_RUNS for meaningful spread percentiles.
+    def pct(v: Seq[Double], p: Double): Double = {
+      val s = v.sorted
+      s(math.min(s.size - 1, math.max(0, math.ceil(p * s.size).toInt - 1)))
+    }
+    def pctMap(p: Double): String = results.map { case (k, v, _, _) =>
+      s"\"" + k + "\":" + pct(v, p) }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"runs_per_query":$runsPerQuery,"agg":"min","runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"runs_per_query":$runsPerQuery,"agg":"min","runs":$runs,"p50":${pctMap(0.5)},"p95":${pctMap(0.95)},"sf":"$sfDir"}"""
     println(line)
     // stdout can be truncated by log-capture tooling; the file is the
     // durable copy of the full JSON line

@@ -63,7 +63,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // q53 = exploded hops into one combined agg; q54 = user window + matrix agg
     "q53_hopping_window" -> 1, "q54_transitions" -> 2,
     // q55 = assignment argmax + vec_id join + probe window + cell join + final agg
-    "q55_ann_ivf" -> 6)
+    "q55_ann_ivf" -> 6,
+    // q56 = gram-hash df agg + doc agg (join reuses the df partitioning);
+    // q57 = StratifiedQuota: hist agg + tiny-hist window + (lang,bkt)
+    // window (meta joins back via broadcast); q58 = one shard window;
+    // q59 executes the stream — the returned frame is a memory-sink scan
+    "q56_boilerplate" -> 2, "q57_temperature_mix" -> 3,
+    "q58_shuffle_shard" -> 1, "q59_stream_dedup" -> 0)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
