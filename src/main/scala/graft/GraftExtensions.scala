@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSignatureExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
     "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
     "lsh_bucket" -> (exprs => LshBucketExpr(exprs(0), intLit(exprs(1)))),
+    "lsh_probe_buckets" -> (exprs =>
+      LshProbeBucketsExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
     "word_shingles" -> (exprs => WordShinglesExpr(exprs(0), intLit(exprs(1)))),
     "max_word_freq" -> (exprs => MaxWordFreqExpr(exprs.head)),
     "minhash_bands" -> (exprs =>

@@ -132,6 +132,27 @@ case class MarkerCountExpr(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Query-directed multiprobe buckets: the home LSH bucket plus the
+  * `probes` single-plane flips chosen by SMALLEST |projection| — the
+  * planes a near neighbor is most likely to land on the other side of
+  * (classic multiprobe LSH), instead of an arbitrary fixed plane order.
+  * Element 0 is always the home bucket; probe buckets are distinct. */
+case class LshProbeBucketsExpr(child: Expression, numPlanes: Int, probes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_probe_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.lshProbeBuckets(input.asInstanceOf[ArrayData], numPlanes, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.lshProbeBuckets($c, $numPlanes, $probes)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshProbeBucketsExpr =
+    copy(child = newChild)
+}
+
 case class LshBucketExpr(child: Expression, numPlanes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
@@ -485,5 +506,38 @@ object TextHash {
       p += 1
     }
     bucket
+  }
+
+  /** Home bucket + `probes` lowest-|projection| single-flip buckets (see
+    * LshProbeBucketsExpr). Same plane family as [[lshBucket]], so element
+    * 0 always equals it. */
+  def lshProbeBuckets(vec: ArrayData, numPlanes: Int, probes: Int): ArrayData = {
+    val k = math.max(0, math.min(probes, numPlanes))
+    val out = new Array[Long](1 + k)
+    val n = vec.numElements()
+    if (n == 0) return new GenericArrayData(out) // all-zero, like lshBucket
+    val proj = new Array[Double](numPlanes)
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val planeSeed = XXH64.hashInt(p, Seed)
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val w = if ((XXH64.hashInt(d, planeSeed) & 1L) == 1L) 1.0 else -1.0
+        s += vec.getFloat(d).toDouble * w
+        d += 1
+      }
+      proj(p) = s
+      if (s >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    out(0) = bucket
+    // selection by (|proj|, plane): numPlanes <= 64, a full index sort is
+    // cheaper than cleverness
+    val order = Array.tabulate(numPlanes)(identity).sortBy(i => (math.abs(proj(i)), i))
+    var i = 0
+    while (i < k) { out(i + 1) = bucket ^ (1L << order(i)); i += 1 }
+    new GenericArrayData(out)
   }
 }

@@ -146,20 +146,31 @@ object Similarity {
     * the 100 TB shape. Recall < 1 by construction; exactNN is the oracle
     * form for bounded corpora. */
   def nearDupInBuckets(corpus: DataFrame, idCol: String, vecCol: String,
-                       numPlanes: Int = 8, probes: Int = 0): DataFrame = {
+                       numPlanes: Int = 8, probes: Int = 0,
+                       adaptive: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
       .withColumn("__nrm", norm(col("__v")))
       .withColumn("__b0", lshBucket(col("__v"), numPlanes))
-    // multiprobe: also visit buckets at hamming distance 1 (first `probes`
-    // planes flipped); membership row carries its home-bucket flag so each
-    // unordered pair is scored once, in the smaller bucket id
-    val probeBuckets = array((lit(0) +: (1 to probes).map(lit(_))): _*)
-    val member = c.select(col("__id"), col("__v"), col("__nrm"), col("__b0"),
-        explode(probeBuckets).as("__p"))
-      .withColumn("bucket",
-        when(col("__p") === 0, col("__b0"))
-          .otherwise(col("__b0").bitwiseXOR(
-            expr("shiftleft(CAST(1 AS BIGINT), __p - 1)"))))
+    // multiprobe: also visit `probes` hamming-1 buckets. adaptive=true is
+    // query-directed multiprobe — flip the LOWEST-|projection| planes (the
+    // ones a near neighbor most plausibly falls across), via the
+    // lsh_probe_buckets kernel; adaptive=false flips the first `probes`
+    // planes in fixed order. Membership row carries its home-bucket flag
+    // so each unordered pair is scored once, in the smaller bucket id.
+    val member = if (adaptive) {
+      graft.functions.GraftFunctions.ensureRegistered()
+      c.select(col("__id"), col("__v"), col("__nrm"),
+          posexplode(call_function("lsh_probe_buckets",
+            col("__v"), lit(numPlanes), lit(probes))).as(Seq("__p", "bucket")))
+    } else {
+      val probeBuckets = array((lit(0) +: (1 to probes).map(lit(_))): _*)
+      c.select(col("__id"), col("__v"), col("__nrm"), col("__b0"),
+          explode(probeBuckets).as("__p"))
+        .withColumn("bucket",
+          when(col("__p") === 0, col("__b0"))
+            .otherwise(col("__b0").bitwiseXOR(
+              expr("shiftleft(CAST(1 AS BIGINT), __p - 1)"))))
+    }
     val a = member.select(col("bucket"), col("__id").as("id_a"),
       col("__v").as("__va"), col("__nrm").as("__na"), (col("__p") === 0).as("__home_a"))
     val b = member.select(col("bucket"), col("__id").as("id_b"),

@@ -109,6 +109,30 @@ class KernelParitySpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("lsh_probe_buckets: home first, one-bit probes, full set = all flips") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(200)(Array.fill(rnd.nextInt(96) + 1)(
+      (rnd.nextFloat() - 0.5f) * 20f))
+    val df = vecs.toDF("vec").select(
+      Similarity.lshBucket(col("vec"), numPlanes = 8).as("home"),
+      call_function("lsh_probe_buckets", col("vec"), lit(8), lit(3)).as("p3"),
+      call_function("lsh_probe_buckets", col("vec"), lit(8), lit(8)).as("p8"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val home = r.getLong(0)
+      val p3 = r.getSeq[Long](1)
+      val p8 = r.getSeq[Long](2)
+      assert(p3.head == home && p8.head == home, "element 0 must be the home bucket")
+      assert(p3.size == 4 && p3.distinct.size == 4)
+      // every probe flips exactly one plane
+      p3.tail.foreach(b => assert(java.lang.Long.bitCount(b ^ home) == 1))
+      // probing all planes visits exactly the full single-flip set,
+      // regardless of the margin ordering
+      assert(p8.tail.toSet == (0 until 8).map(p => home ^ (1L << p)).toSet)
+    }
+  }
+
   test("kernels stay inside whole-stage codegen") {
     // a literal corpus constant-folds to LocalTableScan; use the lake table
     val plan = graft.core.Tables.documents(spark, sf).select(

@@ -210,6 +210,30 @@ class LLMSpec extends AnyFunSuite {
     assert(base.forall { case (q, c) => probed.get(q).exists(_ >= c - 1e-12) })
   }
 
+  test("query-directed multiprobe beats fixed-order probing per probe") {
+    val rnd = new scala.util.Random(33)
+    val centers = Array.fill(6)(Array.fill(24)(rnd.nextFloat() * 8f - 4f))
+    val df = (0 until 240).map { i =>
+      // wider jitter than the clustered test: some cluster-mates land
+      // across low-margin planes, which is the case probing exists for
+      (i.toLong, centers(i % 6).map(x => x + (rnd.nextFloat() - 0.5f) * 0.6f))
+    }.toDF("vec_id", "embedding")
+    def goodPairs(probes: Int, adaptive: Boolean): Int =
+      Similarity.nearDupInBuckets(df, "vec_id", "embedding",
+          numPlanes = 8, probes = probes, adaptive = adaptive)
+        .filter(col("cosine") >= 0.99).count().toInt
+    val naive = goodPairs(2, adaptive = false)
+    val directed = goodPairs(2, adaptive = true)
+    // flipping the two lowest-margin planes must recover at least as many
+    // true near neighbors as flipping planes 0 and 1 blindly
+    assert(directed >= naive, s"directed=$directed naive=$naive")
+    // and with the same probe budget it must strictly beat no probing
+    assert(directed > goodPairs(0, adaptive = false))
+    // probing every plane is order-independent: both strategies visit the
+    // identical bucket set, so results coincide exactly
+    assert(goodPairs(8, adaptive = true) == goodPairs(8, adaptive = false))
+  }
+
   test("lsh buckets put identical vectors together") {
     val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")
