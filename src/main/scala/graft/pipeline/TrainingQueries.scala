@@ -24,6 +24,23 @@ object TrainingQueries {
     * and broadcastable. Collision risk ~n²/2^65 only affects the count,
     * not the flag, and is zero on this corpus (oracle-verified). */
   def q34Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // The catalog RUNS the bloom-prefiltered scale path (llm/
+    // BloomDecontaminate): the benchmark bloom drops the bulk of the
+    // corpus gram stream inside whole-stage codegen before any exchange,
+    // and the exact broadcast join removes false positives — bit-identical
+    // to the exact form below (BloomSpec pins the equality), so the gate
+    // value-checks the bloom machinery end to end. The filter build is one
+    // bounded aggregation job before the main plan (the documented
+    // two-phase pattern, like the IVF centroid build).
+    val d = Tables.documents(spark, dir)
+    graft.llm.BloomDecontaminate.flag(
+      corpus = d.filter(col("doc_id") % 50 =!= 0),
+      bench = d.filter(col("doc_id") % 50 === 0), k = 8)
+  }
+
+  /** Plain exact-join form of q34 — the audit/spec twin of the bloom
+    * path the catalog runs. */
+  def q34ExactForm(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     def grams(df: DataFrame) = df
       .select(col("doc_id"), explode(Shingles.shingles(col("text"), 8)).as("g"))

@@ -12,7 +12,8 @@ class BloomSpec extends AnyFunSuite {
   private def corpus = docs.filter(col("doc_id") % 50 =!= 0)
 
   test("bloom-prefiltered decontamination is bit-identical to the exact join") {
-    val exact = graft.pipeline.TrainingQueries.q34Decontaminate(spark, sf)
+    // q34ExactForm is the plain join; the catalog q34 runs the bloom path
+    val exact = graft.pipeline.TrainingQueries.q34ExactForm(spark, sf)
     val bloom = BloomDecontaminate.flag(corpus, bench)
     assert(bloom.schema.fieldNames.sorted.sameElements(exact.schema.fieldNames.sorted))
     assert(exact.except(bloom).count() == 0 && bloom.except(exact).count() == 0)
