@@ -625,8 +625,95 @@ object LLMQueries {
       |WHERE rn = 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q60
+  /** Incremental (asymmetric) near-dup: the daily-ingest shape — an
+    * increment slice (doc_id % 10 == 3) deduped AGAINST the standing
+    * corpus without ever scoring corpus × corpus pairs. Band signatures
+    * on both sides, candidates only where an increment band bucket meets
+    * a corpus band bucket, exact 5-gram-Jaccard verify (>= 0.8), then
+    * per-increment-doc match count + deterministic best match (highest
+    * jaccard, ties to the smallest corpus id).
+    *
+    * Scale shape (100 TB): in production the corpus's banded table is a
+    * maintained artifact (written once per compaction, bucketed on
+    * (band_idx, band_hash)), so a daily increment joins against it with
+    * NO corpus-side recompute and shuffle proportional to the increment —
+    * this query computes both sides only because the gate needs a
+    * self-contained plan. Recall argument matches q19 (16×4 bands,
+    * ≈0.9998 collision at j=0.8); candidate fanout is bounded by
+    * increment-bucket × corpus-bucket occupancy rather than bucket². */
+  def q60IncrementalDedup(spark: SparkSession, dir: String,
+                          minJ: Double = 0.8): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val inc = col("doc_id") % 10 === 3
+    val sh5 = d.select(col("doc_id"), Shingles.shingles(col("text"), 5).as("sh"))
+    val sig = d.select(col("doc_id"),
+      MinHashLSH.signature(col("text"), k = 5, numHashes = 64).as("sig"))
+    val banded = MinHashLSH.bands(sig, "sig", numBands = 16, rowsPerBand = 4)
+      .select("doc_id", "band_idx", "band_hash")
+    val cand = banded.filter(inc)
+      .select(col("doc_id").as("id_i"), col("band_idx"), col("band_hash"))
+      .join(banded.filter(!inc)
+        .select(col("doc_id").as("id_c"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select("id_i", "id_c").distinct()
+    val verified = cand
+      .join(sh5.select(col("doc_id").as("id_i"), col("sh").as("sh_i")), Seq("id_i"))
+      .join(sh5.select(col("doc_id").as("id_c"), col("sh").as("sh_c")), Seq("id_c"))
+      .withColumn("j", NgramJaccard.jaccard(col("sh_i"), col("sh_c")))
+      .filter(col("j") >= minJ)
+    // max over (j, -id): highest jaccard wins, ties -> smallest corpus id
+    val agg = verified
+      .select(col("id_i"),
+        struct(col("j").as("j"), (-col("id_c")).as("neg")).as("cand"))
+      .groupBy(col("id_i"))
+      .agg(count(lit(1)).as("n_matches"), max(col("cand")).as("best"))
+      .select(col("id_i").as("doc_id"), col("n_matches"),
+        (-col("best.neg")).as("best_match"), col("best.j").as("best_j"))
+    d.filter(inc).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_matches")).na.fill(-1L, Seq("best_match"))
+      .na.fill(0.0, Seq("best_j"))
+  }
+
+  val q60Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 5, 0) + 2),
+      |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+4], ' '))) AS sh
+      |  FROM documents),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_c
+      |  FROM inv a JOIN inv b USING (g)
+      |  WHERE a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3),
+      |scored AS (
+      |  SELECT c.id_i, c.id_c,
+      |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |              / len(list_distinct(list_concat(sa.sh, sb.sh))) END AS j
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.id_i
+      |  JOIN sh sb ON sb.doc_id = c.id_c),
+      |v AS (SELECT * FROM scored WHERE j >= 0.8),
+      |agg AS (
+      |  SELECT id_i, count(*) AS n_matches, max(j) AS best_j FROM v GROUP BY id_i),
+      |b1 AS (
+      |  SELECT id_i, id_c AS best_match FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id_i
+      |      ORDER BY j DESC, id_c) AS rn FROM v)
+      |  WHERE rn = 1)
+      |SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches,
+      |  coalesce(b1.best_match, -1) AS best_match,
+      |  coalesce(a.best_j, 0.0) AS best_j
+      |FROM documents d
+      |LEFT JOIN agg a ON a.id_i = d.doc_id
+      |LEFT JOIN b1 ON b1.id_i = d.doc_id
+      |WHERE d.doc_id % 10 = 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_ivf"          -> ((s, d) => q55AnnIvf(s, d)),
+    "q60_incremental_dedup" -> ((s, d) => q60IncrementalDedup(s, d)),
     "q38_dedup_components" -> (q38DedupComponents _),
     "q39_pii_scrub"      -> (q39PiiScrub _),
     "q40_chunking"       -> ((s, d) => q40Chunking(s, d)),
@@ -645,6 +732,7 @@ object LLMQueries {
 
   val oracles: Map[String, String] = Map(
     "q55_ann_ivf"          -> q55Sql,
+    "q60_incremental_dedup" -> q60Sql,
     "q38_dedup_components" -> q38Sql,
     "q39_pii_scrub"      -> q39Sql,
     "q40_chunking"       -> q40Sql,

@@ -234,6 +234,22 @@ class LLMSpec extends AnyFunSuite {
     assert(goodPairs(8, adaptive = true) == goodPairs(8, adaptive = false))
   }
 
+  test("incremental dedup scores only increment-vs-corpus, finds planted dups") {
+    val df = graft.pipeline.LLMQueries.q60IncrementalDedup(spark, sf).cache()
+    // output is exactly the increment slice
+    val incIds = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 3).count()
+    assert(df.count() == incIds)
+    assert(df.filter(col("doc_id") % 10 =!= 3).count() == 0)
+    // a best match is never an increment doc (asymmetry) and never -1
+    // when matches exist
+    assert(df.filter(col("n_matches") > 0 &&
+      (col("best_match") % 10 === 3 || col("best_match") === -1)).count() == 0)
+    // the testdata plants near-dup pairs across the slices
+    assert(df.filter(col("n_matches") > 0).count() > 0)
+    df.unpersist()
+  }
+
   test("lsh buckets put identical vectors together") {
     val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")

@@ -69,7 +69,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // window (meta joins back via broadcast); q58 = one shard window;
     // q59 executes the stream — the returned frame is a memory-sink scan
     "q56_boilerplate" -> 2, "q57_temperature_mix" -> 3,
-    "q58_shuffle_shard" -> 1, "q59_stream_dedup" -> 0)
+    "q58_shuffle_shard" -> 1, "q59_stream_dedup" -> 0,
+    // q60 = band join (inc × corpus) + pair distinct + verify joins
+    // sharing the candidate partitioning + final agg
+    "q60_incremental_dedup" -> 3)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
