@@ -121,6 +121,24 @@ object CorpusPipeline {
     lake.write(seqs, lake.layers.Analytics, "corpus_secuencias")
   }
 
+  /** Curated docs → reproducible training-shard layout (the q58 shape):
+    * 256 md5-prefix shards with a dense intra-shard ordinal, partitioned
+    * on disk by shard so a training reader streams one directory per
+    * shard in shuffled order — membership and position recomputable from
+    * doc_id alone. */
+  def buildShards(lake: LakeIO): Unit = {
+    val cur = lake.read(lake.layers.Domain, "corpus_curado")
+    val wPos = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col("doc_id"))
+    val sharded = cur.select(col("doc_id"), col("source"), col("tokens"),
+        md5(col("doc_id").cast("string")).as("__h"))
+      .withColumn("shard", substring(col("__h"), 1, 2))
+      .withColumn("pos", row_number().over(wPos).cast(IntegerType))
+      .drop("__h")
+    lake.write(sharded, lake.layers.Analytics, "corpus_shards",
+      partitionBy = Seq("shard"))
+  }
+
   /** Full run; idempotent (overwrite semantics per layer). */
   def run(spark: SparkSession, sfDir: String, lakeRoot: String,
           budget: Long = 2000L): LakeIO = {
@@ -129,6 +147,7 @@ object CorpusPipeline {
     buildCurated(lake, sfDir, budget)
     buildPacked(lake)
     buildSequences(lake)
+    buildShards(lake)
     lake
   }
 }

@@ -90,5 +90,20 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .withColumn("__prev", lag(col("secuencia"), 1, -1).over(wSeq))
       .filter(col("secuencia") - col("__prev") > 1)
     assert(gaps.isEmpty, "sequence ids must be dense per source")
+
+    // shard layout covers exactly the curated docs, positions are dense
+    // per shard, and the table is physically partitioned by shard
+    val shards = lake.read(lake.layers.Analytics, "corpus_shards")
+    assert(shards.select("doc_id").as[Long].collect().toSet == ids,
+      "shard stage must cover exactly the curated docs")
+    val badPos = shards.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"),
+        countDistinct("pos").as("dn"))
+      .filter(col("mx") =!= col("n") || col("dn") =!= col("n"))
+    assert(badPos.isEmpty, "positions must be dense 1..n inside each shard")
+    val shardDirs = new java.io.File(
+      s"$root/${lake.layers.Analytics}/corpus_shards").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty, "corpus_shards must be partitioned by shard")
   }
 }
