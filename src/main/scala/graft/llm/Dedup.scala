@@ -203,3 +203,47 @@ object NgramJaccard {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 }
+
+/** Asymmetric (increment-vs-corpus) near-dup — the daily-ingest dedup
+  * shape: LSH-band the increment against the standing corpus, verify
+  * candidates with exact n-gram Jaccard, and report per-increment-doc
+  * match count + deterministic best match. Corpus × corpus pairs are
+  * never scored; at production scale the corpus's banded table is a
+  * maintained artifact bucketed on (band_idx, band_hash), so a daily
+  * increment joins it with shuffle proportional to the increment.
+  * Fed either from slices (pipeline/LLMQueries q60) or from a
+  * transaction log's CDC rows (CorpusPipeline.dedupIncrement). */
+object IncrementalDedup {
+
+  def flag(increment: DataFrame, corpus: DataFrame,
+           idCol: String = "doc_id", textCol: String = "text",
+           minJ: Double = 0.8): DataFrame = {
+    def sh5(df: DataFrame) = df.select(
+      col(idCol), Shingles.shingles(col(textCol), 5).as("sh"))
+    def banded(df: DataFrame, as: String) = MinHashLSH.bands(
+        df.select(col(idCol),
+          MinHashLSH.signature(col(textCol), k = 5, numHashes = 64).as("sig")),
+        "sig", numBands = 16, rowsPerBand = 4)
+      .select(col(idCol).as(as), col("band_idx"), col("band_hash"))
+    val cand = banded(increment, "id_i")
+      .join(banded(corpus, "id_c"), Seq("band_idx", "band_hash"))
+      .select("id_i", "id_c").distinct()
+    val verified = cand
+      .join(sh5(increment).select(col(idCol).as("id_i"), col("sh").as("sh_i")), Seq("id_i"))
+      .join(sh5(corpus).select(col(idCol).as("id_c"), col("sh").as("sh_c")), Seq("id_c"))
+      .withColumn("j", NgramJaccard.jaccard(col("sh_i"), col("sh_c")))
+      .filter(col("j") >= minJ)
+    // max over (j, -id): highest jaccard wins, ties -> smallest corpus id
+    val agg = verified
+      .select(col("id_i"),
+        struct(col("j").as("j"), (-col("id_c")).as("neg")).as("cand"))
+      .groupBy(col("id_i"))
+      .agg(count(lit(1)).as("n_matches"), max(col("cand")).as("best"))
+      .select(col("id_i").as(idCol), col("n_matches"),
+        (-col("best.neg")).as("best_match"), col("best.j").as("best_j"))
+    increment.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_matches")).na.fill(-1L, Seq("best_match"))
+      .na.fill(0.0, Seq("best_j"))
+  }
+}

@@ -139,6 +139,24 @@ object CorpusPipeline {
       partitionBy = Seq("shard"))
   }
 
+  /** Churn-bounded incremental near-dup for a transaction-logged corpus:
+    * dedup only the documents INSERTED between two versions against the
+    * standing corpus at `toV` — the corpus-side twin of
+    * `Analytics.buildAnalyticsIncremental`. `TxnTable.changes` resolves
+    * the increment from the manifest diff (only added/removed files are
+    * scanned), and the asymmetric band join never scores corpus × corpus,
+    * so a daily run costs O(churn), not O(corpus). */
+  def dedupIncrement(txn: graft.sources.TxnTable, fromV: Long, toV: Long,
+                     minJ: Double = 0.8): org.apache.spark.sql.DataFrame = {
+    val inc = txn.changes(fromV, toV)
+      .filter(col("_change_type") === "insert")
+      .select("doc_id", "text")
+    val corpus = txn.readVersion(toV)
+      .join(inc.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+    graft.llm.IncrementalDedup.flag(inc, corpus, minJ = minJ)
+  }
+
   /** Full run; idempotent (overwrite semantics per layer). */
   def run(spark: SparkSession, sfDir: String, lakeRoot: String,
           budget: Long = 2000L): LakeIO = {

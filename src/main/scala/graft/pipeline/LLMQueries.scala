@@ -646,34 +646,7 @@ object LLMQueries {
                           minJ: Double = 0.8): DataFrame = {
     val d = Tables.documents(spark, dir)
     val inc = col("doc_id") % 10 === 3
-    val sh5 = d.select(col("doc_id"), Shingles.shingles(col("text"), 5).as("sh"))
-    val sig = d.select(col("doc_id"),
-      MinHashLSH.signature(col("text"), k = 5, numHashes = 64).as("sig"))
-    val banded = MinHashLSH.bands(sig, "sig", numBands = 16, rowsPerBand = 4)
-      .select("doc_id", "band_idx", "band_hash")
-    val cand = banded.filter(inc)
-      .select(col("doc_id").as("id_i"), col("band_idx"), col("band_hash"))
-      .join(banded.filter(!inc)
-        .select(col("doc_id").as("id_c"), col("band_idx"), col("band_hash")),
-        Seq("band_idx", "band_hash"))
-      .select("id_i", "id_c").distinct()
-    val verified = cand
-      .join(sh5.select(col("doc_id").as("id_i"), col("sh").as("sh_i")), Seq("id_i"))
-      .join(sh5.select(col("doc_id").as("id_c"), col("sh").as("sh_c")), Seq("id_c"))
-      .withColumn("j", NgramJaccard.jaccard(col("sh_i"), col("sh_c")))
-      .filter(col("j") >= minJ)
-    // max over (j, -id): highest jaccard wins, ties -> smallest corpus id
-    val agg = verified
-      .select(col("id_i"),
-        struct(col("j").as("j"), (-col("id_c")).as("neg")).as("cand"))
-      .groupBy(col("id_i"))
-      .agg(count(lit(1)).as("n_matches"), max(col("cand")).as("best"))
-      .select(col("id_i").as("doc_id"), col("n_matches"),
-        (-col("best.neg")).as("best_match"), col("best.j").as("best_j"))
-    d.filter(inc).select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_matches")).na.fill(-1L, Seq("best_match"))
-      .na.fill(0.0, Seq("best_j"))
+    IncrementalDedup.flag(d.filter(inc), d.filter(!inc), minJ = minJ)
   }
 
   val q60Sql: String =

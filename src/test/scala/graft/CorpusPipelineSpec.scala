@@ -106,4 +106,18 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("shard="))
     assert(shardDirs.nonEmpty, "corpus_shards must be partitioned by shard")
   }
+
+  test("CDC-driven incremental dedup equals the slice-driven catalog form") {
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val txn = graft.sources.TxnTable(spark,
+      Files.createTempDirectory("graft_corpus_txn").toString)
+    // day 0: the standing corpus lands; day 1: the increment arrives
+    val v1 = txn.append(docs.filter(col("doc_id") % 10 =!= 3))
+    val v2 = txn.append(docs.filter(col("doc_id") % 10 === 3))
+    val viaCdc = CorpusPipeline.dedupIncrement(txn, v1, v2)
+    val viaSlices = LLMQueries.q60IncrementalDedup(spark, sf)
+    assert(viaCdc.except(viaSlices).count() == 0
+      && viaSlices.except(viaCdc).count() == 0,
+      "changes()-fed dedup must reproduce the catalog q60 exactly")
+  }
 }
