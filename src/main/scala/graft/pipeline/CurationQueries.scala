@@ -152,14 +152,74 @@ object CurationQueries {
       |    ORDER BY h, doc_id) AS INTEGER) AS pos
       |FROM h""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Per-source corpus health report — the monitoring rollup a curation
+    * platform publishes after every ingest: volumes, token mass, quality
+    * and duplication posture, language breadth. Every metric is count /
+    * integer-sum / threshold-count arithmetic (no floating-point
+    * accumulation), so the report is bit-reproducible across engines;
+    * the only doubles are single divisions at the end.
+    *
+    * Scale shape: one exact-dup pre-aggregation on (16-byte content hash)
+    * and one rollup on source — both map-side combined; nothing is
+    * quadratic and no string ever shuffles (the md5 digest does). */
+  def q61CorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // documents whose content hash repeats anywhere in the corpus
+    val dupDocs = d.select(col("doc_id"), md5(col("text")).as("__h"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__n") > 1).select(col("doc_id"))
+    val calidad = graft.llm.TextAnalysis.qualityScore(col("text"))
+    d.select(col("doc_id"), col("source"), col("lang"),
+        size(graft.llm.Shingles.words(col("text"))).cast("long").as("__tokens"),
+        calidad.as("__calidad"))
+      .join(dupDocs.withColumn("__dup", lit(1L)), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("__dup"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tokens")).as("tokens_total"),
+        sum(when(col("__calidad") >= 0.5, 1L).otherwise(0L)).as("n_alta_calidad"),
+        sum(col("__dup")).as("n_dups"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("tokens_prom",
+        col("tokens_total").cast("double") / col("n_docs"))
+  }
+
+  val q61Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source, lang,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
+      |    CAST(len(regexp_extract_all(text,
+      |      '\b(the|a|an|and|or|of|to|in|is|on|for)\b')) AS DOUBLE)
+      |      / len(regexp_split_to_array(trim(text), '\s+')) * 0.5
+      |      + (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+      |               / length(text)) * 0.3
+      |      + least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+      |              / 200.0, 1.0) * 0.2 AS calidad,
+      |    CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+      |      THEN 1 ELSE 0 END AS dup
+      |  FROM documents)
+      |SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(tokens) AS BIGINT) AS tokens_total,
+      |  CAST(sum(CASE WHEN calidad >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_alta_calidad,
+      |  CAST(sum(dup) AS BIGINT) AS n_dups,
+      |  count(DISTINCT lang) AS n_langs,
+      |  CAST(sum(tokens) AS DOUBLE) / count(*) AS tokens_prom
+      |FROM m GROUP BY source""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_boilerplate"     -> ((s, d) => q56Boilerplate(s, d)),
     "q57_temperature_mix" -> (q57TemperatureMix _),
-    "q58_shuffle_shard"   -> (q58ShuffleShard _))
+    "q58_shuffle_shard"   -> (q58ShuffleShard _),
+    "q61_corpus_report"   -> (q61CorpusReport _))
 
   val oracles: Map[String, String] = Map(
     "q56_boilerplate"     -> q56Sql,
     "q57_temperature_mix" -> q57Sql,
-    "q58_shuffle_shard"   -> q58Sql)
+    "q58_shuffle_shard"   -> q58Sql,
+    "q61_corpus_report"   -> q61Sql)
 }

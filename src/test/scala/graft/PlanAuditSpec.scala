@@ -72,7 +72,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q58_shuffle_shard" -> 1, "q59_stream_dedup" -> 0,
     // q60 = band join (inc × corpus) + pair distinct + verify joins
     // sharing the candidate partitioning + final agg
-    "q60_incremental_dedup" -> 3)
+    "q60_incremental_dedup" -> 3,
+    // q61 = content-hash dup window + doc_id join + source rollup
+    // (countDistinct rides the rollup's partial/final pair)
+    "q61_corpus_report" -> 3)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
