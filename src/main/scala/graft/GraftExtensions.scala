@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "lsh_bucket" -> (exprs => LshBucketExpr(exprs(0), intLit(exprs(1)))),
     "lsh_probe_buckets" -> (exprs =>
       LshProbeBucketsExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
+    "lsh_probe_buckets_margin" -> (exprs =>
+      LshProbeBucketsMarginExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
+        exprs(3).eval().asInstanceOf[Number].doubleValue())),
     "word_shingles" -> (exprs => WordShinglesExpr(exprs(0), intLit(exprs(1)))),
     "max_word_freq" -> (exprs => MaxWordFreqExpr(exprs.head)),
     "minhash_bands" -> (exprs =>

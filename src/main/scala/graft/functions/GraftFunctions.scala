@@ -11,7 +11,8 @@ object GraftFunctions {
   val Names = Seq("float_dot", "token_count", "rolling_min_hash", "bottom_k_sample",
     "minhash_signature", "simhash64", "lsh_bucket", "word_shingles",
     "max_word_freq", "minhash_bands", "simhash64_md5", "marker_count",
-    "bloom_agg", "bloom_might_contain", "lsh_probe_buckets")
+    "bloom_agg", "bloom_might_contain", "lsh_probe_buckets",
+    "lsh_probe_buckets_margin")
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -35,6 +36,9 @@ object GraftFunctions {
       exprs => LshBucketExpr(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("lsh_probe_buckets",
       exprs => LshProbeBucketsExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("lsh_probe_buckets_margin",
+      exprs => LshProbeBucketsMarginExpr(exprs(0), intLit(exprs(1)),
+        intLit(exprs(2)), exprs(3).eval().asInstanceOf[Number].doubleValue()), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       exprs => WordShinglesExpr(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("max_word_freq",

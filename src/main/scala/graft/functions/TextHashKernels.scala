@@ -153,6 +153,27 @@ case class LshProbeBucketsExpr(child: Expression, numPlanes: Int, probes: Int)
     copy(child = newChild)
 }
 
+/** Variable-budget twin of [[LshProbeBucketsExpr]]: probes only planes
+  * with |projection| under `marginFrac` × the row's mean |projection|
+  * (capped at `maxProbes`). Confident rows emit just their home bucket. */
+case class LshProbeBucketsMarginExpr(child: Expression, numPlanes: Int,
+                                     maxProbes: Int, marginFrac: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_probe_buckets_margin"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.lshProbeBucketsMargin(
+      input.asInstanceOf[ArrayData], numPlanes, maxProbes, marginFrac)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.lshProbeBucketsMargin($c, $numPlanes, $maxProbes, $marginFrac)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshProbeBucketsMarginExpr =
+    copy(child = newChild)
+}
+
 case class LshBucketExpr(child: Expression, numPlanes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
@@ -538,6 +559,46 @@ object TextHash {
     val order = Array.tabulate(numPlanes)(identity).sortBy(i => (math.abs(proj(i)), i))
     var i = 0
     while (i < k) { out(i + 1) = bucket ^ (1L << order(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Margin-threshold multiprobe: probe only the planes whose |projection|
+    * is under `marginFrac` × the row's mean |projection| (capped at
+    * `maxProbes`), smallest margins first. Rows that sit confidently
+    * inside their bucket probe NOTHING; rows near hyperplane boundaries
+    * probe exactly the ambiguous planes — the per-row-budget refinement of
+    * [[lshProbeBuckets]]'s fixed k. Element 0 is always the home bucket. */
+  def lshProbeBucketsMargin(vec: ArrayData, numPlanes: Int, maxProbes: Int,
+                            marginFrac: Double): ArrayData = {
+    val n = vec.numElements()
+    if (n == 0) return new GenericArrayData(Array(0L))
+    val proj = new Array[Double](numPlanes)
+    var bucket = 0L
+    var sumAbs = 0.0
+    var p = 0
+    while (p < numPlanes) {
+      val planeSeed = XXH64.hashInt(p, Seed)
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val w = if ((XXH64.hashInt(d, planeSeed) & 1L) == 1L) 1.0 else -1.0
+        s += vec.getFloat(d).toDouble * w
+        d += 1
+      }
+      proj(p) = s
+      sumAbs += math.abs(s)
+      if (s >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    val threshold = marginFrac * (sumAbs / numPlanes)
+    val order = Array.tabulate(numPlanes)(identity)
+      .sortBy(i => (math.abs(proj(i)), i))
+      .filter(i => math.abs(proj(i)) < threshold)
+      .take(math.max(0, maxProbes))
+    val out = new Array[Long](1 + order.length)
+    out(0) = bucket
+    var i = 0
+    while (i < order.length) { out(i + 1) = bucket ^ (1L << order(i)); i += 1 }
     new GenericArrayData(out)
   }
 }

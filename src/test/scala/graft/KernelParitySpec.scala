@@ -133,6 +133,43 @@ class KernelParitySpec extends AnyFunSuite {
     }
   }
 
+  test("margin-threshold multiprobe: prefix of the adaptive order, monotone") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val vecs = Seq.fill(200)(Array.fill(rnd.nextInt(96) + 1)(
+      (rnd.nextFloat() - 0.5f) * 20f))
+    val rows = vecs.toDF("vec").select(
+      call_function("lsh_probe_buckets", col("vec"), lit(8), lit(8)).as("full"),
+      call_function("lsh_probe_buckets_margin",
+        col("vec"), lit(8), lit(8), lit(0.0)).as("none"),
+      call_function("lsh_probe_buckets_margin",
+        col("vec"), lit(8), lit(8), lit(0.7)).as("some"),
+      call_function("lsh_probe_buckets_margin",
+        col("vec"), lit(8), lit(8), lit(1e9)).as("all"))
+      .collect()
+    var probedSomething = 0
+    var skippedSomething = 0
+    rows.foreach { r =>
+      val full = r.getSeq[Long](0)
+      val none = r.getSeq[Long](1)
+      val some = r.getSeq[Long](2)
+      val all = r.getSeq[Long](3)
+      // marginFrac 0 probes nothing; unbounded margin equals the fixed-k
+      // adaptive ordering exactly (same margins, same tie-break)
+      assert(none == Seq(full.head))
+      assert(all == full)
+      // a finite margin selects a PREFIX of the adaptive order — the
+      // lowest-margin planes go first in both
+      assert(some == full.take(some.size))
+      if (some.size > 1) probedSomething += 1
+      if (some.size < full.size) skippedSomething += 1
+    }
+    // the threshold must actually discriminate on this corpus: some rows
+    // probe, some save their budget
+    assert(probedSomething > 0 && skippedSomething > 0,
+      s"threshold not discriminating: $probedSomething probed, $skippedSomething skipped")
+  }
+
   test("kernels stay inside whole-stage codegen") {
     // a literal corpus constant-folds to LocalTableScan; use the lake table
     val plan = graft.core.Tables.documents(spark, sf).select(
