@@ -210,16 +210,61 @@ object CurationQueries {
       |  CAST(sum(tokens) AS DOUBLE) / count(*) AS tokens_prom
       |FROM m GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Symmetric int8 embedding quantization — the vector-compression step
+    * that cuts a 100 TB float32 embedding store 4× for ANN serving:
+    * per-vector absolute-max scale, elements mapped to
+    * floor(x/scale·127 + 0.5) ∈ [-127, 127]. Every step is IEEE-exact
+    * double arithmetic (division, multiply, floor — no libm), so the
+    * quantized codes are bit-reproducible across engines; the oracle
+    * pins every element through an md5 digest of the code string plus
+    * the code sum. Zero-shuffle map stage. */
+  def q62Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val scale = array_max(transform(col("embedding"), x => abs(x)))
+      .cast("double")
+    val codes = transform(col("embedding"), x =>
+      when(col("escala") === 0.0, lit(0L)).otherwise(
+        floor(x.cast("double") / col("escala") * lit(127.0) + lit(0.5))
+          .cast("long")))
+    e.select(col("vec_id"), scale.as("escala"), col("embedding"))
+      .withColumn("codes", codes)
+      .select(col("vec_id"), col("escala"),
+        aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("suma_q"),
+        md5(concat_ws(",", transform(col("codes"), _.cast("string"))))
+          .as("md5_q"))
+  }
+
+  val q62Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+      |      AS escala,
+      |    embedding
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id, escala,
+      |    list_transform(embedding, x -> CASE WHEN escala = 0.0 THEN 0
+      |      ELSE CAST(floor(CAST(x AS DOUBLE) / escala * 127.0 + 0.5) AS BIGINT)
+      |      END) AS codes
+      |  FROM q)
+      |SELECT vec_id, escala,
+      |  CAST(list_sum(codes) AS BIGINT) AS suma_q,
+      |  md5(array_to_string(codes, ',')) AS md5_q
+      |FROM c""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_boilerplate"     -> ((s, d) => q56Boilerplate(s, d)),
     "q57_temperature_mix" -> (q57TemperatureMix _),
     "q58_shuffle_shard"   -> (q58ShuffleShard _),
-    "q61_corpus_report"   -> (q61CorpusReport _))
+    "q61_corpus_report"   -> (q61CorpusReport _),
+    "q62_quantize"        -> (q62Quantize _))
 
   val oracles: Map[String, String] = Map(
     "q56_boilerplate"     -> q56Sql,
     "q57_temperature_mix" -> q57Sql,
     "q58_shuffle_shard"   -> q58Sql,
-    "q61_corpus_report"   -> q61Sql)
+    "q61_corpus_report"   -> q61Sql,
+    "q62_quantize"        -> q62Sql)
 }

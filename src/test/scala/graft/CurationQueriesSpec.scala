@@ -56,6 +56,22 @@ class CurationQueriesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("quantization: codes bounded, scale exact, zero shuffle") {
+    val df = CurationQueries.q62Quantize(spark, sf).cache()
+    val e = graft.core.Tables.embeddings(spark, sf)
+    assert(df.count() == e.count())
+    // |codes| <= 127 per element implies |sum| <= 127 * dim
+    val dim = e.selectExpr("max(size(embedding))").head().getInt(0)
+    assert(df.filter(abs(col("suma_q")) > 127L * dim).count() == 0)
+    // quantization is a pure map: no Exchange at any scale
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q62 must not shuffle:\n$plan")
+    // deterministic: recomputation digests identically
+    val again = CurationQueries.q62Quantize(spark, sf)
+    assert(df.except(again).count() == 0)
+    df.unpersist()
+  }
+
   test("q56 plan: gram stream shuffles on 8-byte hashes, no string keys") {
     val df = CurationQueries.q56Boilerplate(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

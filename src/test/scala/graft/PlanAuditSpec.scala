@@ -75,7 +75,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q60_incremental_dedup" -> 3,
     // q61 = content-hash dup window + doc_id join + source rollup
     // (countDistinct rides the rollup's partial/final pair)
-    "q61_corpus_report" -> 3)
+    "q61_corpus_report" -> 3,
+    // q62 = pure map stage (per-vector quantization)
+    "q62_quantize" -> 0)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
