@@ -140,6 +140,88 @@ object Similarity {
         col("best.cosine").as("cosine"))
   }
 
+  /** Dense-kernel twin of [[exactNN]]: identical grid semantics (every
+    * unordered pair scored once, in cell (blk_a, blk_b)), but each cell's
+    * members are collected into primitive arrays and scored in a tight
+    * JVM loop (mapGroups — the documented dense-linear-algebra last-resort
+    * case, like bruteForceTopK's blocked kernel) instead of materializing
+    * N·B joined rows through codegen. Same strict left-to-right double
+    * arithmetic as the float_dot kernel, so results are BIT-IDENTICAL to
+    * the expression form (spec-pinned) and the oracle. Shuffle volume is
+    * unchanged (each row visits 2B-1 cells vs the join's 2B replicas);
+    * per-task memory is the same ~2N/B vectors the join's build side
+    * already held; each cell emits at most one best-so-far row per member,
+    * and the final max-by agg combines map-side. */
+  def exactNNDense(corpus: DataFrame, idCol: String, vecCol: String,
+                   blocks: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val b = blocks
+    val partials = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        // same xxhash64+pmod as exactNN's __blk (any pair partition is
+        // correct; matching the expression form keeps the plans comparable)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)
+        val blk = (((h % b) + b) % b).toInt
+        // probe role across the grid row, build role across the column;
+        // the (blk, blk) diagonal cell is emitted once and plays both
+        (0 until b).iterator.map(j => ((blk, j), (id, v, blk))) ++
+          (0 until b).iterator.filter(_ != blk).map(i => ((i, blk), (id, v, blk)))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val members = it.map(_._2).toArray
+        val n = members.length
+        val ids = new Array[Long](n)
+        val vecs = new Array[Array[Float]](n)
+        val norms = new Array[Double](n)
+        var m = 0
+        while (m < n) {
+          val (id, v, _) = members(m)
+          ids(m) = id; vecs(m) = v; norms(m) = VectorNorms.norm(v)
+          m += 1
+        }
+        val isProbe = members.map(_._3 == cell._1)
+        val isBuild = members.map(_._3 == cell._2)
+        // per-member best-so-far: (cosine, neighborId); ties -> smaller id
+        val bestCos = Array.fill(n)(Double.NegativeInfinity)
+        val bestId = new Array[Long](n)
+        var a = 0
+        while (a < n) {
+          if (isProbe(a)) {
+            var c = 0
+            while (c < n) {
+              // score each unordered pair once: probe.id < build.id
+              if (isBuild(c) && ids(a) < ids(c)) {
+                val cos = VectorNorms.dot(vecs(a), vecs(c)) / (norms(a) * norms(c))
+                if (cos > bestCos(a) || (cos == bestCos(a) && ids(c) < bestId(a))) {
+                  bestCos(a) = cos; bestId(a) = ids(c)
+                }
+                if (cos > bestCos(c) || (cos == bestCos(c) && ids(a) < bestId(c))) {
+                  bestCos(c) = cos; bestId(c) = ids(a)
+                }
+              }
+              c += 1
+            }
+          }
+          a += 1
+        }
+        (0 until n).iterator
+          .filter(i => bestCos(i) != Double.NegativeInfinity)
+          .map(i => (ids(i), bestId(i), bestCos(i)))
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    partials
+      .select(col("query_id"), struct(col("cosine"),
+        (-col("neighbor_id")).as("neg_id")).as("cand"))
+      .groupBy(col("query_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("query_id"), (-col("best.neg_id")).as("neighbor_id"),
+        col("best.cosine").as("cosine"))
+  }
+
   /** Approximate near-dup scale path: nearest neighbor WITHIN each LSH
     * bucket (plus `probes` extra single-bit-flip probe buckets for recall).
     * Shuffles on bucket id only — work is sum of bucket² instead of N²,

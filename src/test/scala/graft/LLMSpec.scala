@@ -93,13 +93,27 @@ class LLMSpec extends AnyFunSuite {
     assert(grid == brute)
   }
 
-  test("q24 plan: equi-join, no driver-side corpus, degrades to shuffle not cartesian") {
-    // a collected corpus reappears as an ExistingRDD scan / object pipeline —
-    // the round-1 scale-killer this replaces. The join must be an equi-join
-    // Catalyst sizes adaptively: broadcast while tiny is fine (no hint), but
-    // with broadcast unavailable it must become a shuffled join, never a
-    // CartesianProduct.
+  test("q24 plan: distributed cell grouping, no driver-side corpus") {
+    // the catalog runs the dense per-cell kernel: a collected corpus would
+    // reappear as an ExistingRDD scan (the round-1 scale-killer) — the
+    // dense form must instead read the parquet relation, shuffle on the
+    // cell key, and run the kernel inside MapGroups
     val plan = LLMQueries.q24EmbeddingDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      "corpus must not round-trip through the driver")
+    assert(plan.contains("MapGroups"), s"expected the cell kernel in:\n$plan")
+    assert(plan.contains("FileScan parquet"), s"expected a relation scan in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("exactNN audit twin: equi-join, degrades to shuffle not cartesian") {
+    // the expression form stays the audit twin: an equi-join Catalyst sizes
+    // adaptively — broadcast while tiny is fine (no hint), but with
+    // broadcast unavailable it must become a shuffled join, never a
+    // CartesianProduct
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val plan = Similarity.exactNN(emb, "vec_id", "embedding")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ExistingRDD") && !plan.contains("MapPartitions"),
       "corpus must not round-trip through the driver")
@@ -108,7 +122,7 @@ class LLMSpec extends AnyFunSuite {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val big = LLMQueries.q24EmbeddingDedup(spark, sf)
+      val big = Similarity.exactNN(emb, "vec_id", "embedding")
         .queryExecution.executedPlan.toString
       assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
         s"expected shuffled equi-join with broadcast off in:\n$big")
@@ -232,6 +246,17 @@ class LLMSpec extends AnyFunSuite {
     // probing every plane is order-independent: both strategies visit the
     // identical bucket set, so results coincide exactly
     assert(goodPairs(8, adaptive = true) == goodPairs(8, adaptive = false))
+  }
+
+  test("dense-kernel exact NN is bit-identical to the expression-form grid") {
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val expr = Similarity.exactNN(e, "vec_id", "embedding")
+    val dense = Similarity.exactNNDense(e, "vec_id", "embedding")
+    assert(dense.except(expr).count() == 0 && expr.except(dense).count() == 0)
+    // and with a different block count: the pair partition changes, the
+    // result must not
+    val dense3 = Similarity.exactNNDense(e, "vec_id", "embedding", blocks = 3)
+    assert(dense3.except(expr).count() == 0 && expr.except(dense3).count() == 0)
   }
 
   test("incremental dedup scores only increment-vs-corpus, finds planted dups") {

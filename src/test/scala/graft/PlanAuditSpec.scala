@@ -35,7 +35,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q13_sessionize" -> 1, "q14_stream_tumbling" -> 0, "q15_dedup_exact" -> 1,
     "q16_text_quality" -> 0, "q17_token_count" -> 0, "q18_lang_id" -> 0,
     "q19_minhash_dedup" -> 5, "q20_simhash" -> 4, "q21_ngram_jaccard" -> 0,
-    "q22_ann_topk" -> 1, "q23_ann_lsh" -> 1, "q24_embedding_dedup" -> 1,
+    // q24 runs the dense per-cell kernel: cell-key exchange + final
+    // max-by agg exchange (the expression twin's single exchange rode the
+    // broadcast join; the dense form trades it for ~5× scoring throughput)
+    "q22_ann_topk" -> 1, "q23_ann_lsh" -> 1, "q24_embedding_dedup" -> 2,
     "q25_fingerprint" -> 0, "q26_multimodal_meta" -> 0,
     "q27_hierarchy_union" -> 0, "q28_running_balance" -> 1,
     "q29_anti_join" -> 0, "q30_semi_join" -> 0, "q31_json_extract" -> 1,
