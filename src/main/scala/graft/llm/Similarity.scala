@@ -196,10 +196,15 @@ object Similarity {
               // score each unordered pair once: probe.id < build.id
               if (isBuild(c) && ids(a) < ids(c)) {
                 val cos = VectorNorms.dot(vecs(a), vecs(c)) / (norms(a) * norms(c))
-                if (cos > bestCos(a) || (cos == bestCos(a) && ids(c) < bestId(a))) {
+                // Double.compare, not ">": a zero-norm vector yields NaN
+                // cosine, which Spark's struct-max orders LARGEST — the
+                // kernel must agree with the expression twin even there
+                val da = java.lang.Double.compare(cos, bestCos(a))
+                if (da > 0 || (da == 0 && ids(c) < bestId(a))) {
                   bestCos(a) = cos; bestId(a) = ids(c)
                 }
-                if (cos > bestCos(c) || (cos == bestCos(c) && ids(a) < bestId(c))) {
+                val dc = java.lang.Double.compare(cos, bestCos(c))
+                if (dc > 0 || (dc == 0 && ids(a) < bestId(c))) {
                   bestCos(c) = cos; bestId(c) = ids(a)
                 }
               }

@@ -257,6 +257,22 @@ class LLMSpec extends AnyFunSuite {
     // result must not
     val dense3 = Similarity.exactNNDense(e, "vec_id", "embedding", blocks = 3)
     assert(dense3.except(expr).count() == 0 && expr.except(dense3).count() == 0)
+    // domain note, verified: a zero-norm vector makes the EXPRESSION form
+    // throw under ANSI division (no silent NaN ordering divergence is
+    // possible on inputs it accepts); the dense kernel's Double.compare
+    // keeps Spark's NaN-largest semantics for any caller that disables
+    // ANSI. Both forms are defined on nonzero-norm corpora.
+    val withZero = e.limit(20).union(
+      e.sparkSession.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(9999L, Seq.fill(24)(0.0f), 0)), e.schema))
+    val thrown = intercept[Exception] {
+      Similarity.exactNN(withZero, "vec_id", "embedding").collect()
+    }
+    def rootMessage(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).mkString(" | "))
+    assert(rootMessage(thrown).contains("DIVIDE_BY_ZERO"),
+      s"expected ANSI divide-by-zero, got: ${rootMessage(thrown)}")
   }
 
   test("incremental dedup scores only increment-vs-corpus, finds planted dups") {
