@@ -84,4 +84,40 @@ class PropertySpec extends AnyFunSuite {
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b)) == acc
     })
   }
+
+  test("int8 quantization: codes bounded, reconstruction within half a step") {
+    // the q62 formula replayed in plain scala: per-vector abs-max scale,
+    // floor(x/s*127 + 0.5). Codes stay in [-127, 127]; dequantized values
+    // land within half a quantization step (plus fp slack) of the input.
+    val vec = Gen.chooseNum(1, 96).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50.0f, 50.0f)).map(_.toArray))
+    check(Prop.forAll(vec) { v =>
+      val s = v.map(x => math.abs(x.toDouble)).max
+      s == 0.0 || v.forall { x =>
+        val q = math.floor(x.toDouble / s * 127.0 + 0.5)
+        math.abs(q) <= 127.0 &&
+          math.abs(q * s / 127.0 - x.toDouble) <= s / 254.0 + 1e-9 * s
+      }
+    })
+  }
+
+  test("margin multiprobe: probe count monotone in the margin fraction") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val vec = Gen.chooseNum(1, 96).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-20.0f, 20.0f)).map(_.toArray))
+    val frac = Gen.chooseNum(0.0, 3.0)
+    check(Prop.forAll(vec, frac, frac) { (v, f1, f2) =>
+      val (lo, hi) = if (f1 <= f2) (f1, f2) else (f2, f1)
+      def probes(f: Double): Seq[Long] = {
+        val a = graft.functions.TextHash.lshProbeBucketsMargin(
+          ArrayData.toArrayData(v), 8, 8, f)
+        (0 until a.numElements()).map(a.getLong)
+      }
+      val pLo = probes(lo)
+      val pHi = probes(hi)
+      // widening the margin can only extend the probe list, never reorder
+      // it — the lower-margin list is a prefix of the higher-margin one
+      pHi.take(pLo.size) == pLo
+    })
+  }
 }
