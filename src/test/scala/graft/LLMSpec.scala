@@ -275,6 +275,21 @@ class LLMSpec extends AnyFunSuite {
       s"expected ANSI divide-by-zero, got: ${rootMessage(thrown)}")
   }
 
+  test("quantized top-k: full recall after exact rescore on this corpus") {
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val qs = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k = 3)
+      .select("query_id", "rango", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(qs, e, "vec_id", "embedding", k = 3)
+      .select("query_id", "rango", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    // int8 coarse cut at rescore=8 must keep every true top-3 neighbor;
+    // the exact rescore then reproduces the brute-force ranking verbatim
+    assert(quant == exact,
+      s"missing: ${(exact -- quant).take(5)}; extra: ${(quant -- exact).take(5)}")
+  }
+
   test("incremental dedup scores only increment-vs-corpus, finds planted dups") {
     val df = graft.pipeline.LLMQueries.q60IncrementalDedup(spark, sf).cache()
     // output is exactly the increment slice
