@@ -319,6 +319,22 @@ object LLMQueries {
       |    ORDER BY cosine DESC, neighbor_id ASC) AS rango FROM scored)
       |WHERE rango <= 10""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Quantized ANN serving path, driver-gated: coarse int8 code scan
+    * (4× less IO than float32 at serving scale) into bounded per-query
+    * heaps, exact float rescore of the surviving candidates. The exact
+    * rescore reproduces the brute-force ranking verbatim whenever the
+    * true top-k survives the coarse cut — deterministic on fixed data,
+    * and the oracle (the same exact top-k SQL as q22) verifies exactly
+    * that end to end at every SF the gate runs. */
+  def q63AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.quantizedTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+  }
+
+  val q63Sql: String = q22Sql
+
   // ---------------------------------------------------------------- q23
   /** LSH-bucketed ANN scale path: sign-pattern buckets over the PORTABLE
     * md5-parity hyperplane family (weights are literal ±1 vectors resolved
@@ -690,6 +706,7 @@ object LLMQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_ivf"          -> ((s, d) => q55AnnIvf(s, d)),
     "q60_incremental_dedup" -> ((s, d) => q60IncrementalDedup(s, d)),
+    "q63_ann_quantized"    -> (q63AnnQuantized _),
     "q38_dedup_components" -> (q38DedupComponents _),
     "q39_pii_scrub"      -> (q39PiiScrub _),
     "q40_chunking"       -> ((s, d) => q40Chunking(s, d)),
@@ -709,6 +726,7 @@ object LLMQueries {
   val oracles: Map[String, String] = Map(
     "q55_ann_ivf"          -> q55Sql,
     "q60_incremental_dedup" -> q60Sql,
+    "q63_ann_quantized"    -> q63Sql,
     "q38_dedup_components" -> q38Sql,
     "q39_pii_scrub"      -> q39Sql,
     "q40_chunking"       -> q40Sql,

@@ -80,7 +80,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // (countDistinct rides the rollup's partial/final pair)
     "q61_corpus_report" -> 3,
     // q62 = pure map stage (per-vector quantization)
-    "q62_quantize" -> 0)
+    "q62_quantize" -> 0,
+    // q63 = coarse-candidate distinct + rescore window (query side
+    // broadcast; candidate join rides AQE)
+    "q63_ann_quantized" -> 2)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
