@@ -9,8 +9,14 @@ object Bench {
     * wall time. */
   private final class ShuffleMeter extends SparkListener {
     val bytes = new AtomicLong(0L)
+    val taskNanos = new AtomicLong(0L)
+    val stages = new AtomicLong(0L)
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      // executorRunTime is milliseconds of task compute summed over tasks:
+      // task_sec / wall_sec ≈ effective parallelism of the query
+      taskNanos.addAndGet(sc.stageInfo.taskMetrics.executorRunTime * 1000000L)
+      stages.incrementAndGet(): Unit
     }
   }
 
@@ -45,6 +51,8 @@ object Bench {
       val timings = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         val s0 = meter.bytes.get()
+        val k0 = meter.taskNanos.get()
+        val g0 = meter.stages.get()
         // Materialize every output column through the noop sink: .count()
         // lets Catalyst prune projections, so map-only queries would time
         // the scan and row-count alone, not their expressions.
@@ -59,9 +67,11 @@ object Bench {
         val elapsed = (System.nanoTime() - t0) / 1e9
         // listener events are async; give stage-completed events a beat
         Thread.sleep(50)
-        (elapsed, meter.bytes.get() - s0)
+        (elapsed, meter.bytes.get() - s0,
+          (meter.taskNanos.get() - k0) / 1e9, meter.stages.get() - g0)
       }
-      (name, timings.map(_._1), timings.last._2, error)
+      (name, timings.map(_._1), timings.last._2, error,
+        timings.last._3, timings.last._4)
     }
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
@@ -70,15 +80,22 @@ object Bench {
         case c if c < ' ' => "\\u%04x".format(c.toInt)
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v.min }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, v, _, _) =>
+    val runs = results.map { case (k, v, _, _, _, _) =>
       s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, b, _) => s"\"" + k + "\":" + b }
+    val sh = results.map { case (k, _, b, _, _, _) => s"\"" + k + "\":" + b }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":" + jsonStr(e) }
+    val errs = results.collect { case (k, _, _, Some(e), _, _) => s"\"" + k + "\":" + jsonStr(e) }
       .mkString("{", ",", "}")
+    // stage attribution for the warm run: total executor task seconds and
+    // stage count — task_sec/wall ≈ effective parallelism, and a query
+    // whose task_sec is tiny next to wall is overhead-bound, not compute
+    val tasks = results.map { case (k, _, _, _, t, _) =>
+      s"\"" + k + "\":" + t }.mkString("{", ",", "}")
+    val stages = results.map { case (k, _, _, _, _, g) =>
+      s"\"" + k + "\":" + g }.mkString("{", ",", "}")
     // Order statistics over the recorded runs (nearest-rank): with the
     // default 2 runs p50 is just the faster run; raise
     // SPARK_GRAFT_BENCH_RUNS for meaningful spread percentiles.
@@ -86,11 +103,11 @@ object Bench {
       val s = v.sorted
       s(math.min(s.size - 1, math.max(0, math.ceil(p * s.size).toInt - 1)))
     }
-    def pctMap(p: Double): String = results.map { case (k, v, _, _) =>
+    def pctMap(p: Double): String = results.map { case (k, v, _, _, _, _) =>
       s"\"" + k + "\":" + pct(v, p) }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"runs_per_query":$runsPerQuery,"agg":"min","runs":$runs,"p50":${pctMap(0.5)},"p95":${pctMap(0.95)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"runs_per_query":$runsPerQuery,"agg":"min","runs":$runs,"p50":${pctMap(0.5)},"p95":${pctMap(0.95)},"task_sec":$tasks,"stages":$stages,"sf":"$sfDir"}"""
     println(line)
     // stdout can be truncated by log-capture tooling; the file is the
     // durable copy of the full JSON line
