@@ -253,18 +253,83 @@ object CurationQueries {
       |  md5(array_to_string(codes, ',')) AS md5_q
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Collocation (phrase) detection — the word2phrase step tokenizer /
+    * phrase-vocabulary builds run over a corpus: count adjacent word
+    * pairs, score each by corpus lift
+    * `n_total · count(w1 w2) / (count(w1) · count(w2))` (a PMI monotone
+    * transform kept rational — one double division, no logs, so the score
+    * is bit-portable), keep pairs seen ≥ 5 times, top 50 by
+    * (lift, pair). High-lift pairs are the multi-word expressions worth
+    * fusing into single tokens.
+    *
+    * Scale shape: one shuffle for pair counts (map-side combined), word
+    * counts ride a second tiny agg joined back by each pair endpoint —
+    * both joins AQE-broadcast the aggregated (vocabulary-sized) sides at
+    * any corpus size; the final top-50 is a single-reducer sort over the
+    * ≥5-count survivors only. */
+  def q64Collocations(spark: SparkSession, dir: String,
+                      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val words = d.select(graft.llm.Shingles.words(col("text")).as("ws"))
+    // every OCCURRENCE counts (unlike the distinct-per-doc shingle
+    // kernel), so pairs are built positionally
+    val occ = words.select(posexplode(col("ws")).as(Seq("i", "w1")),
+        col("ws"))
+      .filter(col("i") < size(col("ws")) - 1)
+      .select(col("w1"), element_at(col("ws"), col("i") + 2).as("w2"))
+    val pairCounts = occ.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_par"))
+    val wordCounts = words.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = words.select(sum(size(col("ws"))).as("n_total"))
+    pairCounts.filter(col("n_par") >= minCount)
+      .join(wordCounts.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(wordCounts.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("n_total") * col("n_par")).cast("double")
+          / (col("n_w1") * col("n_w2")))
+      .select(col("w1"), col("w2"), col("n_par"), col("n_w1"), col("n_w2"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  val q64Sql: String =
+    """WITH ws AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |occ AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2
+      |  FROM ws, unnest(range(1, len(ws))) AS t(i)),
+      |pc AS (SELECT w1, w2, count(*) AS n_par FROM occ GROUP BY w1, w2),
+      |wc AS (SELECT w, count(*) AS n_w FROM (
+      |  SELECT unnest(ws) AS w FROM ws) GROUP BY w),
+      |tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n_total FROM ws)
+      |SELECT p.w1, p.w2, p.n_par, a.n_w AS n_w1, b.n_w AS n_w2,
+      |  CAST(tot.n_total * p.n_par AS DOUBLE) / (a.n_w * b.n_w) AS lift
+      |FROM pc p
+      |JOIN wc a ON a.w = p.w1
+      |JOIN wc b ON b.w = p.w2
+      |CROSS JOIN tot
+      |WHERE p.n_par >= 5
+      |ORDER BY lift DESC, p.w1, p.w2
+      |LIMIT 50""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_boilerplate"     -> ((s, d) => q56Boilerplate(s, d)),
     "q57_temperature_mix" -> (q57TemperatureMix _),
     "q58_shuffle_shard"   -> (q58ShuffleShard _),
     "q61_corpus_report"   -> (q61CorpusReport _),
-    "q62_quantize"        -> (q62Quantize _))
+    "q62_quantize"        -> (q62Quantize _),
+    "q64_collocations"    -> ((s, d) => q64Collocations(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q56_boilerplate"     -> q56Sql,
     "q57_temperature_mix" -> q57Sql,
     "q58_shuffle_shard"   -> q58Sql,
     "q61_corpus_report"   -> q61Sql,
-    "q62_quantize"        -> q62Sql)
+    "q62_quantize"        -> q62Sql,
+    "q64_collocations"    -> q64Sql)
 }

@@ -83,7 +83,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q62_quantize" -> 0,
     // q63 = coarse-candidate distinct + rescore window (query side
     // broadcast; candidate join rides AQE)
-    "q63_ann_quantized" -> 2)
+    "q63_ann_quantized" -> 2,
+    // q64 = pair-count agg + word-count agg (joined back twice,
+    // vocabulary-sized sides broadcast by AQE) + final top-k sort
+    "q64_collocations" -> 4)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
