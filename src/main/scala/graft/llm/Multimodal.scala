@@ -60,9 +60,10 @@ object Multimodal {
 
   /** Batch-decode plumbing: partition-at-a-time iteration with the same
     * row shape a vectorized decoder would use. The per-row `decode` is
-    * injected so tests can observe batching; the default is the stub. */
+    * injected so tests can observe batching; the default is the REAL
+    * header-only parser ([[MediaHeaders.decode]] — PNG/JPEG/GIF/BMP). */
   def decodeBatches(df: DataFrame, binCol: String)(
-      decode: Array[Byte] => (Int, Int, String)): DataFrame = {
+      decode: Array[Byte] => (Int, Int, String) = MediaHeaders.decode): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(df.schema.fields ++ Array(

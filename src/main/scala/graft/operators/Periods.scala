@@ -38,6 +38,34 @@ object Periods {
   def fromMagic(m: Column): Column =
     date_add(to_date(lit(MagicPivot)), (m - lit(MagicOffset)).cast(IntegerType))
 
+  /** timestamp -> BigMagic time-of-day: HHMMSS as an integer rendered to
+    * string — `h·10000 + m·100 + s` (reference:
+    * code/redshift/loadt_stage_to_redshift.py:98-104
+    * `transform_convert_hora_bigmagic`). Leading zeros drop with the
+    * integer form: 00:05:09 -> "509", midnight -> "0" — the value the
+    * Redshift varchar target keys on. (The reference's PySpark expression
+    * adds a *string* seconds substring to an int, which Spark coerces
+    * through double — an accidental "123456.0" rendering; we pin the
+    * integer intent, not the coercion artifact.) */
+  def toMagicHora(ts: Column): Column =
+    (hour(ts) * lit(10000) + minute(ts) * lit(100) + second(ts))
+      .cast(IntegerType).cast("string")
+
+  /** BigMagic HHMMSS string/int -> seconds-of-day (inverse of
+    * [[toMagicHora]] up to the day boundary; pairs with [[fromMagic]] to
+    * rebuild a full timestamp from the reference's (date, hora) pair). */
+  def fromMagicHoraSeconds(hora: Column): Column = {
+    val v = hora.cast(IntegerType)
+    (floor(v / 10000) * 3600 + floor(pmod(v, lit(10000)) / 100) * 60
+      + pmod(v, lit(100))).cast(IntegerType)
+  }
+
+  /** (magic day, magic hora) -> full timestamp — the round-trip the
+    * stage->Redshift load implies but never writes down. */
+  def fromMagicParts(day: Column, hora: Column): Column =
+    timestamp_seconds(unix_date(fromMagic(day)).cast("long") * 86400L
+      + fromMagicHoraSeconds(hora))
+
   /** Trailing period list ending at `end` inclusive, like get_periods(). */
   def periods(n: Int, end: YearMonth): Seq[String] =
     (0 until n).map(i => end.minusMonths(i.toLong)).map(ym => f"${ym.getYear}%04d${ym.getMonthValue}%02d")

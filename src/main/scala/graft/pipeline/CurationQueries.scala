@@ -282,13 +282,16 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_par"))
     val wordCounts = words.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-    val total = words.select(sum(size(col("ws"))).as("n_total"))
+    // the corpus token total is ONE bounded row — resolve it driver-side
+    // (the Similarity.ivfCentroids bounded-build-side pattern) and inject
+    // it as a literal; a crossJoin(broadcast(1-row)) would plan a
+    // BroadcastNestedLoopJoin and trip the quadratic-join gate
+    val nTotal = words.agg(sum(size(col("ws")))).head.getLong(0)
     pairCounts.filter(col("n_par") >= minCount)
       .join(wordCounts.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
       .join(wordCounts.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
-      .crossJoin(broadcast(total))
       .withColumn("lift",
-        (col("n_total") * col("n_par")).cast("double")
+        (lit(nTotal) * col("n_par")).cast("double")
           / (col("n_w1") * col("n_w2")))
       .select(col("w1"), col("w2"), col("n_par"), col("n_w1"), col("n_w2"),
         col("lift"))

@@ -28,6 +28,35 @@ object FlowQueries {
       |  DATE '2008-01-01' + CAST(date_diff('day', DATE '2008-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS fecha_roundtrip
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** BigMagic time-of-day twin of q9: HHMMSS integer-string encoding of a
+    * timestamp (reference: code/redshift/loadt_stage_to_redshift.py:98-104
+    * `transform_convert_hora_bigmagic`), its seconds-of-day inverse, and
+    * the (magic day, magic hora) -> timestamp rebuild. Leading zeros drop
+    * with the integer form (00:05:09 -> "509", midnight -> "0"); the
+    * rebuild recovers ts at second precision (sub-second truncates, as the
+    * HHMMSS encoding implies). Zero-shuffle map stage. */
+  def q66MagicHora(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(
+      col("event_id"),
+      col("ts"),
+      Periods.toMagicHora(col("ts")).as("hora_magic"),
+      Periods.toMagic(col("ts")).as("fecha_magic"))
+      .withColumn("seg_dia", Periods.fromMagicHoraSeconds(col("hora_magic")))
+      .withColumn("ts_roundtrip",
+        Periods.fromMagicParts(col("fecha_magic"), col("hora_magic"))
+          .cast("timestamp_ntz"))
+  }
+
+  val q66Sql: String =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  CAST(hour(ts) * 10000 + minute(ts) * 100 + CAST(second(ts) AS INTEGER) AS VARCHAR) AS hora_magic,
+      |  CAST(date_diff('day', DATE '2008-01-01', CAST(ts AS DATE)) + 733042 AS INTEGER) AS fecha_magic,
+      |  CAST(hour(ts) * 3600 + minute(ts) * 60 + CAST(second(ts) AS INTEGER) AS INTEGER) AS seg_dia,
+      |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_roundtrip
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------------- q10
   /** As-of join: each purchase event picks up the user's most recent
     * click value at-or-before it (rate-in-force pattern,
@@ -290,6 +319,7 @@ object FlowQueries {
     "q53_hopping_window" -> (q53HoppingWindow _),
     "q54_transitions"    -> (q54Transitions _),
     "q9_magic_date"      -> (q9MagicDate _),
+    "q66_magic_hora"     -> (q66MagicHora _),
     "q10_asof_rate"      -> (q10AsofRate _),
     "q11_merge_upsert"   -> (q11MergeUpsert _),
     "q12_union_instances" -> (q12UnionInstances _),
@@ -303,6 +333,7 @@ object FlowQueries {
     "q53_hopping_window" -> q53Sql,
     "q54_transitions"    -> q54Sql,
     "q9_magic_date"      -> q9Sql,
+    "q66_magic_hora"     -> q66Sql,
     "q10_asof_rate"      -> q10Sql,
     "q11_merge_upsert"   -> q11Sql,
     "q12_union_instances" -> q12Sql,

@@ -452,6 +452,37 @@ object LLMQueries {
       |       ELSE 'webp' END AS formato
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** REAL multimodal decode through the gate: deterministic PNG / JPEG
+    * (baseline SOF0 + progressive SOF2) / GIF / BMP binaries are
+    * synthesized per doc_id (graft.llm.MediaSynth), then parsed back by
+    * the header-only decoder (graft.llm.MediaHeaders) running inside the
+    * batched mapPartitions plumbing. The oracle predicts the decoded
+    * metadata from the same doc_id arithmetic — any parser defect (wrong
+    * offset, endianness, marker-walk bug) diverges from the prediction
+    * and fails the hash compare. Zero-shuffle map stage; O(header bytes)
+    * per row, so the shape holds at any corpus size. */
+  def q65MediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val synthUdf = udf((id: Long) => MediaSynth.synth(id))
+    val withBin = Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("payload", synthUdf(col("doc_id")))
+    Multimodal.decodeBatches(withBin, "payload")()
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast(IntegerType).as("n_bytes"),
+        col("ancho"), col("alto"), col("formato"))
+  }
+
+  val q65Sql: String =
+    """SELECT doc_id,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 33 WHEN 1 THEN 42 WHEN 2 THEN 42
+      |       WHEN 3 THEN 13 ELSE 54 END AS INTEGER) AS n_bytes,
+      |  CAST(1 + (doc_id * 13) % 1920 AS INTEGER) AS ancho,
+      |  CAST(1 + (doc_id * 7) % 1080 AS INTEGER) AS alto,
+      |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |       WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif' ELSE 'bmp' END AS formato
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- maps
   // ---------------------------------------------------------------- q38
   /** Dedup component resolution: the union-find step after pair
@@ -550,9 +581,11 @@ object LLMQueries {
       |FROM idx""".stripMargin
 
   // ---------------------------------------------------------------- q55
-  /** IVF ANN as a VALUE-CHECKED catalog query. Centroids come from the
-    * portable deterministic sample (first md5 hex nibble of vec_id =
-    * '0'), every vector is assigned to its max-cosine centroid, queries
+  /** IVF ANN as a VALUE-CHECKED catalog query. Centroids are the
+    * `nCells` vectors with the SMALLEST md5(vec_id) hex digests — a
+    * portable deterministic sample whose size is FIXED (independent of
+    * corpus size, resolved by a TakeOrdered, never a full collect);
+    * every vector is assigned to its max-cosine centroid, queries
     * probe their top-2 cells, and the approximate NN is the best
     * candidate inside the probed cells — assignment, probing, and the
     * (deliberately imperfect) recall are all deterministic functions of
@@ -565,12 +598,19 @@ object LLMQueries {
     * inherent N×C distance stream — pipelined explode into a map-side
     * argmax, no join; candidate scoring is an equi-join on the cell id,
     * so work is sum-of-probed-cells, never N². */
-  def q55AnnIvf(spark: SparkSession, dir: String, probes: Int = 2): DataFrame = {
+  def q55AnnIvf(spark: SparkSession, dir: String, probes: Int = 2,
+                nCells: Int = 16): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val base = emb.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
+    // bounded build side: exactly nCells rows cross the driver, whatever
+    // the corpus size (orderBy+limit plans a TakeOrdered — no full sort,
+    // no full collect); md5 order is engine-portable, vec_id breaks ties
     val cents: Seq[(Long, Seq[Float], Double)] = base
-      .filter(substring(md5(col("vec_id").cast("string")), 1, 1) === "0")
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq, r.getDouble(2)))
       .toSeq
@@ -615,7 +655,7 @@ object LLMQueries {
     s"""WITH n AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
       |cent AS (
       |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n
-      |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
       |scored AS (
       |  SELECT n.vec_id, cent.cid,
       |    ${dot2("n.embedding", "cent.cvec")} / (n.nrm * cent.cnrm) AS cos
@@ -721,7 +761,8 @@ object LLMQueries {
     "q23_ann_lsh"        -> (q23AnnLsh _),
     "q24_embedding_dedup" -> (q24EmbeddingDedup _),
     "q25_fingerprint"    -> (q25Fingerprint _),
-    "q26_multimodal_meta" -> (q26MultimodalMeta _))
+    "q26_multimodal_meta" -> (q26MultimodalMeta _),
+    "q65_media_decode"   -> (q65MediaDecode _))
 
   val oracles: Map[String, String] = Map(
     "q55_ann_ivf"          -> q55Sql,
@@ -741,5 +782,6 @@ object LLMQueries {
     "q21_ngram_jaccard"  -> q21Sql,
     "q22_ann_topk"       -> q22Sql,
     "q24_embedding_dedup" -> q24Sql,
-    "q26_multimodal_meta" -> q26Sql)
+    "q26_multimodal_meta" -> q26Sql,
+    "q65_media_decode"   -> q65Sql)
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Conformance
+import graft.sources.Conformance.Col
+
+/** The declarative conformance interpreter: reference formula pins
+  * (default/literal/fecha/hora/get_date dispatch, numeric parsing) and the
+  * headline law — q3's hand-written dim build is reproducible from pure
+  * metadata, bit-equal. */
+class ConformanceSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("q3 dim build from a declarative spec is bit-equal to the hand-written form") {
+    val cst = graft.core.Tables.customer(spark, sf)
+    val nat = graft.core.Tables.nation(spark, sf)
+    val reg = graft.core.Tables.region(spark, sf)
+    val joined = cst
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"), "left")
+    // the spec a metadata table would carry for this dim — adding a
+    // conformed table means writing rows like these, not Scala
+    val spec = Seq(
+      Col("id_cliente", "c_custkey,c_nationkey", function = "surrogate"),
+      Col("cod_cliente", "c_custkey", "bigint"),
+      Col("desc_cliente", "c_name", "varchar", function = "upper_trim"),
+      Col("desc_nacion", "n_name", "varchar", "NATION DEFAULT", "coalesce_default"),
+      Col("desc_region", "r_name", "varchar", "REGION DEFAULT", "coalesce_default"),
+      Col("desc_segmento", "c_mktsegment", "varchar", function = "upper_trim"),
+      Col("imp_saldo", "c_acctbal", "double precision"),
+      Col("es_moroso", "c_acctbal", "integer", function = "flag_negative"))
+    val declared = Conformance.conform(joined, spec)
+    val handWritten = graft.pipeline.CoreQueries.q3DimConform(spark, sf)
+    assert(declared.columns.toSeq == handWritten.columns.toSeq)
+    assert(declared.schema == handWritten.schema,
+      s"schema drift:\n${declared.schema}\nvs\n${handWritten.schema}")
+    assert(declared.exceptAll(handWritten).isEmpty
+      && handWritten.exceptAll(declared).isEmpty,
+      "declared conformance must be value-identical to the hand-written dim")
+    // one projection, no quadratic plans, still a broadcast star join
+    val plan = declared.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("default dispatch: literal wins, 'null' means NULL, types follow the redshift vocabulary") {
+    val df = Seq(("7", "x")).toDF("a", "b")
+    val out = Conformance.conform(df, Seq(
+      Col("s", "a", "character varying"),
+      Col("i", "a", "integer"),
+      Col("small", "a", "smallint"),            // widens to int, like the reference
+      Col("n", "a", "numeric(16,4)"),
+      Col("nd", "a", "numeric"),                // default precision 38,12
+      Col("lit_s", "", "varchar", "PE"),        // literal wins
+      Col("lit_null", "a", "varchar", "null"),  // literal "null" -> SQL NULL
+      Col("d", "", "double precision", "2.5")))
+    val r = out.head()
+    assert(out.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "s" -> "string", "i" -> "int", "small" -> "int",
+      "n" -> "decimal(16,4)", "nd" -> "decimal(38,12)",
+      "lit_s" -> "string", "lit_null" -> "string", "d" -> "double"))
+    assert(r.getString(0) == "7" && r.getInt(1) == 7 && r.getInt(2) == 7)
+    assert(r.getDecimal(3).toPlainString == "7.0000")
+    assert(r.getString(5) == "PE" && r.isNullAt(6) && r.getDouble(7) == 2.5)
+  }
+
+  test("fecha/hora bigmagic and get_date dispatch match the Periods formulas") {
+    val df = Seq("2024-02-29 18:30:15").toDF("s")
+      .select(to_timestamp($"s").as("ts"))
+    val out = Conformance.conform(df, Seq(
+      Col("fecha", "ts", "integer", function = "convert_fecha_bigmagic"),
+      Col("hora", "ts", "varchar", function = "convert_hora_bigmagic"),
+      Col("carga_s", "", "varchar", function = "get_date"),
+      Col("carga_i", "", "integer", function = "get_date"),
+      Col("carga_d", "", "date", function = "get_date")),
+      today = "2026-08-13")
+    val r = out.head()
+    // 2008-01-01 -> 733042; 2024-02-29 is 5903 days later
+    assert(r.getInt(0) == 733042 + java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse("2008-01-01"), java.time.LocalDate.parse("2024-02-29")).toInt)
+    assert(r.getString(1) == "183015")
+    assert(r.getString(2) == "20260813" && r.getInt(3) == 20260813)
+    assert(r.getDate(4).toString == "2026-08-13")
+  }
+
+  test("csv-artifact specs load in ordinal order and drive conform") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conf_spec")
+    java.nio.file.Files.writeString(dir.resolve("columns.csv"),
+      "table;target_column;source;target_type;literal;function;ordinal\n" +
+        "m_demo;cod;k;bigint;;;1\n" +
+        "m_demo;descr;name;varchar;;upper_trim;2\n" +
+        "m_demo;pais;;varchar;PE;;3\n")
+    val specs = Conformance.fromCsv(spark, dir.resolve("columns.csv").toString)
+    val out = Conformance.conform(
+      Seq((1L, " lima ")).toDF("k", "name"), specs("m_demo"))
+    assert(out.columns.toSeq == Seq("cod", "descr", "pais"))
+    assert(out.as[(Long, String, String)].head() == ((1L, "LIMA", "PE")))
+  }
+
+  test("unknown function names fail fast, not silently") {
+    intercept[IllegalArgumentException] {
+      Conformance.compile(Col("x", "a", function = "no_such_fn"))
+    }
+  }
+}

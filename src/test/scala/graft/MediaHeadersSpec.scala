@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{MediaHeaders, MediaSynth}
+
+/** The header-only media decoder: round-trip over every synthesized
+  * format, adversarial malformed inputs, and the synth length constants
+  * the q65 oracle's n_bytes arithmetic depends on. */
+class MediaHeadersSpec extends AnyFunSuite {
+
+  test("round-trip: synth dims survive decode for every format variant") {
+    // ids cover all 5 format branches several times, incl. 0 and large ids
+    val ids = (0L to 37L) ++ Seq(1000L, 99999L, 123456789L)
+    ids.foreach { id =>
+      val (w, h, f) = MediaHeaders.decode(MediaSynth.synth(id))
+      assert(f == MediaSynth.formatOf(id), s"id=$id format")
+      assert(w == MediaSynth.widthOf(id), s"id=$id width")
+      assert(h == MediaSynth.heightOf(id), s"id=$id height")
+    }
+  }
+
+  test("synth payload lengths equal the oracle's pinned constants") {
+    assert(MediaSynth.synth(0L).length == MediaSynth.PngBytes)   // png
+    assert(MediaSynth.synth(1L).length == MediaSynth.JpegBytes)  // SOF0
+    assert(MediaSynth.synth(2L).length == MediaSynth.JpegBytes)  // SOF2
+    assert(MediaSynth.synth(3L).length == MediaSynth.GifBytes)   // gif
+    assert(MediaSynth.synth(4L).length == MediaSynth.BmpBytes)   // bmp
+  }
+
+  test("jpeg: fill bytes, RST markers, and APPn segments are walked over") {
+    // hand-build: SOI, fill 0xFF padding, APP1 with junk, RST0, SOF0
+    val o = new java.io.ByteArrayOutputStream()
+    def w(bs: Int*): Unit = bs.foreach(o.write)
+    w(0xff, 0xd8)                    // SOI
+    w(0xff, 0xff, 0xff, 0xe1, 0x00, 0x06, 1, 2, 3, 4) // fill + APP1 len 6
+    w(0xff, 0xd0)                    // RST0 (no payload)
+    w(0xff, 0xc0, 0x00, 0x0b, 8, 0x01, 0x00, 0x02, 0x80, 1, 1, 0x11, 0)
+    // height 0x0100=256, width 0x0280=640
+    assert(MediaHeaders.decode(o.toByteArray) == (640, 256, "jpeg"))
+  }
+
+  test("jpeg: SOS or EOI before any SOF decodes unknown, not a crash") {
+    def seg(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    assert(MediaHeaders.decode(seg(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0))
+      == (0, 0, "unknown"))
+    assert(MediaHeaders.decode(seg(0xff, 0xd8, 0xff, 0xd9)) == (0, 0, "unknown"))
+    // truncated mid-segment
+    assert(MediaHeaders.decode(seg(0xff, 0xd8, 0xff, 0xe0, 0x00)) == (0, 0, "unknown"))
+    // declared length runs past the buffer
+    assert(MediaHeaders.decode(seg(0xff, 0xd8, 0xff, 0xe0, 0xff, 0xff))
+      == (0, 0, "unknown"))
+  }
+
+  test("png: wrong chunk tag or zero dims decode unknown") {
+    val good = MediaSynth.synth(0L) // a png
+    val badTag = good.clone(); badTag(12) = 'X'.toByte
+    assert(MediaHeaders.decode(badTag) == (0, 0, "unknown"))
+    val zeroW = good.clone(); zeroW(16) = 0; zeroW(17) = 0; zeroW(18) = 0; zeroW(19) = 0
+    assert(MediaHeaders.decode(zeroW) == (0, 0, "unknown"))
+    // truncated before IHDR
+    assert(MediaHeaders.decode(good.take(12)) == (0, 0, "unknown"))
+  }
+
+  test("bmp: negative (top-down) height decodes as positive magnitude") {
+    val b = MediaSynth.synth(4L) // bmp synth writes -h
+    val (w, h, f) = MediaHeaders.decode(b)
+    assert(f == "bmp" && w == MediaSynth.widthOf(4L) && h == MediaSynth.heightOf(4L))
+  }
+
+  test("garbage, empty, and null inputs decode unknown") {
+    assert(MediaHeaders.decode(null) == (0, 0, "unknown"))
+    assert(MediaHeaders.decode(Array.empty[Byte]) == (0, 0, "unknown"))
+    assert(MediaHeaders.decode("not media at all".getBytes) == (0, 0, "unknown"))
+    assert(MediaHeaders.decode(Array.fill[Byte](100)(0x7f)) == (0, 0, "unknown"))
+  }
+}

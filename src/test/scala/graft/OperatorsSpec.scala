@@ -35,6 +35,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m2008 == 733042)
   }
 
+  test("magic hora pins the reference HHMMSS formula incl. midnight and leading-zero edges") {
+    // reference: loadt_stage_to_redshift.py:98-104 — h*10000 + m*100 + s
+    // as the varchar the Redshift target receives; integer form drops
+    // leading zeros (00:05:09 -> "509") and midnight collapses to "0"
+    val df = Seq(
+      "2023-10-01 12:34:56",   // reference docstring example -> "123456"
+      "2023-10-01 00:00:00",   // midnight -> "0"
+      "2023-10-01 00:05:09",   // leading-zero hour+min -> "509"
+      "2023-10-01 23:59:59",   // day edge -> "235959"
+      "2023-10-01 07:00:30")   // zero minutes -> "70030"
+      .toDF("s").select(to_timestamp($"s").as("ts"))
+      .select($"ts", Periods.toMagicHora($"ts").as("hora"))
+      .withColumn("seg", Periods.fromMagicHoraSeconds($"hora"))
+    val got = df.select($"hora", $"seg").as[(String, Int)].collect().toSeq
+    assert(got == Seq(
+      ("123456", 12 * 3600 + 34 * 60 + 56),
+      ("0", 0),
+      ("509", 5 * 60 + 9),
+      ("235959", 23 * 3600 + 59 * 60 + 59),
+      ("70030", 7 * 3600 + 30)))
+    // (magic day, magic hora) rebuilds the timestamp at second precision
+    val rt = Seq("2024-02-29 18:30:15.750")  // leap day + sub-second input
+      .toDF("s").select(to_timestamp($"s").as("ts"))
+      .select(Periods.fromMagicParts(
+        Periods.toMagic($"ts"), Periods.toMagicHora($"ts")).as("back"))
+      .select(date_format($"back", "yyyy-MM-dd HH:mm:ss").as("f"))
+      .as[String].head()
+    assert(rt == "2024-02-29 18:30:15") // sub-second truncates with HHMMSS
+  }
+
   test("csv external read honors the reference ; separator and header") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv")
     java.nio.file.Files.writeString(dir.resolve("conf.csv"),

@@ -86,7 +86,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q63_ann_quantized" -> 2,
     // q64 = pair-count agg + word-count agg (joined back twice,
     // vocabulary-sized sides broadcast by AQE) + final top-k sort
-    "q64_collocations" -> 4)
+    "q64_collocations" -> 4,
+    // q65 = synth + header decode, pure map stage
+    "q65_media_decode" -> 0,
+    // q66 = magic hora encode/decode, pure map stage
+    "q66_magic_hora" -> 0)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
