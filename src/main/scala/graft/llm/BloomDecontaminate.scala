@@ -66,4 +66,36 @@ object BloomDecontaminate {
         when(col("n_colisiones") > 0, lit(1)).otherwise(lit(0))
           .cast(org.apache.spark.sql.types.IntegerType))
   }
+
+  /** STREAMING decontamination flag — the incremental-ingest twin of the
+    * batch [[flag]]: each arriving document is probed against the static
+    * benchmark bloom entirely inside its own row (shingle -> hash ->
+    * codegen probe inside an array HOF), so the stream needs NO state
+    * store, no watermark, and no shuffle — per-batch cost is a map over
+    * the batch, which is the only shape that survives a high-rate ingest.
+    *
+    * The price of statelessness is bloom false positives (sized by
+    * `numBits`): `contaminado_aprox` may over-flag but NEVER under-flags
+    * (no false negatives — the bloom law, spec-pinned against the exact
+    * batch form). Production shape: the stream cheap-flags, the tiny
+    * flagged slice gets the exact batch [[flag]] confirmation. */
+  def flagStream(stream: DataFrame, bench: DataFrame, k: Int = 8,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 numBits: Long = 1L << 22): DataFrame = {
+    GraftFunctions.register(stream.sparkSession)
+    val benchHashes = bench
+      .select(explode(Shingles.shingles(col(textCol), k)).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    val bloom = buildBloom(benchHashes, "gh",
+      expectedItems = math.max(1L, numBits >> 4), numBits = numBits)
+    stream.select(col(idCol), col("source"),
+        Shingles.shingles(col(textCol), k).as("__sh"))
+      .withColumn("n_candidatas",
+        size(filter(col("__sh"), g => mightContain(bloom, xxhash64(g))))
+          .cast("long"))
+      .drop("__sh")
+      .withColumn("contaminado_aprox",
+        when(col("n_candidatas") > 0, lit(1)).otherwise(lit(0))
+          .cast(org.apache.spark.sql.types.IntegerType))
+  }
 }

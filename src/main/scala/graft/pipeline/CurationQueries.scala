@@ -319,6 +319,55 @@ object CurationQueries {
       |ORDER BY lift DESC, p.w1, p.w2
       |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Per-source TF-IDF distinctive terms: for each source, the 5 words
+    * whose frequency is most out of proportion with how many sources use
+    * them — the corpus-mix diagnostic (what makes each slice distinctive)
+    * run next to q61's volume report. Scoring is kept rational:
+    * tf · n_sources / df_sources (one double division, no logs), so the
+    * ranking is bit-portable across engines.
+    *
+    * Scale shape: tf aggregates on (source, word) with map-side combine;
+    * source-df is a second aggregation OVER the tf rows (vocabulary-sized,
+    * not corpus-sized); the join back is keyed on the word and both sides
+    * are vocabulary-sized, so AQE picks broadcast vs shuffle by real size.
+    * The source count is ONE driver-resolved scalar (the q64 pattern —
+    * never a 1-row crossJoin). Final top-5 is a window over source. */
+  def q67TfIdf(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nSources = d.agg(countDistinct(col("source"))).head.getLong(0)
+    val words = d.select(col("source"),
+      explode(Shingles.words(col("text"))).as("palabra"))
+    val tf = words.groupBy(col("source"), col("palabra"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("palabra")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("palabra"))
+      .withColumn("score",
+        (col("tf") * lit(nSources)).cast("double") / col("df"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("palabra").asc)
+    scored.withColumn("rango", row_number().over(w))
+      .filter(col("rango") <= topK)
+      .select(col("source"), col("palabra"), col("tf"), col("df"),
+        col("score"), col("rango").cast(IntegerType).as("rango"))
+  }
+
+  val q67Sql: String =
+    """WITH w AS (
+      |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS palabra
+      |  FROM documents),
+      |tf AS (SELECT source, palabra, count(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT palabra, count(*) AS df FROM tf GROUP BY 1),
+      |ns AS (SELECT count(DISTINCT source) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.source, tf.palabra, tf.tf, df.df,
+      |    CAST(tf.tf * ns.n AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df USING (palabra) CROSS JOIN ns)
+      |SELECT source, palabra, tf, df, score, CAST(rango AS INTEGER) AS rango
+      |FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |        ORDER BY score DESC, palabra ASC) AS rango FROM scored)
+      |WHERE rango <= 5""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_boilerplate"     -> ((s, d) => q56Boilerplate(s, d)),
@@ -326,7 +375,8 @@ object CurationQueries {
     "q58_shuffle_shard"   -> (q58ShuffleShard _),
     "q61_corpus_report"   -> (q61CorpusReport _),
     "q62_quantize"        -> (q62Quantize _),
-    "q64_collocations"    -> ((s, d) => q64Collocations(s, d)))
+    "q64_collocations"    -> ((s, d) => q64Collocations(s, d)),
+    "q67_tfidf"           -> ((s, d) => q67TfIdf(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q56_boilerplate"     -> q56Sql,
@@ -334,5 +384,6 @@ object CurationQueries {
     "q58_shuffle_shard"   -> q58Sql,
     "q61_corpus_report"   -> q61Sql,
     "q62_quantize"        -> q62Sql,
-    "q64_collocations"    -> q64Sql)
+    "q64_collocations"    -> q64Sql,
+    "q67_tfidf"           -> q67Sql)
 }

@@ -483,6 +483,57 @@ object LLMQueries {
       |       WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif' ELSE 'bmp' END AS formato
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Content-defined chunking (FastCDC/rsync family): chunk boundaries
+    * fall where the rolling hash of the trailing 16 bytes is ≡ 0 (mod 64)
+    * — boundaries follow content, so an insertion early in a document
+    * shifts only the chunk it lands in and every later chunk hash stays
+    * identical (the shift-tolerance q40's fixed word windows lack; this is
+    * the chunk grain rsync-style dedup stores share across near-identical
+    * files). Runs on the native cdc_boundaries codegen kernel (same
+    * Rabin-Karp polynomial as q25, replayed by the oracle in HUGEINT
+    * mod-2^64). Zero shuffle: boundary scan, pair zip, and chunk explode
+    * all pipeline inside the scan stage. */
+  def q68CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("ends", expr("cdc_boundaries(text, 16, 64)"))
+      .withColumn("starts",
+        concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1)))
+      .select(col("doc_id"), col("text"),
+        posexplode(arrays_zip(col("starts").as("s"), col("ends").as("e")))
+          .as(Seq("idx", "p")))
+      .select(col("doc_id"),
+        col("idx").cast(IntegerType).as("idx_chunk"),
+        (col("p.s") + 1).cast(IntegerType).as("inicio"),
+        (col("p.e") - col("p.s")).cast(IntegerType).as("n_bytes"),
+        md5(expr("substring(text, p.s + 1, p.e - p.s)")).as("hash_chunk"))
+  }
+
+  val q68Sql: String =
+    """WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |hpos AS (
+      |  SELECT doc_id, i
+      |  FROM base, unnest(range(16, greatest(n, 16))) AS t(i)
+      |  WHERE list_reduce(list_transform(range(i - 15, i + 1),
+      |          j -> CAST(ord(text[j]) AS HUGEINT)),
+      |        (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT)
+      |        % 64 = 0),
+      |ends AS (
+      |  SELECT doc_id, i AS e FROM hpos
+      |  UNION ALL SELECT doc_id, n FROM base),
+      |ordered AS (
+      |  SELECT doc_id, e,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS idx,
+      |    lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS s
+      |  FROM ends)
+      |SELECT o.doc_id, CAST(idx AS INTEGER) AS idx_chunk,
+      |  CAST(s + 1 AS INTEGER) AS inicio,
+      |  CAST(e - s AS INTEGER) AS n_bytes,
+      |  md5(substr(b.text, CAST(s + 1 AS INTEGER), CAST(e - s AS INTEGER))) AS hash_chunk
+      |FROM ordered o JOIN base b USING (doc_id)""".stripMargin
+
   // ---------------------------------------------------------------- maps
   // ---------------------------------------------------------------- q38
   /** Dedup component resolution: the union-find step after pair
@@ -762,7 +813,8 @@ object LLMQueries {
     "q24_embedding_dedup" -> (q24EmbeddingDedup _),
     "q25_fingerprint"    -> (q25Fingerprint _),
     "q26_multimodal_meta" -> (q26MultimodalMeta _),
-    "q65_media_decode"   -> (q65MediaDecode _))
+    "q65_media_decode"   -> (q65MediaDecode _),
+    "q68_cdc_chunks"     -> (q68CdcChunks _))
 
   val oracles: Map[String, String] = Map(
     "q55_ann_ivf"          -> q55Sql,
@@ -783,5 +835,6 @@ object LLMQueries {
     "q22_ann_topk"       -> q22Sql,
     "q24_embedding_dedup" -> q24Sql,
     "q26_multimodal_meta" -> q26Sql,
-    "q65_media_decode"   -> q65Sql)
+    "q65_media_decode"   -> q65Sql,
+    "q68_cdc_chunks"     -> q68Sql)
 }

@@ -75,8 +75,41 @@ final case class TxnTable(spark: SparkSession, root: String,
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
         s.stripPrefix("v").stripSuffix(".manifest").toLong }
 
-  /** Highest committed version, or 0 if the table has never been written. */
-  def version(): Long = manifestVersions().foldLeft(0L)(math.max)
+  private val hintPath: Path = logDir.resolve("_latest.hint")
+
+  /** Highest committed version, or 0 if the table has never been written.
+    *
+    * Resolution is O(1), not O(versions): commits leave a `_latest.hint`
+    * pointer (the Delta `_last_checkpoint` pattern) and the reader probes
+    * FORWARD from it for manifests the hint doesn't know about yet — a
+    * crash between manifest link and hint write, or a concurrent
+    * committer, leaves the hint stale but never wrong-ahead. A missing or
+    * corrupt hint (or one whose manifest vacuum retired) falls back to
+    * the full directory listing. At 100k commits this is the difference
+    * between one small read and a 100k-entry list call per metadata op. */
+  def version(): Long = {
+    val hinted: Long =
+      try new String(Files.readAllBytes(hintPath), "UTF-8").trim.toLong
+      catch { case _: Throwable => -1L }
+    if (hinted <= 0 || !Files.exists(manifestPath(hinted)))
+      manifestVersions().foldLeft(0L)(math.max)
+    else {
+      var v = hinted
+      while (Files.exists(manifestPath(v + 1))) v += 1
+      v
+    }
+  }
+
+  /** Best-effort hint refresh after a successful commit: readers never
+    * depend on it being current (see [[version]]), so a crash mid-write
+    * costs at most a forward probe. */
+  private def writeHint(v: Long): Unit =
+    try {
+      val tmp = logDir.resolve(s".hint-${UUID.randomUUID()}")
+      Files.write(tmp, v.toString.getBytes("UTF-8"))
+      Files.move(tmp, hintPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    } catch { case _: Throwable => () }
 
   def exists(): Boolean = version() > 0
 
@@ -286,6 +319,7 @@ final case class TxnTable(spark: SparkSession, root: String,
         s"version $next already committed at $root (concurrent writer)")
     }
     Files.deleteIfExists(tmp)
+    writeHint(next)
     next
   }
 

@@ -65,4 +65,32 @@ class BloomSpec extends AnyFunSuite {
       "probe must appear below (after, in printed order) the exchange — " +
         s"i.e. map-side, pre-shuffle:\n$plan")
   }
+
+  test("streaming flag: stateless plan, zero false negatives vs the exact batch form") {
+    // stream the corpus docs from parquet (AvailableNow covers the file)
+    val path = graft.core.Tables.path(sf, "documents")
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(path.replace("parquet", "parque[t]"))
+      .filter(col("doc_id") % 50 =!= 0)
+    val flagged = BloomDecontaminate.flagStream(stream, bench)
+    assert(flagged.isStreaming, "flagStream must stay a streaming frame")
+    val qname = s"bloom_stream_${System.nanoTime()}"
+    val q = flagged.writeStream.format("memory").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // stateless: the executed micro-batches keep no state store
+    assert(!q.lastProgress.toString().contains("stateOperators\" : [ {"),
+      "streaming bloom flag must run without state operators")
+    val got = spark.table(qname)
+    // bloom law: every doc the exact batch flag marks contaminated is
+    // approx-flagged in the stream — over-flagging allowed, under never
+    val exact = BloomDecontaminate.flag(corpus, bench)
+      .filter(col("contaminado") === 1).select("doc_id")
+    val missed = exact.except(
+      got.filter(col("contaminado_aprox") === 1).select("doc_id"))
+    assert(missed.count() == 0,
+      "streaming bloom flag must never miss a truly contaminated doc")
+    assert(got.count() == corpus.count())
+  }
 }

@@ -170,6 +170,50 @@ class KernelParitySpec extends AnyFunSuite {
       s"threshold not discriminating: $probedSomething probed, $skippedSomething skipped")
   }
 
+  test("cdc_boundaries: scala replay parity, edges, and shift tolerance") {
+    graft.functions.GraftFunctions.register(spark)
+    // scala-side replay of the polynomial rule (independent of the kernel's
+    // rolling update — a rolling-subtraction bug would diverge here)
+    def replay(s: String, w: Int, div: Int): Seq[Int] = {
+      val b = s.getBytes("UTF-8"); val n = b.length
+      val ends = (w until n).filter { i =>
+        var h = 0L
+        (i - w until i).foreach(j => h = h * 1000003L + (b(j) & 0xffL))
+        (h & (div - 1L)) == 0L
+      }
+      ends :+ n
+    }
+    val texts = adversarial ++ randomTexts.filter(_.forall(_ < 128)) ++
+      Seq("a" * 500, ('a' to 'z').mkString * 40)
+    val ascii = texts.filter(_.forall(_ < 128)) // byte==char positions only
+    val got = ascii.toDF("text")
+      .selectExpr("text", "cdc_boundaries(text, 16, 64) AS b")
+      .as[(String, Seq[Int])].collect().toMap
+    ascii.foreach { t =>
+      assert(got(t) == replay(t, 16, 64), s"boundary mismatch for ${t.take(40)}")
+    }
+    // edges: empty and under-window texts are one whole chunk
+    assert(got("") == Seq(0) && got("a") == Seq(1))
+    // shift tolerance: prepend a prefix far from the tail — every chunk
+    // hash after the perturbed region must reappear identically
+    val rnd = new scala.util.Random(77)
+    val doc = Seq.fill(800)("abcdefgh ijklm nop"(rnd.nextInt(18))).mkString
+    def chunkHashes(s: String): Seq[String] = {
+      val ends = replay(s, 16, 64)
+      val starts = 0 +: ends.dropRight(1)
+      starts.zip(ends).map { case (a, e) => s.substring(a, e) }
+        .map(c => java.security.MessageDigest.getInstance("MD5")
+          .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+    val orig = chunkHashes(doc)
+    val shifted = chunkHashes("INSERTED PREFIX >> " + doc)
+    // all but the first few chunks of the original reappear verbatim
+    val surviving = orig.toSet.intersect(shifted.toSet).size
+    assert(surviving >= orig.size - 2,
+      s"content-defined boundaries must make later chunks shift-stable " +
+        s"(survived $surviving of ${orig.size})")
+  }
+
   test("kernels stay inside whole-stage codegen") {
     // a literal corpus constant-folds to LocalTableScan; use the lake table
     val plan = graft.core.Tables.documents(spark, sf).select(

@@ -90,7 +90,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q65 = synth + header decode, pure map stage
     "q65_media_decode" -> 0,
     // q66 = magic hora encode/decode, pure map stage
-    "q66_magic_hora" -> 0)
+    "q66_magic_hora" -> 0,
+    // q67 = (source,word) tf agg + word df agg + join re-key + source window
+    "q67_tfidf" -> 4,
+    // q68 = cdc boundary scan + chunk explode, pure map stage
+    "q68_cdc_chunks" -> 0)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;

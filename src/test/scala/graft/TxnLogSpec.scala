@@ -253,4 +253,35 @@ class TxnLogSpec extends AnyFunSuite {
     t.vacuum(0L) // superseded pre-compaction files reclaimed
     assert(t.read().as[Long].collect().toSet == before)
   }
+
+  test("version hint: stale, corrupt, missing, and wrong-ahead hints all resolve correctly") {
+    val dir = Files.createTempDirectory("graft_txn")
+    val t = TxnTable(spark, dir.toString)
+    (1 to 4).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+    assert(t.version() == 4)
+    val hint = dir.resolve("_graft_log").resolve("_latest.hint")
+    assert(Files.exists(hint), "commit must leave a hint")
+    // stale hint (crash between manifest link and hint write): forward
+    // probe still finds the true head
+    Files.write(hint, "2".getBytes)
+    assert(t.version() == 4)
+    assert(new String(Files.readAllBytes(hint)) != "2" || t.version() == 4)
+    // corrupt hint: falls back to the listing
+    Files.write(hint, "not-a-number".getBytes)
+    assert(t.version() == 4)
+    // wrong-ahead hint (no such manifest): falls back to the listing
+    Files.write(hint, "999".getBytes)
+    assert(t.version() == 4)
+    // missing hint: falls back to the listing
+    Files.delete(hint)
+    assert(t.version() == 4)
+    // and commits keep working (hint rewritten on the next commit)
+    t.append(Seq(99L).toDF("id"))
+    assert(t.version() == 5)
+    assert(new String(Files.readAllBytes(hint)).trim == "5")
+    // vacuum retiring old manifests never strands the hint
+    t.vacuum(0L)
+    assert(t.version() == 5)
+    assert(t.read().as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 99L))
+  }
 }
