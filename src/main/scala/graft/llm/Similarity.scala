@@ -567,11 +567,43 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 64,
               probes: Int = 4, refineIters: Int = 0): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val cents = centroids(corpus, idCol, vecCol, nCells, refineIters)
+    ivfTopKWith(queries, ivfAssignWith(corpus, idCol, vecCol, cents),
+      cents, idCol, vecCol, k, probes)
+  }
+
+  /** The trained IVF model — the bounded centroid array an index is built
+    * against and MAINTAINED against: freeze it, persist assignments, and
+    * every later increment is assigned with [[ivfAssignTo]] instead of
+    * rebuilding (centroid drift is a periodic re-train, not a per-ingest
+    * cost — the standard serving-index lifecycle). */
+  def ivfModel(corpus: DataFrame, idCol: String, vecCol: String,
+               nCells: Int = 64, refineIters: Int = 0): Array[(Int, Array[Float], Double)] =
+    centroids(corpus, idCol, vecCol, nCells, refineIters)
+
+  /** Incremental index maintenance: assign ONLY `increment` to the frozen
+    * model — cost is O(increment · nCells) dot products, the standing
+    * corpus is never rescanned. Unioning the result onto the persisted
+    * assignments equals a full rebuild against the same model bit-for-bit
+    * (spec-pinned), because per-row assignment depends on nothing but the
+    * row and the frozen centroids. Feed it from `TxnTable.changes` for
+    * the churn-bounded daily loop. */
+  def ivfAssignTo(increment: DataFrame, idCol: String, vecCol: String,
+                  cents: Array[(Int, Array[Float], Double)]): DataFrame =
+    ivfAssignWith(increment, idCol, vecCol, cents)
+
+  /** IVF top-k over a PRE-ASSIGNED index frame (`idCol`, `vecCol`,
+    * "cell") and its frozen model — the serving path that never rebuilds:
+    * queries probe their nearest `probes` cells and score only inside
+    * them. */
+  def ivfTopKWith(queries: DataFrame, assignedIndex: DataFrame,
+                  cents: Array[(Int, Array[Float], Double)],
+                  idCol: String, vecCol: String,
+                  k: Int, probes: Int = 4): DataFrame = {
+    val spark = assignedIndex.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    val assigned = ivfAssignWith(corpus, idCol, vecCol, cents)
+    val assigned = assignedIndex
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
       .withColumn("__cn", norm(col("__cv")))
     val probed = queries

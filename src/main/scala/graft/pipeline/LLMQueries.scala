@@ -534,6 +534,75 @@ object LLMQueries {
       |  md5(substr(b.text, CAST(s + 1 AS INTEGER), CAST(e - s AS INTEGER))) AS hash_chunk
       |FROM ordered o JOIN base b USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Topic-cluster assignment + medoids: every embedding is assigned to
+    * its max-cosine centroid (the 8 smallest-md5 vectors — the q55/q64
+    * bounded-build-side pattern), and each cluster reports its size and
+    * MEDOID (the member closest to the centroid, ties to the smaller id)
+    * — the representative-document step a curriculum/mixture build uses
+    * to bucket a corpus by topic and eyeball one exemplar per bucket.
+    *
+    * Everything is argmax/count arithmetic — no mean-vector recompute, so
+    * no float-accumulation order dependence and the oracle reproduces the
+    * result bit-for-bit. Scale shape: assignment is the pipelined
+    * explode+argmax stream (no join); the cluster report is ONE exchange
+    * keyed on the cell id. */
+  def q69ClusterMedoids(spark: SparkSession, dir: String,
+                        nCells: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val cents: Seq[(Long, Seq[Float], Double)] = base
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq, r.getDouble(2)))
+      .toSeq
+    val centLit = typedLit(cents)
+    base
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(centLit).as("c"))
+      .select(col("vec_id"), col("c._1").as("cid"),
+        Similarity.cosine(col("embedding"), col("c._2"), col("nrm"),
+          col("c._3")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("b"))
+      .select(col("vec_id"), (-col("b.neg")).as("celda"), col("b.cos").as("cos"))
+      .groupBy(col("celda"))
+      .agg(count(lit(1)).as("n_vecs"),
+        max(struct(col("cos"), (-col("vec_id")).as("neg"))).as("m"))
+      .select(col("celda"), col("n_vecs"),
+        (-col("m.neg")).as("medoid_id"), col("m.cos").as("cos_medoid"))
+  }
+
+  val q69Sql: String = {
+    def dot2(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"""WITH n AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+      |cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |scored AS (
+      |  SELECT n.vec_id, cent.cid,
+      |    ${dot2("n.embedding", "cent.cvec")} / (n.nrm * cent.cnrm) AS cos
+      |  FROM n, cent),
+      |assign AS (
+      |  SELECT vec_id, cid AS celda, cos FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cid ASC) AS rn FROM scored) WHERE rn = 1)
+      |SELECT a.celda, s.n_vecs, a.medoid_id, a.cos_medoid
+      |FROM (
+      |  SELECT celda, vec_id AS medoid_id, cos AS cos_medoid,
+      |    row_number() OVER (PARTITION BY celda
+      |      ORDER BY cos DESC, vec_id ASC) AS rm
+      |  FROM assign) a
+      |JOIN (SELECT celda AS c2, count(*) AS n_vecs FROM assign GROUP BY 1) s
+      |  ON s.c2 = a.celda
+      |WHERE rm = 1""".stripMargin
+  }
+
   // ---------------------------------------------------------------- maps
   // ---------------------------------------------------------------- q38
   /** Dedup component resolution: the union-find step after pair
@@ -814,7 +883,8 @@ object LLMQueries {
     "q25_fingerprint"    -> (q25Fingerprint _),
     "q26_multimodal_meta" -> (q26MultimodalMeta _),
     "q65_media_decode"   -> (q65MediaDecode _),
-    "q68_cdc_chunks"     -> (q68CdcChunks _))
+    "q68_cdc_chunks"     -> (q68CdcChunks _),
+    "q69_cluster_medoids" -> ((s, d) => q69ClusterMedoids(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q55_ann_ivf"          -> q55Sql,
@@ -836,5 +906,6 @@ object LLMQueries {
     "q24_embedding_dedup" -> q24Sql,
     "q26_multimodal_meta" -> q26Sql,
     "q65_media_decode"   -> q65Sql,
-    "q68_cdc_chunks"     -> q68Sql)
+    "q68_cdc_chunks"     -> q68Sql,
+    "q69_cluster_medoids" -> q69Sql)
 }

@@ -411,6 +411,25 @@ final case class TxnTable(spark: SparkSession, root: String,
     commit(stage(compacted, partitionBy), base)
   }
 
+  /** Compaction that CLUSTERS by the stats column while it rewrites:
+    * `repartitionByRange` gives each output file a disjoint range of the
+    * column, so the manifest min/max stats it carries become maximally
+    * selective — after a sorted compaction, [[readRange]] and stats-pruned
+    * [[upsert]] touch ~1 file per point lookup instead of every file
+    * (append-order files interleave the key space; their stats overlap
+    * everything). This is the OPTIMIZE-then-prune loop a long-lived
+    * 100 TB table runs nightly: same data, same log protocol, strictly
+    * better skipping. Requires `statsColumn`. */
+  def compactSorted(targetFiles: Int, partitionBy: Seq[String] = Nil): Long = {
+    val sc = statsColumn.getOrElse(throw new IllegalArgumentException(
+      "compactSorted needs a statsColumn to cluster by"))
+    val base = version()
+    val compacted = read()
+      .repartitionByRange(targetFiles, col(sc))
+      .sortWithinPartitions(col(sc))
+    commit(stage(compacted, partitionBy), base)
+  }
+
   /** Publish a symlink-format manifest of the CURRENT version — one
     * absolute data-file path per line under
     * `_symlink_format_manifest/manifest` — the standard handshake for

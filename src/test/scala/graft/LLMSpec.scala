@@ -170,6 +170,33 @@ class LLMSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("ivf incremental maintenance: O(increment) append equals full rebuild, serves new vectors") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 5 =!= 4)
+    val increment = emb.filter($"vec_id" % 5 === 4)
+    // freeze the model on the standing corpus; the daily loop never re-trains
+    val model = Similarity.ivfModel(base, "vec_id", "embedding", nCells = 16)
+    val idx0 = Similarity.ivfAssignTo(base, "vec_id", "embedding", model)
+    // append path: only the increment is assigned (the corpus never rescanned)
+    val appended = idx0.unionByName(
+      Similarity.ivfAssignTo(increment, "vec_id", "embedding", model))
+    // law: frozen-model assignment is per-row, so append == full rebuild
+    val rebuilt = Similarity.ivfAssignTo(emb, "vec_id", "embedding", model)
+    val a = appended.select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val b = rebuilt.select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(a == b, "incremental append must equal the full rebuild bit-for-bit")
+    // serving: a query equal to an increment vector finds it at cosine ~1
+    val probe = increment.limit(1)
+    val probeId = probe.select($"vec_id").as[Long].head()
+    val queries = probe.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val served = Similarity.ivfTopKWith(queries, appended, model,
+        "vec_id", "embedding", k = 1, probes = 4)
+      .select($"neighbor_id", $"cosine").as[(Long, Double)].collect()
+    assert(served.length == 1 && served(0)._1 == probeId &&
+      served(0)._2 > 1.0 - 1e-9,
+      s"query cloned from increment vector $probeId must find it: ${served.toSeq}")
+  }
+
   test("ivf Lloyd refinement improves quantization and keeps recall") {
     val rnd = new scala.util.Random(13)
     val centers = Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 10f - 5f))

@@ -94,7 +94,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q67 = (source,word) tf agg + word df agg + join re-key + source window
     "q67_tfidf" -> 4,
     // q68 = cdc boundary scan + chunk explode, pure map stage
-    "q68_cdc_chunks" -> 0)
+    "q68_cdc_chunks" -> 0,
+    // q69 = pipelined assignment argmax + one cell-keyed cluster agg
+    "q69_cluster_medoids" -> 2)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;

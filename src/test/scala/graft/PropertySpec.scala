@@ -120,4 +120,48 @@ class PropertySpec extends AnyFunSuite {
       pHi.take(pLo.size) == pLo
     })
   }
+
+  test("media headers: synth/decode round-trip for arbitrary in-range dimensions") {
+    import graft.llm.{MediaHeaders, MediaSynth}
+    // ids cover all five format branches; dims are the synth's derived
+    // pure functions, so the law is: decode(synth(id)) == predicted triple
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 16)) { id =>
+      MediaHeaders.decode(MediaSynth.synth(id)) ==
+        ((MediaSynth.widthOf(id), MediaSynth.heightOf(id), MediaSynth.formatOf(id)))
+    })
+  }
+
+  test("media headers: arbitrary byte junk never throws and never claims media") {
+    import graft.llm.MediaHeaders
+    val junk = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+    check(Prop.forAll(junk) { bytes =>
+      val (w, h, f) = MediaHeaders.decode(bytes)
+      // total function; "unknown" always carries zero dims, and a claimed
+      // format always carries positive dims
+      (f == "unknown" && w == 0 && h == 0) || (f != "unknown" && w > 0 && h > 0)
+    })
+  }
+
+  test("cdc boundaries: cover the text exactly, in order, ending at the length") {
+    import graft.functions.CdcChunk
+    check(Prop.forAll(asciiText) { s =>
+      val b = CdcChunk.boundaries(UTF8String.fromString(s), 16, 64)
+        .toIntArray().toSeq
+      val n = s.getBytes("UTF-8").length
+      b.nonEmpty && b.last == n && b == b.sorted && b.distinct == b &&
+        b.forall(e => e >= 0 && e <= n)
+    })
+  }
+
+  test("magic hora: integer round-trip for every second of the day") {
+    // pure-scala replay of the Periods column formula (h*10000 + m*100 + s
+    // and its seconds-of-day inverse) — total and bijective over [0, 86400);
+    // the column-level parity with Periods.toMagicHora is in OperatorsSpec
+    check(Prop.forAll(Gen.chooseNum(0, 86399)) { sec =>
+      val h = sec / 3600; val m = (sec % 3600) / 60; val s = sec % 60
+      val hora = h * 10000 + m * 100 + s
+      val back = (hora / 10000) * 3600 + ((hora % 10000) / 100) * 60 + hora % 100
+      back == sec
+    })
+  }
 }

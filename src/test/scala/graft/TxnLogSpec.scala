@@ -254,6 +254,32 @@ class TxnLogSpec extends AnyFunSuite {
     assert(t.read().as[Long].collect().toSet == before)
   }
 
+  test("sorted compaction restores stats pruning that interleaved appends destroyed") {
+    val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
+      statsColumn = Some("id"))
+    // appends in arrival order: every file spans nearly the whole key
+    // space, so every file's [min,max] overlaps every range probe
+    t.overwrite(Seq(1L, 50L, 99L).toDF("id").coalesce(1))
+    t.append(Seq(2L, 51L, 98L).toDF("id").coalesce(1))
+    t.append(Seq(3L, 52L, 97L).toDF("id").coalesce(1))
+    t.append(Seq(4L, 53L, 96L).toDF("id").coalesce(1))
+    val before = t.read().as[Long].collect().toSet
+    assert(t.readRange(50L, 53L).inputFiles.length == 4,
+      "interleaved appends must defeat pruning (that is the problem)")
+    // OPTIMIZE: same data, range-clustered files, disjoint stats
+    t.compactSorted(targetFiles = 4)
+    assert(t.read().as[Long].collect().toSet == before, "data unchanged")
+    val pruned = t.readRange(50L, 53L)
+    assert(pruned.inputFiles.length <= 2,
+      s"after sorted compaction a narrow range must touch ~1 file, " +
+        s"got ${pruned.inputFiles.length}")
+    assert(pruned.as[Long].collect().toSet == Set(50L, 51L, 52L, 53L))
+    // point probe: exactly one file
+    assert(t.readRange(97L, 97L).inputFiles.length == 1)
+    // and it is still a normal committed version (time travel intact)
+    assert(t.version() == 5)
+  }
+
   test("version hint: stale, corrupt, missing, and wrong-ahead hints all resolve correctly") {
     val dir = Files.createTempDirectory("graft_txn")
     val t = TxnTable(spark, dir.toString)
