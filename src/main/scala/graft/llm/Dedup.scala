@@ -95,10 +95,14 @@ object MinHashLSH {
     }: _*)
 
   /** Candidate pairs: ids sharing at least one band bucket. The self-join
-    * shuffles on (band_idx, band_hash) — bounded buckets, never all-pairs. */
+    * shuffles on (band_idx, band_hash) — bounded buckets, never all-pairs.
+    * `chainOrder` (e.g. a signature hash) controls adjacency inside
+    * oversized buckets — see [[BoundedPairs.withinBuckets]]. */
   def candidatePairs(banded: DataFrame, idCol: String,
-                     maxBucket: Int = 256): DataFrame =
-    BoundedPairs.withinBuckets(banded, Seq("band_idx", "band_hash"), idCol, maxBucket)
+                     maxBucket: Int = 256,
+                     chainOrder: Seq[Column] = Nil): DataFrame =
+    BoundedPairs.withinBuckets(banded, Seq("band_idx", "band_hash"), idCol,
+      maxBucket, chainOrder)
 }
 
 /** Bucket-bounded candidate-pair generation shared by the LSH families.
@@ -125,7 +129,7 @@ object BoundedPairs {
     * sorter instead of materializing m² join rows or an unbounded
     * collect_list aggregation buffer. */
   def withinBuckets(df: DataFrame, keyCols: Seq[String], idCol: String,
-                    maxBucket: Int): DataFrame = {
+                    maxBucket: Int, chainOrder: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*)
@@ -134,11 +138,28 @@ object BoundedPairs {
       .withColumn("__ids", collect_list(col(idCol)).over(w))
       .select(col(idCol).as("id_a"),
         explode(filter(col("__ids"), x => x > col(idCol))).as("id_b"))
+    // Chain adjacency decides which O(m) pairs an oversized bucket keeps,
+    // and downstream Jaccard verification DROPS chain pairs under the
+    // threshold — so id order alone can strand an exact-dup family
+    // whenever unrelated co-bucketed docs interleave it (their ids
+    // alternate with the family's, every chain link crosses groups, and
+    // all links fail verify). Ordering by a similarity key first (e.g. a
+    // hash of the full minhash signature) makes equal-signature docs
+    // PROVABLY contiguous: each identical group forms one run whose links
+    // verify at j=1, whatever else shares the bucket. `chainOrder` is
+    // that key; id remains the final tiebreak so the chain stays total
+    // and deterministic.
+    val chainSort = (chainOrder :+ col(idCol)).map(_.asc)
     val chained = sized.filter(col("__bucket_n") > maxBucket)
-      .withColumn("__next", lead(col(idCol), 1).over(w.orderBy(col(idCol))))
+      .withColumn("__next", lead(col(idCol), 1).over(w.orderBy(chainSort: _*)))
       .filter(col("__next").isNotNull)
       .select(col(idCol).as("id_a"), col("__next").as("id_b"))
-    allPairs.unionByName(chained).distinct()
+    // normalize chain pairs to (small, big) so distinct() dedupes against
+    // the all-pairs convention whatever order the chain emitted
+    allPairs.unionByName(chained
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b")))
+      .distinct()
   }
 
   /** (bucket keys, size) of every bucket that exceeded `maxBucket` — the

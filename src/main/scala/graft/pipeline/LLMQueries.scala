@@ -124,9 +124,14 @@ object LLMQueries {
     val sh5 = d.select(col("doc_id"), Shingles.shingles(col("text"), 5).as("sh"))
     val sig = d.select(col("doc_id"),
       MinHashLSH.signature(col("text"), k = 5, numHashes = 64).as("sig"))
+    // sig_order: 8-byte hash of the FULL signature — identical documents
+    // (identical signatures) chain adjacently inside oversized buckets,
+    // so their links verify at j=1 whatever interleaves them by id
     val banded = MinHashLSH.bands(sig, "sig", numBands = 16, rowsPerBand = 4)
-      .select("doc_id", "band_idx", "band_hash")
-    val pairs = MinHashLSH.candidatePairs(banded, "doc_id")
+      .select(col("doc_id"), xxhash64(col("sig")).as("sig_order"),
+        col("band_idx"), col("band_hash"))
+    val pairs = MinHashLSH.candidatePairs(banded, "doc_id",
+      chainOrder = Seq(col("sig_order")))
     pairs
       .join(sh5.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh5.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -201,10 +206,13 @@ object LLMQueries {
     val fp = d.select(col("doc_id"), SimHash.simhash64Portable(col("text")).as("simhash"))
     val withBands = fp.select((col("doc_id") +: col("simhash") +:
       SimHash.bandColumns(col("simhash"), numBands = 4)): _*)
-    val banded = withBands.selectExpr("doc_id",
+    val banded = withBands.selectExpr("doc_id", "simhash",
       "stack(4, 0, band_0, 1, band_1, 2, band_2, 3, band_3) as (band_idx, band_val)")
+    // identical docs share the full simhash — chain-order by it so exact
+    // dups stay contiguous (and thus connected) in oversized buckets
     val pairs = BoundedPairs.withinBuckets(
-      banded, Seq("band_idx", "band_val"), "doc_id", maxBucket = 256)
+      banded, Seq("band_idx", "band_val"), "doc_id", maxBucket = 256,
+      chainOrder = Seq(col("simhash")))
     // one pass over the pair set (a self-union would compute it twice)
     val partners = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
@@ -242,17 +250,22 @@ object LLMQueries {
       |  UNION ALL SELECT doc_id, 2, band_2 FROM sgn
       |  UNION ALL SELECT doc_id, 3, band_3 FROM sgn),
       |sized AS (
-      |  SELECT doc_id, band_idx, band_val,
-      |    count(*) OVER (PARTITION BY band_idx, band_val) AS bn
-      |  FROM bands),
+      |  SELECT b.doc_id, b.band_idx, b.band_val, s.simhash,
+      |    count(*) OVER (PARTITION BY b.band_idx, b.band_val) AS bn
+      |  FROM bands b JOIN sgn s USING (doc_id)),
       |pairs AS (
-      |  SELECT DISTINCT id_a, id_b FROM (
+      |  -- oversized buckets chain by (simhash, doc_id): identical docs
+      |  -- stay contiguous (mirrors BoundedPairs chainOrder); pairs are
+      |  -- normalized to (small, big) like the all-pairs branch
+      |  SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+      |  FROM (
       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |    FROM sized a JOIN sized b USING (band_idx, band_val)
       |    WHERE a.bn <= 256 AND a.doc_id < b.doc_id
       |    UNION ALL
       |    SELECT doc_id AS id_a,
-      |      lead(doc_id) OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS id_b
+      |      lead(doc_id) OVER (PARTITION BY band_idx, band_val
+      |        ORDER BY simhash, doc_id) AS id_b
       |    FROM sized WHERE bn > 256)
       |  WHERE id_b IS NOT NULL),
       |partners AS (

@@ -64,6 +64,39 @@ class LLMSpec extends AnyFunSuite {
       banded, Seq("band_idx", "band_hash"), 256).count() == 16)
   }
 
+  test("chain order keeps exact-dup families contiguous in mixed oversized buckets") {
+    // one bucket, 300 identical-signature docs interleaved BY ID with 300
+    // unrelated docs (alternating ids) — the adversarial layout where an
+    // id-ordered chain links only across the groups, and downstream
+    // verify (which would reject every cross pair) strands the family.
+    val rows = (0 until 600).map { i =>
+      // even ids: the identical family (same order key 7); odd: outsiders
+      val ord = if (i % 2 == 0) 7L else 1000L + i
+      (i.toLong, 0, 0L, ord)
+    }
+    val banded = rows.toDF("doc_id", "band_idx", "band_hash", "sig_order")
+    // with the similarity-key chain: the family is one contiguous run —
+    // exactly 299 family-internal links whatever interleaves it
+    val ordered = BoundedPairs.withinBuckets(
+        banded, Seq("band_idx", "band_hash"), "doc_id", maxBucket = 64,
+        chainOrder = Seq(col("sig_order")))
+      .filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+    assert(ordered.count() == 299,
+      "equal-signature docs must form one contiguous chain run")
+    // with id order alone: strict alternation -> ZERO family-internal
+    // links; every link crosses groups and dies at the verify stage
+    val idOrdered = BoundedPairs.withinBuckets(
+        banded, Seq("band_idx", "band_hash"), "doc_id", maxBucket = 64)
+      .filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+    assert(idOrdered.count() == 0,
+      "sharpness: id-ordered chains must fail this layout (else the test is vacuous)")
+    // both variants stay linear, never quadratic
+    val total = BoundedPairs.withinBuckets(
+      banded, Seq("band_idx", "band_hash"), "doc_id", maxBucket = 64,
+      chainOrder = Seq(col("sig_order"))).count()
+    assert(total == 599)
+  }
+
   test("ngram jaccard on a known pair") {
     val df = Seq(("a b c d", "b c d e")).toDF("x", "y")
     val j = df.select(NgramJaccard.jaccard(
