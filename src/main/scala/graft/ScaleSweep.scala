@@ -71,7 +71,13 @@ object ScaleSweep {
       s"(docs $origDocs, vecs $origVecs, events $origEvents, stride $docStride)")
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean, String)]()
+    // SPARK_GRAFT_SCALE_ONLY=q15_dedup_exact,q19_... restricts the sweep
+    // (the factor-300 chain-activation run skips the quadratic-cost
+    // increment queries)
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def run(name: String)(invariant: DataFrame => (Boolean, String)): Unit = {
+      if (only.exists(!_.contains(name))) return
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, dataDir)
@@ -85,6 +91,7 @@ object ScaleSweep {
           val dt = (System.nanoTime() - t0) / 1e9
           results(name) = (dt, false, s"ERROR ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
           println(s"[sweep] $name FAILED: ${e.getMessage}")
+          e.printStackTrace()
       }
       // unload streaming residue between queries (same hygiene as Bench)
       try spark.streams.active.foreach(_.stop()) catch { case _: Throwable => () }
@@ -102,10 +109,26 @@ object ScaleSweep {
     }
     run("q19_minhash_dedup") { df =>
       val n = df.count()
-      val okDups = df.filter(col("n_dups") >= factor - 1).count()
       val okJ = df.filter(col("max_jaccard") === 1.0).count()
-      ((okDups >= n * 999 / 1000) && (okJ >= n * 999 / 1000),
-        s"n=$n, >=${factor - 1} dups: $okDups, j==1: $okJ")
+      if (factor - 1 < 256) {
+        // all-pairs regime: every doc sees all its factor-1 exact twins
+        val okDups = df.filter(col("n_dups") >= factor - 1).count()
+        ((okDups >= n * 999 / 1000) && (okJ >= n * 999 / 1000),
+          s"n=$n, >=${factor - 1} dups: $okDups, j==1: $okJ")
+      } else {
+        // chain regime (family > bucket cap): pair COUNTS drop to the
+        // linear chain and every doc must keep >= 1 verified partner.
+        // j==1 is NOT universal here, and correctly so: two ORIGINAL docs
+        // that are near-identical share the exact 64-value minhash
+        // signature, their scaled families merge into one equal-sig-order
+        // run, ids interleave inside it, and the chain links verify at
+        // their true j in [0.8, 1). Those docs still dedup (connectivity
+        // is q38's law); require j==1 for the overwhelming majority and
+        // >= 1 verified partner for everyone.
+        val okAny = df.filter(col("n_dups") >= 1).count()
+        (okAny == n && okJ >= n * 97 / 100,
+          s"n=$n [chain regime], >=1 dup: $okAny, j==1: $okJ")
+      }
     }
     run("q20_simhash") { df =>
       (df.count() > 0, s"rows=${df.count()}")

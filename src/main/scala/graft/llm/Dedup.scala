@@ -239,8 +239,11 @@ object IncrementalDedup {
   def flag(increment: DataFrame, corpus: DataFrame,
            idCol: String = "doc_id", textCol: String = "text",
            minJ: Double = 0.8): DataFrame = {
+    // hashed shingles: the verify join carries both sets per candidate
+    // row — 8-byte longs keep the increment-vs-corpus verify shuffle ~30×
+    // lighter than strings (jaccard unchanged modulo ~zero collisions)
     def sh5(df: DataFrame) = df.select(
-      col(idCol), Shingles.shingles(col(textCol), 5).as("sh"))
+      col(idCol), Shingles.shingleHashes(col(textCol), 5).as("sh"))
     def banded(df: DataFrame, as: String) = MinHashLSH.bands(
         df.select(col(idCol),
           MinHashLSH.signature(col(textCol), k = 5, numHashes = 64).as("sig")),
