@@ -110,18 +110,26 @@ object LLMQueries {
     * collision probability at j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9998 per pair,
     * and on this corpus the near-dup pairs sit at j≈0.99 where missing a
     * pair is a ~1e-7 event; the hash family is deterministic, so the
-    * result is reproducible, not flaky. One structural assumption: true
-    * near-dups live in SMALL band buckets (near-unique shingle sets), so
-    * the BoundedPairs cap — which chains only degenerate collision
-    * buckets, whose pairs verify below 0.8 — never costs a verified pair
-    * (holds at sf0.01 and sf0.1; a corpus of hundreds of IDENTICAL
-    * documents would route them to q15 exact dedup first). */
+    * result is reproducible, not flaky. When a bucket exceeds the
+    * BoundedPairs cap (a family of hundreds of near-identical docs —
+    * the factor-300 sweep's regime), pair generation degrades to the
+    * signature-ordered chain: equal-signature docs stay contiguous, so
+    * the O(m) chain links still verify at j=1 and per-doc pair COUNTS
+    * drop to the chain degree while CONNECTIVITY (q38's contract) is
+    * preserved; at sf0.01/sf0.1 no near-dup bucket reaches the cap and
+    * the output is the exact >= 0.8 pair set. */
   /** Jaccard-verified near-dup pair set (id_a < id_b, j >= minJ) — the
     * edge list q19 reports per-document and q38 resolves into dedup
     * components. */
   def verifiedPairs(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val sh5 = d.select(col("doc_id"), Shingles.shingles(col("text"), 5).as("sh"))
+    // verify on 8-byte shingle HASHES, not strings: the verify join
+    // carries both sets on every candidate row, and ~30 B strings vs 8 B
+    // longs is the difference between a 9 GB and a 300 MB pair shuffle
+    // per million candidates (the factor-300 sweep OOM'd the string
+    // form). Set sizes and jaccard are unchanged modulo xxhash64
+    // collisions (~n²/2^64 per doc — zero at any real shingle count).
+    val sh5 = d.select(col("doc_id"), Shingles.shingleHashes(col("text"), 5).as("sh"))
     val sig = d.select(col("doc_id"),
       MinHashLSH.signature(col("text"), k = 5, numHashes = 64).as("sig"))
     // sig_order: 8-byte hash of the FULL signature — identical documents

@@ -410,13 +410,35 @@ class LLMSpec extends AnyFunSuite {
     import graft.operators.ConnectedComponents
     // the BoundedPairs cap turns a degenerate bucket of m identical docs
     // into an m-node PATH; one-hop propagation alone would need m rounds,
-    // so this pins the pointer-halving behavior (log2(300) ≈ 9 << 25)
+    // so this pins the star-contraction round count (~log2(300) ≈ 9)
     val chain = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (lbl, rounds) = ConnectedComponents.labelsWithRounds(chain)
+    assert(rounds <= 12, s"expected O(log n) rounds for a 300-node path, got $rounds")
     val out = ConnectedComponents.components(chain)
       .as[(Long, Long, Long)].collect()
     assert(out.length == 300)
     assert(out.forall { case (_, survivor, size) => survivor == 1L && size == 300L },
       s"non-converged labels: ${out.filter(_._2 != 1L).take(5).mkString(",")}")
+    assert(lbl.filter(col("label") =!= 1L).isEmpty)
+  }
+
+  test("connected components: far-end label injection stays logarithmic") {
+    import graft.operators.ConnectedComponents
+    // the factor-300 sweep's killer shape: a path whose local min (100)
+    // sits at one end, with ONE cross edge at the OTHER end (400) to a
+    // smaller-id component {1,2}. Min-label propagation + pointer
+    // halving needs ~300 rounds here (the new label enters at the far
+    // end and walks one path hop per round — the old implementation
+    // stranded 275 of 300 members at maxIter); star contraction
+    // restructures the edges and stays O(log n).
+    val path = (100L until 400L).map(i => (i, i + 1))
+    val edges = (path ++ Seq((400L, 1L), (1L, 2L))).toDF("id_a", "id_b")
+    val (lbl, rounds) = ConnectedComponents.labelsWithRounds(edges)
+    assert(rounds <= 12, s"expected O(log n) rounds, got $rounds")
+    val bad = lbl.filter(col("label") =!= 1L)
+    assert(bad.isEmpty,
+      s"all 303 nodes share one component with min 1; stranded: ${bad.count()}")
+    assert(lbl.count() == 303)
   }
 
   test("frame sampling yields ceil(duration/step) rows per payload, no shuffle") {
