@@ -161,8 +161,26 @@ object ScaleSweep {
     run("q60_incremental_dedup") { df =>
       val n = df.count()
       val okJ = df.filter(col("best_j") === 1.0).count()
-      val okM = df.filter(col("n_matches") >= factor - 1).count()
-      (okJ == n && okM == n, s"inc=$n, bestJ==1: $okJ, >=${factor - 1} matches: $okM")
+      // each family has factor/10 members in the %10=3 increment and
+      // factor - factor/10 corpus twins per increment doc
+      val twins = factor - factor / 10
+      if (twins <= 256) {
+        val okM = df.filter(col("n_matches") >= twins).count()
+        (okJ == n && okM == n, s"inc=$n, bestJ==1: $okJ, >=$twins matches: $okM")
+      } else {
+        // cap regime: oversized corpus buckets collapse to one rep per
+        // distinct signature, so n_matches counts representatives and the
+        // FLAG decision (>= 1 verified match at j >= 0.8) must hold for
+        // all. best_j == 1 is NOT universal, and correctly so: an
+        // original near-identical to another original with the SAME
+        // 64-hash signature collapses into one rep (the overall min id,
+        // possibly the other family's), and the verify lands at the true
+        // j in [0.8, 1) — a legitimate near-dup flag, same phenomenon as
+        // q19's equal-sig chain links. Require j==1 for ~everyone.
+        val okM = df.filter(col("n_matches") >= 1).count()
+        (okJ >= n * 98 / 100 && okM == n,
+          s"inc=$n [cap regime], bestJ==1: $okJ, >=1 match: $okM")
+      }
     }
 
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

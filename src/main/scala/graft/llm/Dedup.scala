@@ -233,12 +233,55 @@ object NgramJaccard {
   * maintained artifact bucketed on (band_idx, band_hash), so a daily
   * increment joins it with shuffle proportional to the increment.
   * Fed either from slices (pipeline/LLMQueries q60) or from a
-  * transaction log's CDC rows (CorpusPipeline.dedupIncrement). */
+  * transaction log's CDC rows (CorpusPipeline.dedupIncrement).
+  *
+  * Oversized corpus buckets (> maxBucket band rows) collapse to one
+  * representative per distinct signature — see [[boundedCorpusBands]] —
+  * so under heavy corpus duplication n_matches counts verified
+  * REPRESENTATIVES (≈ distinct near-dup signatures), not corpus rows,
+  * while the flag decision (n_matches > 0, best_j) is preserved; below
+  * the cap the output is the exact match set. */
 object IncrementalDedup {
+
+  /** Corpus band rows with oversized buckets collapsed to one
+    * representative per DISTINCT signature, capped at `maxBucket`
+    * distinct signatures per bucket. A corpus family of m identical
+    * documents shares one signature, so an increment twin joining its
+    * bucket meets ONE rep instead of m rows — the band-join fanout per
+    * increment row is bounded by maxBucket whatever the corpus
+    * duplication profile (the factor-300 sweep's 300-copy families made
+    * the uncapped join quadratic). Buckets at or under maxBucket pass
+    * through untouched, so small-SF results — and the DuckDB oracle —
+    * are bit-identical to the exact join; reps are deterministic (min
+    * id per signature, smallest sig_order first). One exchange: the
+    * count / per-sig row_number / distinct-sig dense_rank windows all
+    * share the (band_idx, band_hash) partitioning. */
+  private[llm] def boundedCorpusBands(corpus: DataFrame, idCol: String,
+                                      textCol: String,
+                                      maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = MinHashLSH.bands(
+        corpus.select(col(idCol),
+          MinHashLSH.signature(col(textCol), k = 5, numHashes = 64).as("sig")),
+        "sig", numBands = 16, rowsPerBand = 4)
+      .select(col(idCol).as("id_c"), xxhash64(col("sig")).as("sig_order"),
+        col("band_idx"), col("band_hash"))
+    val wB = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val wSig = Window.partitionBy(col("band_idx"), col("band_hash"), col("sig_order"))
+      .orderBy(col("id_c"))
+    val wRank = wB.orderBy(col("sig_order"))
+    bands
+      .withColumn("__n", count(lit(1)).over(wB))
+      .withColumn("__rep", row_number().over(wSig))
+      .withColumn("__rank", dense_rank().over(wRank))
+      .filter(col("__n") <= maxBucket ||
+        (col("__rep") === 1 && col("__rank") <= maxBucket))
+      .select(col("id_c"), col("band_idx"), col("band_hash"))
+  }
 
   def flag(increment: DataFrame, corpus: DataFrame,
            idCol: String = "doc_id", textCol: String = "text",
-           minJ: Double = 0.8): DataFrame = {
+           minJ: Double = 0.8, maxBucket: Int = 256): DataFrame = {
     // hashed shingles: the verify join carries both sets per candidate
     // row — 8-byte longs keep the increment-vs-corpus verify shuffle ~30×
     // lighter than strings (jaccard unchanged modulo ~zero collisions)
@@ -250,7 +293,8 @@ object IncrementalDedup {
         "sig", numBands = 16, rowsPerBand = 4)
       .select(col(idCol).as(as), col("band_idx"), col("band_hash"))
     val cand = banded(increment, "id_i")
-      .join(banded(corpus, "id_c"), Seq("band_idx", "band_hash"))
+      .join(boundedCorpusBands(corpus, idCol, textCol, maxBucket),
+        Seq("band_idx", "band_hash"))
       .select("id_i", "id_c").distinct()
     val verified = cand
       .join(sh5(increment).select(col(idCol).as("id_i"), col("sh").as("sh_i")), Seq("id_i"))

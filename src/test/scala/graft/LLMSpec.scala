@@ -366,6 +366,34 @@ class LLMSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("incremental dedup cap collapses duplicated-corpus buckets but keeps the flag") {
+    import graft.llm.IncrementalDedup
+    // corpus: one 600-copy identical family (every band bucket oversized
+    // at cap 8) + distinct fillers; increment: one family twin + one novel
+    val family = (0 until 600).map(i => (1000L + i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val fillers = (0 until 20).map(i => (2000L + i, s"filler$i unique words nr$i " + ("x" + i + " ") * 8))
+    val corpus = (family ++ fillers).toDF("doc_id", "text")
+    val inc = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely different novel content with no twin anywhere at all ok")).toDF("doc_id", "text")
+    val out = IncrementalDedup.flag(inc, corpus, maxBucket = 8)
+      .orderBy("doc_id").collect()
+    // twin: flagged at j=1 against a deterministic representative (the
+    // family's min id) — NOT 600 matches; novel: clean
+    assert(out(0).getAs[Long]("n_matches") >= 1L)
+    assert(out(0).getAs[Long]("n_matches") <= 8L,
+      s"cap must bound matches to reps, got ${out(0).getAs[Long]("n_matches")}")
+    assert(out(0).getAs[Double]("best_j") == 1.0)
+    assert(out(0).getAs[Long]("best_match") == 1000L)
+    assert(out(1).getAs[Long]("n_matches") == 0L)
+    // below the cap the exact match set is preserved: same corpus, cap
+    // high enough that no bucket is oversized -> all 600 twins counted
+    val exact = IncrementalDedup.flag(inc, corpus, maxBucket = 10000)
+      .orderBy("doc_id").collect()
+    assert(exact(0).getAs[Long]("n_matches") == 600L)
+    assert(exact(0).getAs[Long]("best_match") == 1000L)
+  }
+
   test("lsh buckets put identical vectors together") {
     val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")

@@ -73,9 +73,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q59 executes the stream — the returned frame is a memory-sink scan
     "q56_boilerplate" -> 2, "q57_temperature_mix" -> 3,
     "q58_shuffle_shard" -> 1, "q59_stream_dedup" -> 0,
-    // q60 = band join (inc × corpus) + pair distinct + verify joins
-    // sharing the candidate partitioning + final agg
-    "q60_incremental_dedup" -> 3,
+    // q60 = corpus-bucket-cap window on (band,hash) + pair distinct +
+    // verify joins sharing the candidate partitioning + final agg. At
+    // test SF the corpus band side broadcasts, so the cap window's
+    // exchange reads as +1; at scale the band join is sort-merge and
+    // the SAME exchange satisfies it — no extra shuffle where it counts
+    "q60_incremental_dedup" -> 4,
     // q61 = content-hash dup window + doc_id join + source rollup
     // (countDistinct rides the rollup's partial/final pair)
     "q61_corpus_report" -> 3,
