@@ -88,8 +88,13 @@ object BloomDecontaminate {
       .select(xxhash64(col("g")).as("gh")).distinct()
     val bloom = buildBloom(benchHashes, "gh",
       expectedItems = math.max(1L, numBits >> 4), numBits = numBits)
-    stream.select(col(idCol), col("source"),
-        Shingles.shingles(col(textCol), k).as("__sh"))
+    // only (idCol, textCol) are required; passthrough columns (e.g. the
+    // corpus tables' `source`) are carried when present rather than
+    // hard-required — a minimal (id, text) stream must analyze
+    val passthrough = stream.columns.toSeq
+      .filterNot(c => c == idCol || c == textCol).map(col)
+    stream.select(col(idCol) +: passthrough :+
+        Shingles.shingles(col(textCol), k).as("__sh"): _*)
       .withColumn("n_candidatas",
         size(filter(col("__sh"), g => mightContain(bloom, xxhash64(g))))
           .cast("long"))

@@ -239,23 +239,29 @@ object NgramJaccard {
   * representative per distinct signature — see [[boundedCorpusBands]] —
   * so under heavy corpus duplication n_matches counts verified
   * REPRESENTATIVES (≈ distinct near-dup signatures), not corpus rows,
-  * while the flag decision (n_matches > 0, best_j) is preserved; below
-  * the cap the output is the exact match set. */
+  * while the flag decision (n_matches > 0, best_j) is preserved: every
+  * distinct signature keeps a rep, so no collision is dropped by the
+  * collapse; below the cap the output is the exact match set. */
 object IncrementalDedup {
 
   /** Corpus band rows with oversized buckets collapsed to one
-    * representative per DISTINCT signature, capped at `maxBucket`
-    * distinct signatures per bucket. A corpus family of m identical
-    * documents shares one signature, so an increment twin joining its
-    * bucket meets ONE rep instead of m rows — the band-join fanout per
-    * increment row is bounded by maxBucket whatever the corpus
-    * duplication profile (the factor-300 sweep's 300-copy families made
-    * the uncapped join quadratic). Buckets at or under maxBucket pass
-    * through untouched, so small-SF results — and the DuckDB oracle —
-    * are bit-identical to the exact join; reps are deterministic (min
-    * id per signature, smallest sig_order first). One exchange: the
-    * count / per-sig row_number / distinct-sig dense_rank windows all
-    * share the (band_idx, band_hash) partitioning. */
+    * representative per DISTINCT signature. A corpus family of m
+    * identical documents shares one signature, so an increment twin
+    * joining its bucket meets ONE rep instead of m rows — the band-join
+    * fanout per increment row is bounded by the bucket's
+    * distinct-signature count whatever the corpus DUPLICATION profile
+    * (the factor-300 sweep's 300-copy families made the uncapped join
+    * quadratic). Every distinct signature keeps its rep — no rank
+    * truncation — so the flag decision (n_matches > 0, best_j) can
+    * never be silently lost to the cap; the collapse is
+    * duplication-proof, not collision-proof (a bucket of m mutually
+    * DISTINCT signatures still fans out m ways, the same exposure the
+    * symmetric path accepts before chaining). Buckets at or under
+    * `maxBucket` rows pass through untouched, so small-SF results — and
+    * the DuckDB oracle — are bit-identical to the exact join; reps are
+    * deterministic (min id per signature). One exchange: the count and
+    * per-sig row_number windows share the (band_idx, band_hash)
+    * partitioning. */
   private[llm] def boundedCorpusBands(corpus: DataFrame, idCol: String,
                                       textCol: String,
                                       maxBucket: Int): DataFrame = {
@@ -269,13 +275,10 @@ object IncrementalDedup {
     val wB = Window.partitionBy(col("band_idx"), col("band_hash"))
     val wSig = Window.partitionBy(col("band_idx"), col("band_hash"), col("sig_order"))
       .orderBy(col("id_c"))
-    val wRank = wB.orderBy(col("sig_order"))
     bands
       .withColumn("__n", count(lit(1)).over(wB))
       .withColumn("__rep", row_number().over(wSig))
-      .withColumn("__rank", dense_rank().over(wRank))
-      .filter(col("__n") <= maxBucket ||
-        (col("__rep") === 1 && col("__rank") <= maxBucket))
+      .filter(col("__n") <= maxBucket || col("__rep") === 1)
       .select(col("id_c"), col("band_idx"), col("band_hash"))
   }
 

@@ -103,15 +103,20 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** (labels, rounds): labels = (id, label) for every node in `edges`
-    * (label = min node id of the component); rounds = large+small
-    * iterations until the edge set reached its star-forest fixpoint.
-    * Runs Spark jobs when called (driver-side convergence loop).
-    * Default maxIter 50 is far above the ~log2(n) rounds the star
-    * contraction needs at any realistic corpus size. */
-  def labelsWithRounds(edges: DataFrame, aCol: String = "id_a",
+  /** (labels, rounds, release): labels = (id, label) for every node in
+    * `edges` (label = min node id of the component); rounds = large+small
+    * iterations until the edge set reached its star-forest fixpoint;
+    * release() unpersists the materialized label cache once the caller
+    * has consumed (or copied) the result. Labels are returned ALREADY
+    * MATERIALIZED behind a persisted RDD — without the handle, repeated
+    * calls would accumulate block-manager storage until the
+    * ContextCleaner happened to GC the reference. Runs Spark jobs when
+    * called (driver-side convergence loop). Default maxIter 50 is far
+    * above the ~log2(n) rounds star contraction needs at any realistic
+    * corpus size. */
+  def labelsReleasable(edges: DataFrame, aCol: String = "id_a",
                        bCol: String = "id_b",
-                       maxIter: Int = 50): (DataFrame, Int) = {
+                       maxIter: Int = 50): (DataFrame, Int, () => Unit) = {
     // one pass over the (possibly expensive) input plan: the normalized
     // pair set is cut once and serves both the contraction loop (minus
     // self-pairs) and the final node roster (so every node mentioned in
@@ -151,17 +156,29 @@ object ConnectedComponents {
     outRdd.count()
     if (eRdd != null) eRdd.unpersist(false)
     baseRdd.unpersist(false)
-    (out, i)
+    (out, i, () => { outRdd.unpersist(false); () })
+  }
+
+  /** [[labelsReleasable]] without the release handle — the label cache
+    * stays persisted until the ContextCleaner GCs it. Fine for
+    * one-shot/test use; pipelines calling per run should prefer
+    * [[labelsReleasable]] and drop the cache once consumed. */
+  def labelsWithRounds(edges: DataFrame, aCol: String = "id_a",
+                       bCol: String = "id_b",
+                       maxIter: Int = 50): (DataFrame, Int) = {
+    val (out, rounds, _) = labelsReleasable(edges, aCol, bCol, maxIter)
+    (out, rounds)
   }
 
   /** (id, label) for every node in `edges`, where label = min node id of
-    * the node's component. */
+    * the node's component. Persisted until GC — see [[labelsWithRounds]]. */
   def labels(edges: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
              maxIter: Int = 50): DataFrame =
     labelsWithRounds(edges, aCol, bCol, maxIter)._1
 
   /** Label every node with its component representative and size —
-    * (id, survivor, size); survivor = min id of the component. */
+    * (id, survivor, size); survivor = min id of the component.
+    * Persisted until GC — see [[labelsWithRounds]]. */
   def components(edges: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                  maxIter: Int = 50): DataFrame = {
     val lbl = labels(edges, aCol, bCol, maxIter)

@@ -55,7 +55,11 @@ object CorpusPipeline {
     val exact = ExactDedup.dropExact(staged, "text", "doc_id")
     // near-dup groups collapse to their component survivor
     val edges = LLMQueries.verifiedPairs(spark, sfDir).select("id_a", "id_b")
-    val losers = ConnectedComponents.labels(edges)
+    // releasable labeling: the write below materializes the whole flow,
+    // so the label cache is dropped before returning (repeated pipeline
+    // runs would otherwise stack persisted RDDs until GC)
+    val (lbl, _, releaseLabels) = ConnectedComponents.labelsReleasable(edges)
+    val losers = lbl
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
@@ -89,6 +93,7 @@ object CorpusPipeline {
       .filter(col("__acum") - col("tokens") < budget)
       .drop("__acum")
     lake.write(admitted, lake.layers.Domain, "corpus_curado")
+    releaseLabels()
   }
 
   def buildPacked(lake: LakeIO, width: Int = 200, stride: Int = 100): Unit = {

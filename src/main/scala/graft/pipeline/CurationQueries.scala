@@ -286,7 +286,10 @@ object CurationQueries {
     // (the Similarity.ivfCentroids bounded-build-side pattern) and inject
     // it as a literal; a crossJoin(broadcast(1-row)) would plan a
     // BroadcastNestedLoopJoin and trip the quadratic-join gate
-    val nTotal = words.agg(sum(size(col("ws")))).head.getLong(0)
+    // sum() over an empty corpus is NULL — degrade to 0 (the result is
+    // empty anyway since pairCounts is empty) instead of throwing
+    val nTotal = Option(words.agg(sum(size(col("ws")))).head.get(0))
+      .fold(0L)(_.asInstanceOf[Long])
     pairCounts.filter(col("n_par") >= minCount)
       .join(wordCounts.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
       .join(wordCounts.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))

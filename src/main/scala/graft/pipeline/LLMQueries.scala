@@ -519,6 +519,15 @@ object LLMQueries {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
+      // loud ASCII guard: cdc_boundaries positions are UTF-8 BYTE
+      // offsets while substring() below is CHARACTER-based (and the
+      // oracle hashes code points) — the three only coincide on ASCII,
+      // so non-ASCII input must fail here, not silently mis-chunk
+      .withColumn("text",
+        when(octet_length(col("text")) === length(col("text")), col("text"))
+          .otherwise(raise_error(concat(
+            lit("q68_cdc_chunks requires ASCII text (byte offsets != char offsets) — doc_id="),
+            col("doc_id").cast("string")))))
       .withColumn("ends", expr("cdc_boundaries(text, 16, 64)"))
       .withColumn("starts",
         concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1)))

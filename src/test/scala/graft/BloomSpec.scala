@@ -93,4 +93,20 @@ class BloomSpec extends AnyFunSuite {
       "streaming bloom flag must never miss a truly contaminated doc")
     assert(got.count() == corpus.count())
   }
+
+  test("streaming flag analyzes on a minimal (id, text) stream — no hidden column requirements") {
+    val path = graft.core.Tables.path(sf, "documents")
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(path.replace("parquet", "parque[t]"))
+      .select("doc_id", "text") // no `source` — the API only asks for (id, text)
+    val flagged = BloomDecontaminate.flagStream(stream, bench)
+    assert(flagged.columns.toSeq ==
+      Seq("doc_id", "n_candidatas", "contaminado_aprox"))
+    // and passthrough columns survive when present
+    val withExtra = BloomDecontaminate.flagStream(
+      spark.readStream.schema(schema).parquet(path.replace("parquet", "parque[t]")),
+      bench)
+    assert(withExtra.columns.contains("source"))
+  }
 }
