@@ -532,10 +532,10 @@ class JobParser:
             calls.append((node.func.attr, node))
             node = node.func.value
         calls.reverse()
-        refstart = len(self.refs)
         base = self.ref_of(node, hint="base")
         ops = []
         i = 0
+        rstart = len(self.refs)
         # leading .alias("x")
         alias = ""
         if calls and calls[0][0] == "alias":
@@ -552,7 +552,7 @@ class JobParser:
                 cols = [select_col(self.u, a) for a in c.args]
                 ops.append({"op": "select", "cols": cols})
             elif attr in ("groupBy", "groupby"):
-                keys = [self.u.order_arg(a) for a in c.args]
+                keys = [self.group_key(a) for a in c.args]
                 # next call must be agg
                 i += 1
                 aggattr, aggc = calls[i]
@@ -584,8 +584,13 @@ class JobParser:
                 ops.append({"op": "aliasAll", "alias": c.args[0].value})
             else:
                 raise ValueError(f"chain op {attr}")
+            if ops:
+                ops[-1].setdefault("_refs", []).extend(self.refs[rstart:])
+            rstart = len(self.refs)
             i += 1
-        self.attribute_columns(ops, self.refs[refstart:])
+        self.attribute_columns(ops)
+        for o in ops:
+            o.pop("_refs", None)
         return ops
 
     # ---- stage-schema extraction (drives StageSynth)
@@ -602,39 +607,51 @@ class JobParser:
                 and not colname.startswith("__")):
             self.stage_cols.setdefault(t, set()).add(colname)
 
-    def attribute_columns(self, ops, reflist):
+    def attribute_columns(self, ops):
+        """Positional attribution: refs collected while unparsing each op
+        are attributed against the alias scope AT that op; bare refs reach
+        the base table only while no projection has happened yet (a select
+        or groupBy renames the namespace for every LATER op)."""
         aliasmap = {}
         base_ref = ops[0]["ref"]
         if ops[0].get("alias"):
             aliasmap[ops[0]["alias"]] = base_ref
-        projected = False  # a select/groupBy already renamed columns
-        extra = list(reflist)
+        # aliases are chain-scoped, not positional: pre-register them all
         for o in ops:
+            if o["op"] == "join" and o.get("alias"):
+                aliasmap[o["alias"]] = o["ref"]
+        projected = False
+        for o in ops:
+            refs = list(o.get("_refs", []))
             if o["op"] == "join":
-                if o.get("alias"):
-                    aliasmap[o["alias"]] = o["ref"]
                 for uc in o.get("using", []):
                     self.attr_col(base_ref, uc)
                     self.attr_col(o["ref"], uc)
             for c in o.get("cols", []) + o.get("aggs", []):
                 if c["function"] == "default" and c["source"]:
-                    extra.append(c["source"])
+                    refs.append(c["source"])
             if o["op"] == "groupBy":
-                extra.extend(k for k in o["keys"] if isinstance(k, str))
-            if o["op"] == "dropDuplicates":
+                refs.extend(k for k in o["keys"] if isinstance(k, str))
+            if o["op"] == "dropDuplicates" and not projected:
                 for sc in o.get("subset", []):
                     self.attr_col(base_ref, sc)
-            if o["op"] == "withColumn":
-                pass  # expr refs already collected via col()
+            for r in refs:
+                if "." in r:
+                    a, c = r.split(".", 1)
+                    if a in aliasmap:
+                        self.attr_col(aliasmap[a], c)
+                elif not projected:
+                    self.attr_col(base_ref, r)
             if o["op"] in ("select", "groupBy"):
                 projected = True
-        for r in extra:
-            if "." in r:
-                a, c = r.split(".", 1)
-                if a in aliasmap:
-                    self.attr_col(aliasmap[a], c)
-            elif not projected:
-                self.attr_col(base_ref, r)
+
+    def group_key(self, a):
+        """Grouping keys may be aliased (groupBy(coalesce(x,'').alias(n)))
+        — keep the alias so post-agg selects resolve the key by name."""
+        if (isinstance(a, ast.Call) and isinstance(a.func, ast.Attribute)
+                and a.func.attr == "alias"):
+            return f"{self.u.sql(a.func.value)} AS {a.args[0].value}"
+        return self.u.order_arg(a)
 
     def filter_sql(self, a):
         # special-case: col("cod_pais").isin(list_cod_pais)
@@ -685,6 +702,43 @@ def main():
                 parsers.append(p)
             except Exception as e:
                 errors.append(f"{fn}: {e}")
+    # manual corrections to latent reference bugs (documented in
+    # SURVEY/Scaladoc): t_movimiento_inventario_detalle line 70 references
+    # alias `tmi` which is never bound in that join (only tmid/mda/mc/mp/
+    # ma) — the job would crash as written; the evident intent is the
+    # detalle's own estado-of-comprobante column.
+    # (job, broken ref as written, evident intent) — each would raise
+    # UNRESOLVED_COLUMN in the reference itself; see SURVEY round-5 notes
+    FIXES = [
+        ("t_movimiento_inventario_detalle",
+         "tmi.cod_estado_comprobante", "tmid.cod_estado_comprobante"),
+        ("t_venta_detalle", "tv.id_operacion", "tvd.id_operacion"),
+    ]
+    for i, j in enumerate(jobs):
+        raw = json.dumps(j)
+        for (jn, old, new) in FIXES:
+            if j["name"] == jn:
+                raw = raw.replace(old, new)
+        jobs[i] = json.loads(raw)
+    # t_venta_detalle selects tvd.precio_paquete TWICE in one select
+    # (lines 188+197) — duplicate output attribute makes every later bare
+    # reference ambiguous (crash as written); keep the first.
+    for j in jobs:
+        if j["name"] != "t_venta_detalle":
+            continue
+        for st in j["steps"]:
+            for o in st["ops"]:
+                if o["op"] != "select":
+                    continue
+                seen = set()
+                kept = []
+                for c in o["cols"]:
+                    key = (c["target"], c["source"])
+                    if c["target"] == "precio_paquete" and key in seen:
+                        continue
+                    seen.add(key)
+                    kept.append(c)
+                o["cols"] = kept
     with open(os.path.join(OUT, "jobs.json"), "w") as f:
         json.dump(jobs, f, indent=1, sort_keys=True)
     # referenced stage columns report (drives StageSynth)
@@ -692,6 +746,12 @@ def main():
     for p in parsers:
         for t, cols in p.stage_cols.items():
             merged.setdefault(t, set()).update(cols)
+    # manual corrections: columns the bare-ref heuristic attributes to the
+    # step base but which the reference resolves from a JOINED table
+    # (m_estructura_comercial division branch: cod_sucursal is mzd's)
+    merged.get("m_division", set()).discard("cod_sucursal")
+    merged.setdefault("t_movimiento_inventario_detalle", set()).add(
+        "cod_estado_comprobante")
     with open(os.path.join(OUT, "stage_columns.json"), "w") as f:
         json.dump({t: sorted(c) for t, c in sorted(merged.items())},
                   f, indent=1)

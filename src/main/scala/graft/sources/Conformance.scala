@@ -66,13 +66,34 @@ object Conformance {
       if (c.literal.equalsIgnoreCase("null")) lit(null) else lit(c.literal)
     } else col(c.source)
 
+  /** Cast only when a target type is declared — the transcribed reference
+    * jobs contain bare `col(...)` select entries with no cast, which must
+    * keep their incoming type (a forced string cast would diverge). */
+  private def castDeclared(col: Column, targetType: String): Column =
+    if (targetType == null || targetType.trim.isEmpty) col
+    else col.cast(sparkType(targetType))
+
   /** Compile one declaration to its Catalyst expression. `today` is the
     * injected clock for get_date (the reference reads Lima now; injection
     * keeps runs deterministic and testable). */
   def compile(c: Col, today: String = "1970-01-01"): Column = {
     val out = c.function.trim.toLowerCase match {
+      case "" | "default" if c.source.endsWith(".*") && c.literal.isEmpty =>
+        return col(c.source) // qualified star select: no cast, no alias
+      case "" | "default"
+          if c.literal.isEmpty && c.targetType.trim.isEmpty &&
+            c.source.nonEmpty && c.source.split('.').last == c.target =>
+        // bare uncast column select: keep the attribute untouched so its
+        // QUALIFIER survives (pyspark select(col("tv.x")) leaves later
+        // col("tv.x") references resolvable; an alias would strip that)
+        return col(c.source)
       case "" | "default" =>
-        defaultValue(c).cast(sparkType(c.targetType))
+        castDeclared(defaultValue(c), c.targetType)
+      // ---- free-form Spark-SQL expression (the transcription fallback for
+      // select entries outside the declared vocabulary; `source` holds the
+      // SQL, already cast where the reference cast)
+      case "expr" =>
+        expr(c.source)
       case "convert_fecha_bigmagic" =>
         Periods.toMagic(col(c.source)).cast(sparkType(c.targetType))
       case "convert_hora_bigmagic" =>
