@@ -56,7 +56,10 @@ SQL_FUNCS = {
 
 
 def q(s):
-    return "'" + s.replace("'", "''") + "'"
+    # Spark's SQL parser processes backslash escapes inside string
+    # literals (escapedStringLiterals=false), so a python pattern like
+    # \| must be emitted as '\\|' to survive as regex \|
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 class Unparser:
@@ -146,8 +149,23 @@ class Unparser:
                 return self.sql(n.args[0])
             if name in SQL_FUNCS:
                 sqlname = SQL_FUNCS[name] or name
-                args = ", ".join(self.sql(a) for a in n.args)
-                return f"{sqlname}({args})"
+                # pyspark functions take str-as-COLUMN except at known
+                # literal positions (format/separator/pattern/length args)
+                lit_pos = {"concat_ws": {0}, "date_format": {1},
+                           "regexp_replace": {1, 2}, "round": {1},
+                           "substring": {1, 2}, "add_months": {1},
+                           "split": {1}, "to_date": {1},
+                           "to_timestamp": {1}}.get(name, set())
+                rendered = []
+                for idx, a in enumerate(n.args):
+                    if (idx not in lit_pos and isinstance(a, ast.Constant)
+                            and isinstance(a.value, str)):
+                        if self.refs is not None:
+                            self.refs.append(a.value)
+                        rendered.append(a.value)
+                    else:
+                        rendered.append(self.sql(a))
+                return f"{sqlname}({', '.join(rendered)})"
             raise ValueError(f"unknown fn {name}")
         if isinstance(f, ast.Attribute):
             return self.method(f.value, f.attr, n)
@@ -752,6 +770,8 @@ def main():
     merged.get("m_division", set()).discard("cod_sucursal")
     merged.setdefault("t_movimiento_inventario_detalle", set()).add(
         "cod_estado_comprobante")
+    # 'orden' is t_reparto's own withColumn product, not a stage column
+    merged.get("t_movimiento_inventario", set()).discard("orden")
     with open(os.path.join(OUT, "stage_columns.json"), "w") as f:
         json.dump({t: sorted(c) for t, c in sorted(merged.items())},
                   f, indent=1)

@@ -139,10 +139,18 @@ object ConformanceLake {
 
   /** Run `names` (default: every job) and return job -> result frame.
     * Upstream outputs are resolved lazily and memoized as plans (nothing
-    * materializes until the caller acts on a frame). */
+    * materializes until the caller acts on a frame).
+    *
+    * Disables ANSI mode for the session: the reference executes on
+    * Spark 3 (non-ANSI default), where divide-by-zero and failed casts
+    * yield NULL rather than raising — several jobs rely on it (e.g.
+    * t_hoja_asignacion_detalle divides by an exchange rate that source
+    * data legitimately zeroes). DuckDB division matches (NULL on /0),
+    * so the oracle agrees. */
   def run(spark: SparkSession, dir: String,
           names: Seq[String] = ConformanceJobs.ordered.map(_.name),
           params: Params = Params()): Map[String, DataFrame] = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     StageSynth.register(spark, dir)
     val memo = scala.collection.mutable.Map[String, DataFrame]()
     def jobOut(name: String): DataFrame =
@@ -160,4 +168,37 @@ object ConformanceLake {
   def runJob(spark: SparkSession, dir: String, name: String,
              params: Params = Params()): DataFrame =
     run(spark, dir, Seq(name), params)(name)
+}
+
+/** Gate normalization for conformance twins: the driver's hash compare
+  * needs DOUBLE not DECIMAL in final projections, TIMESTAMP_NTZ not
+  * TIMESTAMP (parquet tz-adjust), and typed NULLs (void columns can't
+  * even be written to parquet). Both sides derive from the same schema
+  * so the casts are symmetric by construction. */
+object ConformanceGate {
+  import org.apache.spark.sql.types._
+
+  /** Spark-side: normalized frame ready for the oracle gate. */
+  def normalize(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => expr(s"CAST(`${f.name}` AS DOUBLE)").as(f.name)
+        case TimestampType  => expr(s"CAST(`${f.name}` AS TIMESTAMP_NTZ)").as(f.name)
+        case NullType       => expr(s"CAST(NULL AS STRING)").as(f.name)
+        case _              => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** DuckDB-side: the matching final select list. */
+  def finalSelect(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.toIndexedSeq.map { f =>
+      f.dataType match {
+        case _: DecimalType => s"CAST(${f.name} AS DOUBLE) AS ${f.name}"
+        case TimestampType  => s"CAST(${f.name} AS TIMESTAMP) AS ${f.name}"
+        case NullType       => s"CAST(NULL AS VARCHAR) AS ${f.name}"
+        case _              => f.name
+      }
+    }
 }

@@ -13,7 +13,7 @@ import graft.core.Tables
   * oracle replays the identical fixture from the identical inputs — no
   * synthetic files, no RNG, no clock. Key formulas are shared across
   * tables (a cliente's compania is ALWAYS custkey % 25, a detail row's
-  * articulo is ALWAYS partkey, fechas come from o_orderdate), which gives
+  * articulo is ALWAYS partkey, fechas come from CAST(o_orderdate AS DATE)), which gives
   * the synthesized lake referential integrity: inner joins in the
   * reference jobs hit, periods line up, and branch-covering value
   * domains (estado '002', moneda 'DOL', sucursal '00', NULL/'' zona
@@ -102,8 +102,8 @@ object StageSynth {
          |       ${suc("c_custkey")} AS cod_sucursal,
          |       CAST(c_custkey % 3 AS STRING) AS cod_fuerza_venta,
          |       CAST(c_custkey % 9 AS STRING) AS cod_modulo,
-         |       CAST(round(c_acctbal / 100, 2) AS STRING) AS coord_x,
-         |       CAST(round(c_acctbal / 77, 2) AS STRING) AS coord_y
+         |       CAST(c_custkey % 180 AS STRING) AS coord_x,
+         |       CAST(c_custkey % 90 AS STRING) AS coord_y
          |FROM customer
          |WHERE c_custkey % 6 <> 0""".stripMargin,
 
@@ -248,7 +248,7 @@ object StageSynth {
     "m_articulo" ->
       s"""SELECT CAST(p_partkey AS STRING) AS cod_articulo,
          |       lpad(CAST(n_nationkey AS STRING), 2, '0') AS cod_compania,
-         |       CONCAT('CORP', CAST(p_partkey % 500 AS STRING)) AS cod_articulo_corp,
+         |       CAST(9000000 + p_partkey % 500 AS STRING) AS cod_articulo_corp,
          |       CONCAT(lpad(CAST(n_nationkey AS STRING), 2, '0'), '|',
          |              CAST(p_partkey AS STRING)) AS id_articulo,
          |       p_name AS desc_articulo,
@@ -262,14 +262,15 @@ object StageSynth {
          |       CAST(p_partkey % 4 AS STRING) AS cod_presentacion,
          |       CAST(p_partkey % 5 AS STRING) AS cod_sabor,
          |       CAST(p_partkey % 3 AS STRING) AS cod_tipo_envase,
-         |       CASE WHEN p_partkey % 17 = 0 THEN 0 ELSE 1 + p_partkey % 12 END AS cant_unidad_paquete,
+         |       CASE p_partkey % 6 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+         |            WHEN 3 THEN 5 WHEN 4 THEN 8 ELSE 10 END AS cant_unidad_paquete,
          |       1 + p_partkey % 6 AS cant_paquete_caja,
          |       CAST(p_size AS DECIMAL(18,6)) AS cant_unidad_volumen,
-         |       CAST(round(p_retailprice / 100, 3) AS DECIMAL(18,6)) AS cant_unidad_peso,
+         |       CAST(p_size + 0.5 AS DECIMAL(18,6)) AS cant_unidad_peso,
          |       1 + p_partkey % 40 AS cant_cajas_por_palet,
          |       'CAJ' AS unidad_compra,
          |       'UND' AS unidad_manejo,
-         |       'M3' AS unidad_volumen,
+         |       CAST(p_size AS STRING) AS unidad_volumen,
          |       CASE WHEN p_partkey % 23 = 0 THEN '0' ELSE '1' END AS es_activo,
          |       CASE WHEN p_partkey % 2 = 0 THEN '1' ELSE '0' END AS es_explosion,
          |       CASE WHEN p_partkey % 3 = 0 THEN 'T' ELSE 'F' END AS flgskuplan,
@@ -474,14 +475,16 @@ object StageSynth {
       """SELECT DISTINCT lpad(CAST(n_nationkey AS STRING), 2, '0') AS cod_compania,
         |       lpad(CAST(n_nationkey AS STRING), 2, '0') AS id_compania,
         |       m.moneda AS cod_moneda,
-        |       o_orderdate AS fecha,
-        |       CASE WHEN CAST(substring(CAST(o_orderdate AS STRING), 9, 2) AS INT) = 13
+        |       CAST(o_orderdate AS DATE) AS fecha,
+        |       CASE WHEN CAST(substring(CAST(CAST(o_orderdate AS DATE) AS STRING), 9, 2) AS INT) = 13
         |            THEN CAST(0 AS DECIMAL(18,6))
-        |            ELSE CAST(3 + CAST(substring(CAST(o_orderdate AS STRING), 9, 2) AS INT) * 0.01
-        |                 AS DECIMAL(18,6)) END AS tc_compra,
-        |       CAST(3.05 + CAST(substring(CAST(o_orderdate AS STRING), 9, 2) AS INT) * 0.01
-        |            AS DECIMAL(18,6)) AS tc_venta
-        |FROM (SELECT DISTINCT o_orderdate FROM orders), nation,
+        |            ELSE CAST(CASE CAST(substring(CAST(CAST(o_orderdate AS DATE) AS STRING), 9, 2) AS INT) % 4
+        |                 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 5
+        |                 END AS DECIMAL(18,6)) END AS tc_compra,
+        |       CAST(CASE CAST(substring(CAST(CAST(o_orderdate AS DATE) AS STRING), 9, 2) AS INT) % 4
+        |            WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 5 ELSE 8
+        |            END AS DECIMAL(18,6)) AS tc_venta
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS o_orderdate FROM orders), nation,
         |     (SELECT CASE WHEN r_regionkey = 0 THEN 'DOL' ELSE 'SOL' END AS moneda
         |      FROM region WHERE r_regionkey < 2) m""".stripMargin,
 
@@ -517,15 +520,17 @@ object StageSynth {
          |            WHEN o_orderkey % 7 = 1 THEN NULL ELSE 'F' END AS flg_facglob,
          |       CASE WHEN o_orderkey % 19 = 0 THEN 'T'
          |            WHEN o_orderkey % 19 = 1 THEN NULL ELSE 'F' END AS flg_refact,
-         |       CAST(3 + (o_orderkey % 50) * 0.01 AS DECIMAL(18,6)) AS tipo_cambio_mn,
+         |       CAST(CASE o_orderkey % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+         |            WHEN 3 THEN 5 ELSE 8 END AS DECIMAL(18,6)) AS tipo_cambio_mn,
          |       CASE WHEN o_orderkey % 23 = 0 THEN CAST(0 AS DECIMAL(18,6))
-         |            ELSE CAST(3.5 + (o_orderkey % 40) * 0.01 AS DECIMAL(18,6)) END AS tipo_cambio_me,
-         |       o_orderdate AS fecha_liquidacion,
-         |       o_orderdate AS fecha_emision,
-         |       o_orderdate AS fecha_pedido,
-         |       CAST(CONCAT(CAST(o_orderdate AS STRING), ' ',
+         |            ELSE CAST(CASE o_orderkey % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+         |                 WHEN 2 THEN 5 ELSE 10 END AS DECIMAL(18,6)) END AS tipo_cambio_me,
+         |       CAST(o_orderdate AS DATE) AS fecha_liquidacion,
+         |       CAST(o_orderdate AS DATE) AS fecha_emision,
+         |       CAST(o_orderdate AS DATE) AS fecha_pedido,
+         |       CAST(CONCAT(CAST(CAST(o_orderdate AS DATE) AS STRING), ' ',
          |            lpad(CAST(o_orderkey % 24 AS STRING), 2, '0'), ':00:00') AS TIMESTAMP) AS fecha_creacion,
-         |       CAST(CONCAT(CAST(o_orderdate AS STRING), ' ',
+         |       CAST(CONCAT(CAST(CAST(o_orderdate AS DATE) AS STRING), ' ',
          |            lpad(CAST(o_orderkey % 24 AS STRING), 2, '0'), ':30:00') AS TIMESTAMP) AS fecha_modificacion
          |FROM orders,
          |     (SELECT r_regionkey FROM region) r
@@ -554,10 +559,10 @@ object StageSynth {
          |       CAST(l_extendedprice * 0.003 AS DECIMAL(18,6)) AS imp_im4,
          |       CAST(l_extendedprice * 0.004 AS DECIMAL(18,6)) AS imp_im5,
          |       CAST(l_extendedprice * 0.005 AS DECIMAL(18,6)) AS imp_im6,
-         |       CAST(round(l_extendedprice / l_quantity, 4) AS DECIMAL(18,6)) AS precio_paquete,
-         |       o.o_orderdate AS fecha_liquidacion,
-         |       CAST(CONCAT(CAST(o.o_orderdate AS STRING), ' 08:00:00') AS TIMESTAMP) AS fecha_creacion,
-         |       CAST(CONCAT(CAST(o.o_orderdate AS STRING), ' 09:00:00') AS TIMESTAMP) AS fecha_modificacion
+         |       CAST(l_extendedprice * 0.01 AS DECIMAL(18,6)) AS precio_paquete,
+         |       CAST(o.o_orderdate AS DATE) AS fecha_liquidacion,
+         |       CAST(CONCAT(CAST(CAST(o.o_orderdate AS DATE) AS STRING), ' 08:00:00') AS TIMESTAMP) AS fecha_creacion,
+         |       CAST(CONCAT(CAST(CAST(o.o_orderdate AS DATE) AS STRING), ' 09:00:00') AS TIMESTAMP) AS fecha_modificacion
          |FROM lineitem
          |JOIN orders o ON l_orderkey = o.o_orderkey""".stripMargin,
 
@@ -577,10 +582,10 @@ object StageSynth {
          |       CASE WHEN o_orderkey % 8 = 0
          |            THEN CONCAT('P', CAST(o_orderkey % 500 AS STRING))
          |            ELSE NULL END AS cod_documento_pedido_origen,
-         |       o_orderdate AS fecha_pedido,
-         |       o_orderdate AS fecha_entrega,
-         |       CAST(CONCAT(CAST(o_orderdate AS STRING), ' 07:00:00') AS TIMESTAMP) AS fecha_creacion,
-         |       CAST(CONCAT(CAST(o_orderdate AS STRING), ' 07:30:00') AS TIMESTAMP) AS fecha_modificacion
+         |       CAST(o_orderdate AS DATE) AS fecha_pedido,
+         |       CAST(o_orderdate AS DATE) AS fecha_entrega,
+         |       CAST(CONCAT(CAST(CAST(o_orderdate AS DATE) AS STRING), ' 07:00:00') AS TIMESTAMP) AS fecha_creacion,
+         |       CAST(CONCAT(CAST(CAST(o_orderdate AS DATE) AS STRING), ' 07:30:00') AS TIMESTAMP) AS fecha_modificacion
          |FROM orders""".stripMargin,
 
     "t_documento_pedido_detalle" ->
@@ -605,9 +610,9 @@ object StageSynth {
          |       CAST(l_quantity * (1 + l_linenumber % 3) AS DECIMAL(18,6)) AS cant_unidad,
          |       CAST(CASE WHEN l_linenumber % 4 = 0 THEN l_quantity * (1 + l_linenumber % 3) * 0.5
          |            ELSE l_quantity * (1 + l_linenumber % 3) END AS DECIMAL(18,6)) AS cant_unidad_asignado,
-         |       o.o_orderdate AS fecha_pedido,
-         |       CAST(CONCAT(CAST(o.o_orderdate AS STRING), ' 07:00:00') AS TIMESTAMP) AS fecha_creacion,
-         |       CAST(CONCAT(CAST(o.o_orderdate AS STRING), ' 07:45:00') AS TIMESTAMP) AS fecha_modificacion
+         |       CAST(o.o_orderdate AS DATE) AS fecha_pedido,
+         |       CAST(CONCAT(CAST(CAST(o.o_orderdate AS DATE) AS STRING), ' 07:00:00') AS TIMESTAMP) AS fecha_creacion,
+         |       CAST(CONCAT(CAST(CAST(o.o_orderdate AS DATE) AS STRING), ' 07:45:00') AS TIMESTAMP) AS fecha_modificacion
          |FROM lineitem
          |JOIN orders o ON l_orderkey = o.o_orderkey""".stripMargin,
 
@@ -625,10 +630,10 @@ object StageSynth {
          |       CASE WHEN o_orderkey % 3 = 0 THEN 'CONTADO' ELSE 'CREDITO' END AS cod_condicion_pago,
          |       CAST(o_orderkey % 40 AS STRING) AS cod_vendedor,
          |       CAST(o_custkey % 3 AS STRING) AS cod_fuerza_venta,
-         |       o_orderdate AS fecha_pedido,
-         |       o_orderdate AS fecha_entrega,
-         |       CAST(CONCAT(CAST(o_orderdate AS STRING), ' 06:00:00') AS TIMESTAMP) AS fecha_creacion,
-         |       CAST(CONCAT(CAST(o_orderdate AS STRING), ' 06:30:00') AS TIMESTAMP) AS fecha_modificacion
+         |       CAST(o_orderdate AS DATE) AS fecha_pedido,
+         |       CAST(o_orderdate AS DATE) AS fecha_entrega,
+         |       CAST(CONCAT(CAST(CAST(o_orderdate AS DATE) AS STRING), ' 06:00:00') AS TIMESTAMP) AS fecha_creacion,
+         |       CAST(CONCAT(CAST(CAST(o_orderdate AS DATE) AS STRING), ' 06:30:00') AS TIMESTAMP) AS fecha_modificacion
          |FROM orders
          |WHERE o_orderkey % 2 = 0""".stripMargin,
 
@@ -655,9 +660,9 @@ object StageSynth {
          |       CAST(l_quantity * 12 AS DECIMAL(18,6)) AS cantidad_botellas,
          |       CAST(CASE WHEN l_linenumber % 4 = 0 THEN l_quantity * 6
          |            ELSE l_quantity * 12 END AS DECIMAL(18,6)) AS cantidad_botellas_asignada,
-         |       o.o_orderdate AS fecha_pedido,
-         |       CAST(CONCAT(CAST(o.o_orderdate AS STRING), ' 06:00:00') AS TIMESTAMP) AS fecha_creacion,
-         |       CAST(CONCAT(CAST(o.o_orderdate AS STRING), ' 06:45:00') AS TIMESTAMP) AS fecha_modificacion
+         |       CAST(o.o_orderdate AS DATE) AS fecha_pedido,
+         |       CAST(CONCAT(CAST(CAST(o.o_orderdate AS DATE) AS STRING), ' 06:00:00') AS TIMESTAMP) AS fecha_creacion,
+         |       CAST(CONCAT(CAST(CAST(o.o_orderdate AS DATE) AS STRING), ' 06:45:00') AS TIMESTAMP) AS fecha_modificacion
          |FROM lineitem
          |JOIN orders o ON l_orderkey = o.o_orderkey
          |WHERE l_orderkey % 2 = 0""".stripMargin,
@@ -689,7 +694,6 @@ object StageSynth {
          |       CONCAT('L', CAST(o_orderkey AS STRING)) AS nro_documento_liquidacion,
          |       CONCAT('S', CAST(o_orderkey % 10 AS STRING)) AS nro_serie_alm,
          |       CAST(o_orderkey % 1000 AS STRING) AS nropricoal,
-         |       CAST(o_orderkey % 3 AS STRING) AS orden,
          |       CONCAT(${co("o_custkey")}, '|', ${suc("o_custkey")}, '|',
          |              CAST(o_orderkey % 6 AS STRING)) AS id_almacen,
          |       CASE WHEN o_orderkey % 6 = 0
@@ -712,11 +716,11 @@ object StageSynth {
          |       CONCAT(${co("o_custkey")}, '|', CAST(o_orderkey % 100 AS STRING)) AS id_transportista,
          |       CONCAT(${co("o_custkey")}, '|', CAST(o_orderkey % 100 AS STRING)) AS id_vehiculo,
          |       CONCAT(${co("o_custkey")}, '|', CAST(o_orderkey % 40 AS STRING)) AS id_vendedor,
-         |       o_orderdate AS fecha_almacen,
-         |       o_orderdate AS fecha_emision,
-         |       o_orderdate AS fecha_liquidacion,
-         |       CAST(CONCAT(CAST(o_orderdate AS STRING), ' 05:00:00') AS TIMESTAMP) AS fecha_creacion,
-         |       CAST(CONCAT(CAST(o_orderdate AS STRING), ' 05:30:00') AS TIMESTAMP) AS fecha_modificacion,
+         |       CAST(o_orderdate AS DATE) AS fecha_almacen,
+         |       CAST(o_orderdate AS DATE) AS fecha_emision,
+         |       CAST(o_orderdate AS DATE) AS fecha_liquidacion,
+         |       CAST(CONCAT(CAST(CAST(o_orderdate AS DATE) AS STRING), ' 05:00:00') AS TIMESTAMP) AS fecha_creacion,
+         |       CAST(CONCAT(CAST(CAST(o_orderdate AS DATE) AS STRING), ' 05:30:00') AS TIMESTAMP) AS fecha_modificacion,
          |       'etl' AS usuario_creacion,
          |       'etl' AS usuario_modificacion
          |FROM orders""".stripMargin,
@@ -745,7 +749,7 @@ object StageSynth {
          |       CAST(l_quantity AS DECIMAL(18,6)) AS cant_cajas,
          |       CAST(l_quantity * 12 AS DECIMAL(18,6)) AS cant_botellas,
          |       CAST(l_quantity * (1 + l_linenumber % 3) AS DECIMAL(18,6)) AS cant_unidades,
-         |       CAST(round(l_extendedprice / l_quantity, 4) AS DECIMAL(18,6)) AS costo_unitario,
+         |       CAST(l_extendedprice * 0.05 AS DECIMAL(18,6)) AS costo_unitario,
          |       CAST(l_extendedprice AS DECIMAL(18,6)) AS costo_total,
          |       CONCAT(lpad(CAST(o.o_custkey % 25 AS STRING), 2, '0'), '|',
          |              lpad(CAST(o.o_custkey % 5 AS STRING), 2, '0'), '|',
@@ -756,9 +760,9 @@ object StageSynth {
          |       CONCAT('MV', CAST(l_orderkey AS STRING)) AS id_movimiento_almacen,
          |       CONCAT(lpad(CAST(o.o_custkey % 25 AS STRING), 2, '0'), '|',
          |              lpad(CAST(o.o_custkey % 5 AS STRING), 2, '0')) AS id_sucursal,
-         |       o.o_orderdate AS fecha_almacen,
-         |       CAST(CONCAT(CAST(o.o_orderdate AS STRING), ' 05:00:00') AS TIMESTAMP) AS fecha_creacion,
-         |       CAST(CONCAT(CAST(o.o_orderdate AS STRING), ' 05:45:00') AS TIMESTAMP) AS fecha_modificacion,
+         |       CAST(o.o_orderdate AS DATE) AS fecha_almacen,
+         |       CAST(CONCAT(CAST(CAST(o.o_orderdate AS DATE) AS STRING), ' 05:00:00') AS TIMESTAMP) AS fecha_creacion,
+         |       CAST(CONCAT(CAST(CAST(o.o_orderdate AS DATE) AS STRING), ' 05:45:00') AS TIMESTAMP) AS fecha_modificacion,
          |       'etl' AS usuario_creacion,
          |       'etl' AS usuario_modificacion
          |FROM lineitem
@@ -782,7 +786,7 @@ object StageSynth {
         |       CONCAT('19950', CAST(4 + p_partkey % 3 AS STRING)) AS id_periodo,
         |       CONCAT(lpad(CAST(n_nationkey AS STRING), 2, '0'), '|',
         |              lpad(CAST(n_nationkey % 5 AS STRING), 2, '0')) AS id_sucursal,
-        |       CAST(round(p_retailprice / 10, 4) AS DECIMAL(18,6)) AS imp_cpm,
+        |       CAST(p_retailprice * 0.1 AS DECIMAL(18,6)) AS imp_cpm,
         |       CAST(p_retailprice AS DECIMAL(18,6)) AS imp_saldo_inicial,
         |       CAST(p_retailprice * 0.3 AS DECIMAL(18,6)) AS imp_ingreso,
         |       CAST(p_retailprice * 0.2 AS DECIMAL(18,6)) AS imp_salida,
@@ -798,8 +802,8 @@ object StageSynth {
          |       CASE WHEN o_orderkey % 7 = 0 THEN 'ANU' ELSE 'PLI' END AS estado,
          |       CAST(CONCAT('1995-0', CAST(4 + o_orderkey % 3 AS STRING), '-',
          |            lpad(CAST(1 + o_orderkey % 28 AS STRING), 2, '0')) AS DATE) AS fecha_inventario,
-         |       CAST(CONCAT(CAST(o_orderdate AS STRING), ' 04:00:00') AS TIMESTAMP) AS fecha_creacion,
-         |       CAST(CONCAT(CAST(o_orderdate AS STRING), ' 04:30:00') AS TIMESTAMP) AS fecha_modificacion,
+         |       CAST(CONCAT(CAST(CAST(o_orderdate AS DATE) AS STRING), ' 04:00:00') AS TIMESTAMP) AS fecha_creacion,
+         |       CAST(CONCAT(CAST(CAST(o_orderdate AS DATE) AS STRING), ' 04:30:00') AS TIMESTAMP) AS fecha_modificacion,
          |       'etl' AS usuario_creacion,
          |       'etl' AS usuario_modificacion
          |FROM orders
