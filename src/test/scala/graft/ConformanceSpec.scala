@@ -103,4 +103,19 @@ class ConformanceSpec extends AnyFunSuite {
       Conformance.compile(Col("x", "a", function = "no_such_fn"))
     }
   }
+
+  test("frozen catalog oracles match the runtime ConformanceSql rendering") {
+    // The q70–q73 oracle SQL the driver executes is frozen under
+    // resources/graft/conformance/oracles/. If the transcribed job
+    // metadata, stage synthesis, or the SQL renderer changes, the frozen
+    // copy goes stale — this pin turns that drift into a test failure
+    // instead of a CORRECTNESS gate miss. (Rendering depends only on
+    // metadata + output schema, so any SF works.)
+    graft.pipeline.ConformanceQueries.sampledJobs.foreach { case (key, job) =>
+      val runtime = graft.pipeline.ConformanceQueries.renderOracle(spark, sf, job)
+      val frozen = graft.pipeline.ConformanceQueries.oracles(key)
+      assert(runtime == frozen,
+        s"$job: frozen oracle is stale — re-dump via graft.ConformanceDump")
+    }
+  }
 }
