@@ -40,13 +40,18 @@ final case class LakeIO(spark: SparkSession, root: String) {
   def exists(layer: String, table: String): Boolean =
     new java.io.File(tablePath(layer, table)).exists()
 
-  /** Reads either table format: a directory carrying a `_graft_log` is a
-    * transactional table (resolved through its committed manifest), plain
-    * directories read as raw parquet — so plain and txn tables can share
-    * one lake and downstream jobs never care which is which. */
+  /** Reads any table format in the lake: a directory carrying a
+    * `_graft_log` is a transactional table (resolved through its
+    * committed manifest), one carrying only a `_delta_log` is a Delta
+    * table (resolved through [[DeltaInterop]] — the reference's native
+    * format, so its existing lake opens as-is), and plain directories
+    * read as raw parquet. Downstream jobs never care which is which.
+    * `_graft_log` wins when both logs exist (a txn table exported via
+    * DeltaInterop.exportTxn carries both; the graft log is richer). */
   def read(layer: String, table: String): DataFrame = {
     val p = tablePath(layer, table)
     if (new java.io.File(p, "_graft_log").isDirectory) TxnTable(spark, p).read()
+    else if (DeltaInterop.isDeltaTable(p)) DeltaInterop.read(spark, p)
     // mergeSchema: after a schema-evolving upsert, untouched partitions
     // lack the new columns — the union schema keeps them visible
     else spark.read.option("mergeSchema", "true").parquet(p)

@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaInterop, LakeIO, TxnTable}
+
+// checkpoint action rows (top level so Spark derives an Encoder)
+case class CkProtocol(minReaderVersion: Int, minWriterVersion: Int)
+case class CkFormat(provider: String)
+case class CkMeta(id: String, schemaString: String,
+                  partitionColumns: Seq[String],
+                  configuration: Map[String, String], format: CkFormat)
+case class CkAdd(path: String, partitionValues: Map[String, String],
+                 size: Long, modificationTime: Long, dataChange: Boolean)
+case class CkRow(protocol: Option[CkProtocol], metaData: Option[CkMeta],
+                 add: Option[CkAdd])
+
+/** Delta-log interop: reading hand-crafted tables shaped exactly like a
+  * delta-spark writer's output (JSON commits, parquet checkpoint,
+  * partition values, protocol actions), and publishing a TxnTable as a
+  * valid Delta history. The fixtures are built from the PUBLIC protocol
+  * spec, not from a Delta runtime — which is the point: the reference's
+  * lake must open without one. */
+class DeltaInteropSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): Path =
+    Files.createTempDirectory(prefix)
+
+  /** Write `df` as exactly one parquet file at `target`. */
+  private def oneFile(df: DataFrame, target: Path): Unit = {
+    val stage = tmpDir("delta_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(target.getParent)
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def writeCommit(root: Path, v: Long, lines: Seq[String]): Unit = {
+    val dir = root.resolve("_delta_log")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(f"$v%020d.json"), lines.asJava): Unit
+  }
+
+  private val dataSchema = StructType(Seq(
+    StructField("id", IntegerType), StructField("name", StringType)))
+
+  private def metaLine(schema: StructType, partCols: Seq[String]): String = {
+    val pc = partCols.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000001","format":{"provider":"parquet","options":{}},"schemaString":${
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .writeValueAsString(schema.json)},"partitionColumns":$pc,"configuration":{},"createdTime":1}}"""
+  }
+  private val protocolLine =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  test("replays json commits: add, remove, metaData, time travel") {
+    val root = tmpDir("delta_json")
+    oneFile(Seq((1, "a"), (2, "b")).toDF("id", "name"),
+      root.resolve("f1.parquet"))
+    oneFile(Seq((3, "c")).toDF("id", "name"), root.resolve("f2.parquet"))
+    oneFile(Seq((4, "d")).toDF("id", "name"), root.resolve("f3.parquet"))
+    writeCommit(root, 0, Seq(protocolLine, metaLine(dataSchema, Nil),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeCommit(root, 1, Seq(
+      """{"commitInfo":{"operation":"MERGE"}}""",
+      """{"remove":{"path":"f2.parquet","deletionTimestamp":2,"dataChange":true}}""",
+      """{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    val latest = DeltaInterop.read(spark, root.toString)
+    assert(latest.as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b"), (4, "d")))
+    val v0 = DeltaInterop.read(spark, root.toString, Some(0L))
+    assert(v0.as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("partition values reattach as typed columns, including nulls") {
+    val root = tmpDir("delta_part")
+    val schema = StructType(dataSchema.fields ++ Seq(
+      StructField("pe", IntegerType), StructField("ps", StringType)))
+    oneFile(Seq((1, "a")).toDF("id", "name"),
+      root.resolve(Paths.get("pe=10", "ps=x y", "p1.parquet")))
+    oneFile(Seq((2, "b")).toDF("id", "name"),
+      root.resolve(Paths.get("pe=20", "ps=__HIVE_DEFAULT_PARTITION__", "p2.parquet")))
+    writeCommit(root, 0, Seq(protocolLine, metaLine(schema, Seq("pe", "ps")),
+      // delta percent-encodes the path; the space in "x y" becomes %20
+      """{"add":{"path":"pe=10/ps=x%20y/p1.parquet","partitionValues":{"pe":"10","ps":"x y"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"pe=20/ps=__HIVE_DEFAULT_PARTITION__/p2.parquet","partitionValues":{"pe":"20","ps":null},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val df = DeltaInterop.read(spark, root.toString)
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq("id" -> IntegerType, "name" -> StringType,
+          "pe" -> IntegerType, "ps" -> StringType))
+    val rows = df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getInt(2),
+        Option(r.get(3)).map(_.toString))).sorted
+    assert(rows.toSeq == Seq((1, "a", 10, Some("x y")), (2, "b", 20, None)))
+  }
+
+  test("checkpoint parquet is the replay base; earlier json not needed") {
+    val root = tmpDir("delta_ckpt")
+    oneFile(Seq((1, "a")).toDF("id", "name"), root.resolve("c1.parquet"))
+    oneFile(Seq((2, "b")).toDF("id", "name"), root.resolve("c2.parquet"))
+    // checkpoint at version 1 carrying the full state: protocol, meta, c1
+    val ck = Seq(
+      CkRow(Some(CkProtocol(1, 2)), None, None),
+      CkRow(None, Some(CkMeta("00000000-0000-0000-0000-000000000002",
+        dataSchema.json, Nil, Map.empty, CkFormat("parquet"))), None),
+      CkRow(None, None, Some(CkAdd("c1.parquet", Map.empty, 1L, 1L, true))))
+    oneFile(ck.toDF(),
+      root.resolve(Paths.get("_delta_log", f"${1L}%020d.checkpoint.parquet")))
+    // only the post-checkpoint commit exists as json — replay must start
+    // from the checkpoint, not demand versions 0..1
+    writeCommit(root, 2, Seq(
+      """{"add":{"path":"c2.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true}}"""))
+    val df = DeltaInterop.read(spark, root.toString)
+    assert(df.as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b")))
+    assert(DeltaInterop.snapshot(spark, root.toString).version == 2L)
+  }
+
+  test("unsupported reader protocol fails loudly, not wrong") {
+    val root = tmpDir("delta_proto")
+    writeCommit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaLine(dataSchema, Nil)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.snapshot(spark, root.toString)
+    }
+    assert(e.getMessage.contains("deletionVectors") ||
+      e.getMessage.contains("unsupported"))
+    // column mapping via metaData configuration is equally fatal
+    val root2 = tmpDir("delta_proto2")
+    writeCommit(root2, 0, Seq(protocolLine,
+      """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""))
+    intercept[IllegalArgumentException] {
+      DeltaInterop.snapshot(spark, root2.toString)
+    }
+  }
+
+  test("txn table exports a delta history an external reader can replay") {
+    val root = tmpDir("delta_export").resolve("t")
+    val txn = TxnTable(spark, root.toString)
+    txn.overwrite(Seq((1, "a", "10"), (2, "b", "20")).toDF("id", "name", "p"),
+      partitionBy = Seq("p"))
+    assert(DeltaInterop.exportTxn(txn) == 0L)
+    val viaDelta0 = DeltaInterop.read(spark, root.toString)
+    assert(viaDelta0.select("id", "name", "p").as[(Int, String, String)]
+      .collect().sorted.toSeq == Seq((1, "a", "10"), (2, "b", "20")))
+    // second txn commit -> second delta version, with removes for the
+    // rewritten partition's old file
+    txn.upsert(Seq((2, "B", "20"), (3, "c", "20")).toDF("id", "name", "p"),
+      keys = Seq("id"), partitionBy = Seq("p"))
+    assert(DeltaInterop.exportTxn(txn) == 1L)
+    // up to date: no diff means no commit (delta forbids empty commits)
+    assert(DeltaInterop.exportTxn(txn) == -1L)
+    val viaDelta1 = DeltaInterop.read(spark, root.toString)
+    val viaTxn = txn.read().select("id", "name", "p")
+    assert(viaDelta1.select("id", "name", "p").as[(Int, String, String)]
+      .collect().sorted.toSeq ==
+      viaTxn.as[(Int, String, String)].collect().sorted.toSeq)
+    // delta time travel still sees the first export
+    val back = DeltaInterop.read(spark, root.toString, Some(0L))
+    assert(back.select("id", "name", "p").as[(Int, String, String)]
+      .collect().sorted.toSeq == Seq((1, "a", "10"), (2, "b", "20")))
+  }
+
+  test("LakeIO.read dispatches a _delta_log directory through the interop") {
+    val lakeRoot = tmpDir("delta_lake")
+    val lake = LakeIO(spark, lakeRoot.toString)
+    val p = Paths.get(lake.tablePath(lake.layers.Stage, "m_delta"))
+    oneFile(Seq((7, "z")).toDF("id", "name"), p.resolve("d1.parquet"))
+    writeCommit(p, 0, Seq(protocolLine, metaLine(dataSchema, Nil),
+      """{"add":{"path":"d1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(lake.read(lake.layers.Stage, "m_delta")
+      .as[(Int, String)].collect().toSeq == Seq((7, "z")))
+  }
+}
