@@ -40,13 +40,42 @@ object JdbcServing {
     }.mkString(s"DELETE FROM $table WHERE ", " AND ", ";"))
   }
 
+  /** Preaction actually executed, modeling the reference's existence
+    * probe (common_jobs_functions.py:511–549): before deleting, the
+    * loader probes `SELECT 1 FROM table LIMIT 1`; when the probe fails
+    * (first-ever load — the table doesn't exist yet) the DELETE is
+    * replaced by the no-op `select 1;` so the load still proceeds.
+    * Filterless loads keep None (plain append, no probe needed). */
+  def effectivePreaction(table: String, filters: Seq[(String, Seq[Any])],
+                         tableExists: String => Boolean): Option[String] =
+    deletePreaction(table, filters).map { del =>
+      if (tableExists(table)) del else "select 1;"
+    }
+
+  /** The reference's probe as a reusable thunk: a 1-row JDBC read of the
+    * target that returns false on any failure. `probeSql` is
+    * engine-specific (`LIMIT 1` on Redshift — the default — vs `FETCH
+    * FIRST 1 ROWS ONLY` on Derby/DB2). The literal needs an alias:
+    * Spark re-selects the probe's column BY NAME, and a bare `1` makes
+    * that generated identifier unparseable on strict engines. */
+  def probeViaJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
+                   props: Properties,
+                   probeSql: String => String =
+                     t => s"(SELECT 1 AS one FROM $t LIMIT 1) graft_probe")
+                  : String => Boolean =
+    table =>
+      try { spark.read.jdbc(url, probeSql(table), props).collect(); true }
+      catch { case _: Throwable => false }
+
   /** Load `df` into `table`, first running the preaction on the connection.
-    * `runStatement` is injected so tests (and non-JDBC targets) can
-    * intercept; production passes a thunk that executes over java.sql. */
+    * `runStatement` and `tableExists` are injected so tests (and non-JDBC
+    * targets) can intercept; production passes java.sql thunks
+    * ([[probeViaJdbc]] for the probe). */
   def load(df: DataFrame, url: String, table: String, props: Properties,
-           filters: Seq[(String, Seq[Any])] = Nil)
+           filters: Seq[(String, Seq[Any])] = Nil,
+           tableExists: String => Boolean = _ => true)
           (runStatement: String => Unit): Unit = {
-    deletePreaction(table, filters).foreach(runStatement)
+    effectivePreaction(table, filters, tableExists).foreach(runStatement)
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{JdbcExtract, JdbcServing}
+import graft.sources.JdbcExtract.Extract
+
+/** JDBC extraction against a real (embedded Derby) database: partitioned
+  * range scan, bound probing with the reference's sentinel filter,
+  * predicate pushdown into the generated SQL, and the serving loader's
+  * existence-probe preaction edges. */
+class JdbcExtractSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val url = "jdbc:derby:memory:graft_extract;create=true"
+  private val props = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  private lazy val seeded: Unit = {
+    val c = DriverManager.getConnection(url)
+    val st = c.createStatement()
+    st.execute("CREATE TABLE ventas (id INT, cod_compania VARCHAR(4), imp DOUBLE)")
+    val ins = c.prepareStatement("INSERT INTO ventas VALUES (?, ?, ?)")
+    // id 0 is the BigMagic-style sentinel the bounds probe must skip
+    (0 to 100).foreach { i =>
+      ins.setInt(1, i); ins.setString(2, f"${i % 4}%02d"); ins.setDouble(3, i * 1.5)
+      ins.addBatch()
+    }
+    ins.executeBatch()
+    st.close(); c.close()
+  }
+
+  test("partitioned extract reads every row across the requested ranges") {
+    seeded
+    val df = JdbcExtract.read(spark, url, props, Extract(
+      query = "SELECT id, cod_compania, imp FROM ventas",
+      partitionColumn = Some("id"), numPartitions = 4,
+      boundsProbeFilter = Some("id <> 0")))
+    assert(df.rdd.getNumPartitions == 4)
+    // the probe excluded id=0 from the BOUNDS, but Spark's unbounded
+    // first/last ranges still capture it (and MIN/MAX rows) in the scan
+    assert(df.count() == 101)
+    assert(df.selectExpr("min(id)", "max(id)").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).head == ((0, 100)))
+  }
+
+  test("business filter rides inside the subquery; explicit bounds skip the probe") {
+    seeded
+    val df = JdbcExtract.read(spark, url, props, Extract(
+      query = "SELECT id, cod_compania, imp FROM ventas",
+      partitionColumn = Some("id"), numPartitions = 3,
+      filter = Some("cod_compania = '01'"), bounds = Some((1L, 100L))))
+    val ids = df.select("id").collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq == (0 to 100).filter(_ % 4 == 1))
+  }
+
+  test("later .filter pushes down into the generated source SQL") {
+    seeded
+    val df = JdbcExtract.read(spark, url, props, Extract(
+      query = "SELECT id, cod_compania, imp FROM ventas",
+      partitionColumn = Some("id"), numPartitions = 2,
+      boundsProbeFilter = Some("id <> 0")))
+      .filter("imp > 90.0")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(IMP,90.0)"),
+      s"filter not pushed to the JDBC scan:\n$scan")
+    assert(df.count() == (0 to 100).count(_ * 1.5 > 90.0))
+  }
+
+  test("bounds probe fails loudly when the probe filter matches nothing") {
+    seeded
+    val e = intercept[Exception] {
+      JdbcExtract.read(spark, url, props, Extract(
+        query = "SELECT id, cod_compania, imp FROM ventas",
+        partitionColumn = Some("id"),
+        filter = Some("cod_compania = 'ZZ'")))
+    }
+    assert(e.getMessage.contains("bounds probe"))
+  }
+
+  test("serving preaction: existence probe falls back to the no-op select 1") {
+    // reference common_jobs_functions.py:511-549 — stage loader's
+    // compania×fecha dual-filter delete, single vs multi element shapes
+    val one = JdbcServing.effectivePreaction("stage_t",
+      Seq("cod_compania" -> Seq("01"), "fecha" -> Seq("2024-01-01")),
+      tableExists = _ => true)
+    assert(one.contains(
+      "DELETE FROM stage_t WHERE cod_compania IN ('01') AND fecha IN ('2024-01-01');"))
+    val many = JdbcServing.effectivePreaction("stage_t",
+      Seq("cod_compania" -> Seq("01", "02"), "fecha" -> Seq("2024-01-01", "2024-01-02")),
+      tableExists = _ => true)
+    assert(many.contains(
+      "DELETE FROM stage_t WHERE cod_compania IN ('01', '02') " +
+        "AND fecha IN ('2024-01-01', '2024-01-02');"))
+    // table missing: the DELETE collapses to the reference's dummy query
+    assert(JdbcServing.effectivePreaction("stage_t",
+      Seq("cod_compania" -> Seq("01")), tableExists = _ => false)
+      .contains("select 1;"))
+    // no filters: plain append — no probe, no preaction
+    assert(JdbcServing.effectivePreaction("stage_t", Nil,
+      tableExists = _ => sys.error("must not probe")).isEmpty)
+  }
+
+  test("probeViaJdbc answers through a real connection") {
+    seeded
+    val probe = JdbcServing.probeViaJdbc(spark, url, props,
+      t => s"(SELECT 1 AS one FROM $t FETCH FIRST 1 ROWS ONLY) graft_probe")
+    assert(probe("ventas"))
+    assert(!probe("no_such_table"))
+  }
+}
