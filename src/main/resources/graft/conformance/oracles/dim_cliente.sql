@@ -23,7 +23,7 @@ stage_m_sucursal AS (
          CASE WHEN r_regionkey % 3 = 0 THEN '00' ELSE CAST(r_regionkey AS VARCHAR) END AS cod_tipo_sucursal,
          CAST(('1995-0' || CAST(4 + (n_nationkey + r_regionkey) % 3 AS VARCHAR) || '-' || lpad(CAST(1 + (n_nationkey + r_regionkey) % 28 AS VARCHAR), 2, '0')) AS DATE) AS fecha_creacion,
          CAST(('1995-0' || CAST(4 + (n_nationkey + r_regionkey + 1) % 3 AS VARCHAR) || '-' || lpad(CAST(1 + (n_nationkey + r_regionkey + 1) % 28 AS VARCHAR), 2, '0')) AS DATE) AS fecha_modificacion
-  FROM nation, region
+  FROM nation JOIN region ON n_nationkey % 1 = r_regionkey % 1
 ),
 stage_m_cliente AS (
   SELECT CAST(c_custkey AS VARCHAR) AS cod_cliente,
@@ -109,7 +109,7 @@ stage_m_modelo_atencion AS (
          CASE r_regionkey WHEN 0 THEN 'Pre Venta' WHEN 1 THEN 'Auto Venta'
               WHEN 2 THEN 'Televenta' WHEN 3 THEN 'Especializado'
               ELSE 'Otro' END AS desc_modelo_atencion
-  FROM nation, region
+  FROM nation JOIN region ON n_nationkey % 1 = r_regionkey % 1
 ),
 stage_m_ng1 AS (
   SELECT DISTINCT CAST(n_regionkey AS VARCHAR) AS id_pais,

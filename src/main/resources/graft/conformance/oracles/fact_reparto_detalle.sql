@@ -85,7 +85,7 @@ stage_m_articulo AS (
          CASE WHEN p_partkey % 3 = 0 THEN 'T' ELSE 'F' END AS flgskuplan,
          CAST(('1995-0' || CAST(4 + (p_partkey) % 3 AS VARCHAR) || '-' || lpad(CAST(1 + (p_partkey) % 28 AS VARCHAR), 2, '0')) AS DATE) AS fecha_creacion,
          CAST(('1995-0' || CAST(4 + (p_partkey + 2) % 3 AS VARCHAR) || '-' || lpad(CAST(1 + (p_partkey + 2) % 28 AS VARCHAR), 2, '0')) AS DATE) AS fecha_modificacion
-  FROM part, nation
+  FROM part JOIN nation ON p_partkey % 1 = n_nationkey % 1
 ),
 stage_m_operacion AS (
   SELECT DISTINCT lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS cod_compania,
@@ -94,11 +94,12 @@ stage_m_operacion AS (
          CASE WHEN t.cod IN ('FAC', 'BOL', 'GRA', '200') THEN 'Ven'
               ELSE 'Pro' END AS cod_tipo_operacion,
          CASE WHEN t.cod = 'DCV' THEN 'REV' ELSE 'STD' END AS cod_procedimiento
-  FROM nation,
+  FROM nation JOIN
        (SELECT DISTINCT CASE n_nationkey % 8 WHEN 0 THEN 'FAC'
                 WHEN 1 THEN 'BOL' WHEN 2 THEN 'NCC' WHEN 3 THEN 'GRA'
                 WHEN 4 THEN 'NIN' WHEN 5 THEN '200' WHEN 6 THEN '300'
                 ELSE 'DCV' END AS cod FROM nation) t
+       ON n_nationkey % 1 = length(t.cod) % 1
 ),
 stage_m_procedimiento AS (
   SELECT DISTINCT cod_compania, cod_procedimiento,
@@ -116,7 +117,7 @@ stage_i_relacion_proced_venta AS (
          '200' AS cod_documento_pedido,
          'STD' AS cod_procedimiento_pedido,
          CAST(r_regionkey AS VARCHAR) AS cod_tipo_pedido
-  FROM nation, region
+  FROM nation JOIN region ON n_nationkey % 1 = r_regionkey % 1
 ),
 stage_m_tipo_cambio AS (
   SELECT DISTINCT lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS cod_compania,
@@ -131,9 +132,11 @@ stage_m_tipo_cambio AS (
          CAST(CASE CAST(substring(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 9, 2) AS INT) % 4
               WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 5 ELSE 8
               END AS DECIMAL(18,6)) AS tc_venta
-  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS o_orderdate FROM orders), nation,
-       (SELECT CASE WHEN r_regionkey = 0 THEN 'DOL' ELSE 'SOL' END AS moneda
+  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS o_orderdate FROM orders) d
+       JOIN nation ON year(d.o_orderdate) % 1 = n_nationkey % 1
+       JOIN (SELECT CASE WHEN r_regionkey = 0 THEN 'DOL' ELSE 'SOL' END AS moneda
         FROM region WHERE r_regionkey < 2) m
+       ON n_nationkey % 1 = length(m.moneda) % 1
 ),
 stage_t_documento_venta AS (
   SELECT CAST(o_custkey AS VARCHAR) AS cod_cliente,

@@ -68,9 +68,11 @@ stage_m_tipo_cambio AS (
          CAST(CASE CAST(substring(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 9, 2) AS INT) % 4
               WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 5 ELSE 8
               END AS DECIMAL(18,6)) AS tc_venta
-  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS o_orderdate FROM orders), nation,
-       (SELECT CASE WHEN r_regionkey = 0 THEN 'DOL' ELSE 'SOL' END AS moneda
+  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS o_orderdate FROM orders) d
+       JOIN nation ON year(d.o_orderdate) % 1 = n_nationkey % 1
+       JOIN (SELECT CASE WHEN r_regionkey = 0 THEN 'DOL' ELSE 'SOL' END AS moneda
         FROM region WHERE r_regionkey < 2) m
+       ON n_nationkey % 1 = length(m.moneda) % 1
 ),
 stage_t_documento_venta AS (
   SELECT CAST(o_custkey AS VARCHAR) AS cod_cliente,

@@ -1,0 +1,149 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.TxnTable
+
+/** Persisted IVF index — the index-as-table lifecycle that makes the ANN
+  * path believable at 100 TB. [[Similarity.ivfTopK]] is the one-shot form
+  * (train + assign + serve in a single job); a production corpus trains
+  * ONCE, persists the model and the inverted file, and then serves and
+  * ingests against the frozen artifacts:
+  *
+  *   - the MODEL (centroids) is a bounded table — `nCells` rows however
+  *     large the corpus — persisted as a [[TxnTable]] and collected to the
+  *     driver on load (the broadcast-dim pattern, never the corpus);
+  *   - the INVERTED FILE (id, vector, cell) is a [[TxnTable]] partitioned
+  *     by cell, so a serve that probes P cells opens exactly the files of
+  *     those P partitions ([[TxnTable.readParts]] — manifest-resolved
+  *     pruning, no full scan) and a daily increment is one
+  *     [[Similarity.ivfAssignTo]] pass + append (cost: churn × nCells dot
+  *     products, the standing corpus is never rescanned);
+  *   - both tables are transactional: time travel gives
+  *     index-as-of-version, and a torn build is invisible to readers.
+  *
+  * Cell-count sizing follows the standard inverted-file rule
+  * (sqrt(N) cells, e.g. Johnson, Douze, Jégou, "Billion-scale similarity
+  * search with GPUs", IEEE Big Data 2019): probe work per query is
+  * probes × N/nCells rows, so nCells = √N balances the centroid scan
+  * (nCells dots) against the cell scan (N/nCells dots per probe) —
+  * [[sqrtCells]] applies it with clamps. Serving equality with the
+  * in-memory path is bit-for-bit (spec-pinned): assignment and scoring
+  * read the same float bits parquet round-trips preserve.
+  */
+object IvfIndex {
+  /** (cell, centroid, centroidNorm) — [[Similarity.ivfModel]]'s shape. */
+  type Model = Array[(Int, Array[Float], Double)]
+
+  /** √N cell count, clamped to [minCells, maxCells]: 2k vectors → 45
+    * cells, 1.5M → 1225, 10B → 100k (capped at 65536 by default — past
+    * that the centroid scan itself wants an index, i.e. IVF over the
+    * centroids, which this engine does not need below ~4B cells²). */
+  def sqrtCells(n: Long, minCells: Int = 16, maxCells: Int = 1 << 16): Int = {
+    require(minCells >= 1 && maxCells >= minCells,
+      s"bad cell clamp [$minCells, $maxCells]")
+    val s = math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt
+    math.min(maxCells, math.max(minCells, s))
+  }
+
+  /** The model table: `nCells` rows of (cell, centroid, cnorm). */
+  def centroidTable(spark: SparkSession, root: String): TxnTable =
+    TxnTable(spark, s"$root/centroids")
+
+  /** The inverted file: (idCol, vecCol, cell), partitioned by cell. */
+  def assignmentTable(spark: SparkSession, root: String): TxnTable =
+    TxnTable(spark, s"$root/assignments")
+
+  /** Train on `corpus` (nCells ≤ 0 → [[sqrtCells]] of the corpus count)
+    * and persist model + inverted file under `root`. Returns the frozen
+    * model. One corpus count job (bounded answer), one training pass per
+    * Lloyd iteration, one assignment pass — no step holds more than
+    * nCells × dim on any single node. */
+  def buildAndSave(corpus: DataFrame, idCol: String, vecCol: String,
+                   root: String, nCells: Int = 0, refineIters: Int = 0): Model = {
+    val spark = corpus.sparkSession
+    val cells = if (nCells > 0) nCells else sqrtCells(corpus.count())
+    val model = Similarity.ivfModel(corpus, idCol, vecCol, cells, refineIters)
+    saveModel(spark, root, model)
+    assignmentTable(spark, root).overwrite(
+      Similarity.ivfAssignTo(corpus, idCol, vecCol, model),
+      partitionBy = Seq("cell")): Unit
+    model
+  }
+
+  def saveModel(spark: SparkSession, root: String, model: Model): Unit = {
+    import spark.implicits._
+    centroidTable(spark, root).overwrite(
+      model.toSeq.toDF("cell", "centroid", "cnorm")): Unit
+  }
+
+  /** Collect the bounded model back to the driver, cell-ordered (the
+    * array index IS the cell id downstream code relies on). */
+  def loadModel(spark: SparkSession, root: String): Model = {
+    import spark.implicits._
+    centroidTable(spark, root).read()
+      .select(col("cell").cast("int"), col("centroid"), col("cnorm"))
+      .as[(Int, Array[Float], Double)].collect().sortBy(_._1)
+  }
+
+  /** Incremental maintenance: assign ONLY `increment` against the frozen
+    * persisted model and append to the inverted file. Equals a rebuild
+    * against the same model bit-for-bit (per-row assignment depends on
+    * nothing but the row and the centroids — [[Similarity.ivfAssignTo]]'s
+    * law, re-pinned through the persisted table in IvfIndexSpec). */
+  def append(increment: DataFrame, idCol: String, vecCol: String,
+             root: String): Long = {
+    val spark = increment.sparkSession
+    val model = loadModel(spark, root)
+    assignmentTable(spark, root).append(
+      Similarity.ivfAssignTo(increment, idCol, vecCol, model),
+      partitionBy = Seq("cell"))
+  }
+
+  private def cellOf(part: String): Option[Int] =
+    part.split('=') match {
+      case Array("cell", v) => scala.util.Try(v.toInt).toOption
+      case _ => None
+    }
+
+  /** The distinct cells the query set will probe — resolved with one
+    * bounded job (output ≤ nCells rows however many queries), so the
+    * serve can open only those partitions. */
+  def probedCells(queries: DataFrame, vecCol: String, model: Model,
+                  probes: Int): Set[Int] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    queries.select(col(vecCol)).as[Array[Float]]
+      .flatMap { v =>
+        val cs = bc.value
+        val nv = Similarity.VectorNorms.norm(v)
+        cs.map { case (cell, cv, cn) =>
+          (cell, Similarity.VectorNorms.dot(cv, v) / (cn * nv)) }
+          .sortBy(-_._2).take(math.min(probes, cs.length)).map(_._1)
+      }.distinct().collect().toSet
+  }
+
+  /** Serve top-k from the PERSISTED index. `pruned = true` (default)
+    * reads only the probed cells' partitions — at √N cells and P probes
+    * that is P/√N of the corpus files per query batch, the access pattern
+    * that keeps a 100 TB serve out of full-scan territory. `pruned =
+    * false` reads the whole inverted file (same result, spec-pinned). */
+  def topK(queries: DataFrame, root: String, idCol: String, vecCol: String,
+           k: Int, probes: Int = 4, pruned: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val model = loadModel(spark, root)
+    val at = assignmentTable(spark, root)
+    val assigned =
+      if (!pruned) at.read()
+      else {
+        val cells = probedCells(queries, vecCol, model, probes)
+        // entries with an unparseable/absent part path stay in the scan
+        // (pruning must never drop data it cannot prove irrelevant)
+        at.readParts()(p => cellOf(p).forall(cells.contains))
+      }
+    Similarity.ivfTopKWith(queries, assigned, model, idCol, vecCol, k, probes)
+  }
+}

@@ -375,6 +375,25 @@ object Similarity {
   }
 
   /** JVM-side twins of the float_dot kernel (identical summation order). */
+  /** recall@k: the fraction of exact top-k (query, neighbor) pairs the
+    * approximate result retains — THE metric an ANN configuration is
+    * judged by (probes/nCells trade cost against exactly this number).
+    * Both inputs are top-k frames keyed (queryCol, neighborCol); the
+    * denominator is the exact side, so a result with extra rows cannot
+    * inflate the score. Empty exact side → vacuous 1.0. */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+                queryCol: String = "query_id",
+                neighborCol: String = "neighbor_id"): Double = {
+    val e = exact.select(col(queryCol), col(neighborCol))
+    val denom = e.count()
+    if (denom == 0L) 1.0
+    else {
+      val hits = e.join(approx.select(col(queryCol), col(neighborCol)),
+        Seq(queryCol, neighborCol), "left_semi").count()
+      hits.toDouble / denom
+    }
+  }
+
   private[graft] object VectorNorms {
     def dot(a: Array[Float], b: Array[Float]): Double = {
       val n = math.min(a.length, b.length)

@@ -141,15 +141,19 @@ object ConformanceLake {
     * Upstream outputs are resolved lazily and memoized as plans (nothing
     * materializes until the caller acts on a frame).
     *
-    * Disables ANSI mode for the session: the reference executes on
+    * Runs in a CLONED session (`newSession`: shared SparkContext, own
+    * conf + temp views) with ANSI mode off: the reference executes on
     * Spark 3 (non-ANSI default), where divide-by-zero and failed casts
     * yield NULL rather than raising — several jobs rely on it (e.g.
     * t_hoja_asignacion_detalle divides by an exchange rate that source
     * data legitimately zeroes). DuckDB division matches (NULL on /0),
-    * so the oracle agrees. */
-  def run(spark: SparkSession, dir: String,
+    * so the oracle agrees. The clone keeps that semantic flip out of the
+    * caller's session — flipping ANSI globally would silently change
+    * unrelated queries built afterwards. */
+  def run(spark0: SparkSession, dir: String,
           names: Seq[String] = ConformanceJobs.ordered.map(_.name),
           params: Params = Params()): Map[String, DataFrame] = {
+    val spark = spark0.newSession()
     spark.conf.set("spark.sql.ansi.enabled", "false")
     StageSynth.register(spark, dir)
     val memo = scala.collection.mutable.Map[String, DataFrame]()

@@ -22,6 +22,13 @@ import graft.core.Tables
   * Dialect: Spark SQL here; ConformanceSql.toDuckDb translates
   * mechanically (STRING->VARCHAR, date_format->strftime, ...) for the
   * oracle side.
+  *
+  * Dim×dim expansions (nation×region, part×nation) are written as
+  * constant-equi joins (`ON x % 1 = y % 1`) rather than comma cross
+  * joins: the result is identical (both keys are 0 for every row, the
+  * sides are bounded dims), but Catalyst extracts the equi key and plans
+  * a hash join, keeping every conformance twin inside PlanAuditSpec's
+  * no-BNLJ gate instead of carving out a "bounded cross join" exemption.
   */
 object StageSynth {
   /** compania code of a customer/order key — the one formula every table
@@ -71,7 +78,7 @@ object StageSynth {
          |       CASE WHEN r_regionkey % 3 = 0 THEN '00' ELSE CAST(r_regionkey AS STRING) END AS cod_tipo_sucursal,
          |       ${dt("n_nationkey + r_regionkey")} AS fecha_creacion,
          |       ${dt("n_nationkey + r_regionkey + 1")} AS fecha_modificacion
-         |FROM nation, region""".stripMargin,
+         |FROM nation JOIN region ON n_nationkey % 1 = r_regionkey % 1""".stripMargin,
 
     "m_cliente" ->
       s"""SELECT CAST(c_custkey AS STRING) AS cod_cliente,
@@ -180,7 +187,7 @@ object StageSynth {
         |       CASE r_regionkey WHEN 0 THEN 'Pre Venta' WHEN 1 THEN 'Auto Venta'
         |            WHEN 2 THEN 'Televenta' WHEN 3 THEN 'Especializado'
         |            ELSE 'Otro' END AS desc_modelo_atencion
-        |FROM nation, region""".stripMargin,
+        |FROM nation JOIN region ON n_nationkey % 1 = r_regionkey % 1""".stripMargin,
 
     "m_region" ->
       """SELECT DISTINCT CAST(n_regionkey AS STRING) AS cod_pais,
@@ -276,7 +283,7 @@ object StageSynth {
          |       CASE WHEN p_partkey % 3 = 0 THEN 'T' ELSE 'F' END AS flgskuplan,
          |       ${dt("p_partkey")} AS fecha_creacion,
          |       ${dt("p_partkey + 2")} AS fecha_modificacion
-         |FROM part, nation""".stripMargin,
+         |FROM part JOIN nation ON p_partkey % 1 = n_nationkey % 1""".stripMargin,
 
     "m_marca" ->
       """SELECT DISTINCT cod_compania, cod_marca,
@@ -390,18 +397,19 @@ object StageSynth {
         |              CAST(r.r_regionkey % 6 AS STRING)) AS id_almacen,
         |       CONCAT(s.cod_compania, '|', s.cod_sucursal) AS id_sucursal,
         |       CASE WHEN r.r_regionkey % 2 = 0 THEN 'P' ELSE 'T' END AS tipo_almacen
-        |FROM stage_m_sucursal s, region r""".stripMargin,
+        |FROM stage_m_sucursal s JOIN region r ON length(s.cod_compania) % 1 = r.r_regionkey % 1""".stripMargin,
 
     // ---- operation catalogs
     "m_documento_transaccion" ->
       """SELECT DISTINCT lpad(CAST(n_nationkey AS STRING), 2, '0') AS cod_compania,
         |       t.cod AS cod_documento_transaccion,
         |       CONCAT('DOC TRANS ', t.cod) AS desc_documento_transaccion
-        |FROM nation,
+        |FROM nation JOIN
         |     (SELECT DISTINCT CASE n_nationkey % 8 WHEN 0 THEN 'FAC'
         |              WHEN 1 THEN 'BOL' WHEN 2 THEN 'NCC' WHEN 3 THEN 'GRA'
         |              WHEN 4 THEN 'NIN' WHEN 5 THEN '200' WHEN 6 THEN '300'
-        |              ELSE 'DCV' END AS cod FROM nation) t""".stripMargin,
+        |              ELSE 'DCV' END AS cod FROM nation) t
+        |     ON n_nationkey % 1 = length(t.cod) % 1""".stripMargin,
 
     "m_operacion" ->
       """SELECT DISTINCT lpad(CAST(n_nationkey AS STRING), 2, '0') AS cod_compania,
@@ -410,11 +418,12 @@ object StageSynth {
         |       CASE WHEN t.cod IN ('FAC', 'BOL', 'GRA', '200') THEN 'Ven'
         |            ELSE 'Pro' END AS cod_tipo_operacion,
         |       CASE WHEN t.cod = 'DCV' THEN 'REV' ELSE 'STD' END AS cod_procedimiento
-        |FROM nation,
+        |FROM nation JOIN
         |     (SELECT DISTINCT CASE n_nationkey % 8 WHEN 0 THEN 'FAC'
         |              WHEN 1 THEN 'BOL' WHEN 2 THEN 'NCC' WHEN 3 THEN 'GRA'
         |              WHEN 4 THEN 'NIN' WHEN 5 THEN '200' WHEN 6 THEN '300'
-        |              ELSE 'DCV' END AS cod FROM nation) t""".stripMargin,
+        |              ELSE 'DCV' END AS cod FROM nation) t
+        |     ON n_nationkey % 1 = length(t.cod) % 1""".stripMargin,
 
     "m_procedimiento" ->
       """SELECT DISTINCT cod_compania, cod_procedimiento,
@@ -443,7 +452,7 @@ object StageSynth {
          |       CASE r_regionkey WHEN 0 THEN 'CONTADO' ELSE 'CREDITO' END AS desc_forma_pago,
          |       ${dt("n_nationkey + r_regionkey")} AS fecha_creacion,
          |       ${dt("n_nationkey + r_regionkey + 1")} AS fecha_modificacion
-         |FROM nation, region""".stripMargin,
+         |FROM nation JOIN region ON n_nationkey % 1 = r_regionkey % 1""".stripMargin,
 
     "m_origen_pedido" ->
       """SELECT lpad(CAST(n_nationkey AS STRING), 2, '0') AS cod_compania,
@@ -452,7 +461,7 @@ object StageSynth {
         |              CAST(r_regionkey AS STRING)) AS id_origen_pedido,
         |       CASE r_regionkey WHEN 0 THEN 'VENDEDOR' WHEN 1 THEN 'B2B'
         |            ELSE 'CALLCENTER' END AS desc_origen_pedido
-        |FROM nation, region""".stripMargin,
+        |FROM nation JOIN region ON n_nationkey % 1 = r_regionkey % 1""".stripMargin,
 
     "i_relacion_proced_venta" ->
       """SELECT DISTINCT lpad(CAST(n_nationkey AS STRING), 2, '0') AS cod_compania,
@@ -463,7 +472,7 @@ object StageSynth {
         |       '200' AS cod_documento_pedido,
         |       'STD' AS cod_procedimiento_pedido,
         |       CAST(r_regionkey AS STRING) AS cod_tipo_pedido
-        |FROM nation, region""".stripMargin,
+        |FROM nation JOIN region ON n_nationkey % 1 = r_regionkey % 1""".stripMargin,
 
     "m_tipo_transaccion" ->
       """SELECT DISTINCT cod_compania, cod_documento_transaccion,
@@ -484,9 +493,11 @@ object StageSynth {
         |       CAST(CASE CAST(substring(CAST(CAST(o_orderdate AS DATE) AS STRING), 9, 2) AS INT) % 4
         |            WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 5 ELSE 8
         |            END AS DECIMAL(18,6)) AS tc_venta
-        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS o_orderdate FROM orders), nation,
-        |     (SELECT CASE WHEN r_regionkey = 0 THEN 'DOL' ELSE 'SOL' END AS moneda
-        |      FROM region WHERE r_regionkey < 2) m""".stripMargin,
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS o_orderdate FROM orders) d
+        |     JOIN nation ON year(d.o_orderdate) % 1 = n_nationkey % 1
+        |     JOIN (SELECT CASE WHEN r_regionkey = 0 THEN 'DOL' ELSE 'SOL' END AS moneda
+        |      FROM region WHERE r_regionkey < 2) m
+        |     ON n_nationkey % 1 = length(m.moneda) % 1""".stripMargin,
 
     // ---- sales documents (from orders x customer-aligned keys)
     "t_documento_venta" ->
@@ -791,7 +802,7 @@ object StageSynth {
         |       CAST(p_retailprice * 0.3 AS DECIMAL(18,6)) AS imp_ingreso,
         |       CAST(p_retailprice * 0.2 AS DECIMAL(18,6)) AS imp_salida,
         |       CAST(p_retailprice * 1.1 AS DECIMAL(18,6)) AS imp_saldo_final
-        |FROM part, nation""".stripMargin,
+        |FROM part JOIN nation ON p_partkey % 1 = n_nationkey % 1""".stripMargin,
 
     "t_toma_inventario" ->
       s"""SELECT ${co("o_custkey")} AS cod_compania,

@@ -191,6 +191,25 @@ final case class TxnTable(spark: SparkSession, root: String,
       .filter(pred)
   }
 
+  /** Partition-pruned read, resolved driver-side from the manifest: keeps
+    * only the files whose partition path (e.g. `cell=17`) satisfies
+    * `keep`. The manifest analog of Hive partition pruning — an arbitrary
+    * partition SET (not just a contiguous range like [[readRange]]) costs
+    * opening exactly the matching files. Serving paths with a bounded,
+    * driver-known key set (the IVF probe cells, a shard list) use this to
+    * touch probed partitions only. Files written without `partitionBy`
+    * have an empty part path and are always kept (the result then equals
+    * a full read — pruning is an optimization, never a filter). */
+  def readParts(v: Long = version())(keep: String => Boolean): DataFrame = {
+    val es = entriesFull(v)
+    require(es.nonEmpty, s"table $root has no committed version $v")
+    val hits = es.filter(e => e.part.isEmpty || keep(e.part))
+    if (hits.isEmpty) readVersion(v).limit(0)
+    else spark.read.option("basePath", dataDir.toString)
+      .option("mergeSchema", "true")
+      .parquet(hits.map(e => filePath(e).toString): _*)
+  }
+
   /** Row-level changes between two committed versions, cost bounded by
     * CHURN, not table size: files common to both manifests cannot
     * contribute changes (data files are immutable), so only the

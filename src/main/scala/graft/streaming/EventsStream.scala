@@ -26,9 +26,16 @@ object EventsStream {
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema)
       .option("basePath", dir).parquet(s"$dir/events.parque[t]")
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    // same ts normalization as Tables.events: nanos-as-long and naive-µs
+    // (TIMESTAMP_NTZ) sources both become TimestampType — watermarks
+    // accept nothing else, and the UTC session tz keeps instants equal
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window rollup (window start, event_type) -> count + exact sum.
@@ -68,15 +75,7 @@ object EventsStream {
                         checkpointPath: String, windowLength: String = "1 hour",
                         watermarkDelay: String = "1 minute"): String =
       StreamConf.withStatePartitions(spark) {
-    val path = Tables.path(dir, "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(schema).option("basePath", dir)
-      .parquet(s"$dir/events.parque[t]")
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    val stream = rawStream(spark, dir)
     val agg = stream
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
@@ -108,15 +107,7 @@ object EventsStream {
                         watermarkDelay: String = "1 minute"): DataFrame =
       StreamConf.withStatePartitions(spark) {
     import spark.implicits._
-    val path = Tables.path(dir, "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(schema).option("basePath", dir)
-      .parquet(s"$dir/events.parque[t]")
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    val stream = rawStream(spark, dir)
     val events = stream.select(col("user_id"), col("ts"), col("value"))
       .as[SessionizeStream.Event]
     val sessions = SessionizeStream.sessionize(events, gapSeconds, watermarkDelay)

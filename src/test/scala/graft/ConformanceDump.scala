@@ -9,9 +9,28 @@ import graft.sources._
   * through the driver; this loop proves the rest).
   *
   * Usage: Test/runMain graft.ConformanceDump <sfDir> <outDir> [job...]
+  *
+  * `--freeze` instead re-renders the q70–q73 catalog oracles and
+  * overwrites the frozen copies under
+  * src/main/resources/graft/conformance/oracles/ (run after any change
+  * to job metadata, stage synthesis, or the SQL renderer; ConformanceSpec
+  * pins runtime == frozen).
   */
 object ConformanceDump {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--freeze")) {
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+      val spark = GraftSession.local()
+      graft.pipeline.ConformanceQueries.sampledJobs.foreach { case (_, job) =>
+        val sql = graft.pipeline.ConformanceQueries.renderOracle(spark, dir, job)
+        val p = java.nio.file.Paths.get(
+          s"src/main/resources/graft/conformance/oracles/$job.sql")
+        java.nio.file.Files.write(p, sql.getBytes("UTF-8"))
+        println(s"froze $p (${sql.length} chars)")
+      }
+      spark.stop()
+      return
+    }
     val dir = args(0)
     val out = args(1)
     val names =

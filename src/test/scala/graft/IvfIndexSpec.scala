@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.llm.{IvfIndex, Similarity}
+
+/** Pins the persisted-IVF-index lifecycle (round-4 verdict item 3): the
+  * serving path must be a pure function of the persisted artifacts — the
+  * same result whether the index lives in memory, in the TxnTable pair,
+  * or in the pruned subset of probed partitions — and the quality story
+  * must be measurable (recall@k), not asserted.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf01 = "/root/testdata/sf0.01"
+  private def emb = Tables.embeddings(spark, sf01)
+  private def queries = emb.filter(col("vec_id") < 10)
+
+  test("sqrtCells applies the √N rule with clamps") {
+    assert(IvfIndex.sqrtCells(500) == 23)
+    assert(IvfIndex.sqrtCells(2000) == 45)
+    assert(IvfIndex.sqrtCells(1500000) == 1225)
+    assert(IvfIndex.sqrtCells(100) == 16)   // min clamp
+    assert(IvfIndex.sqrtCells(0) == 16)
+    assert(IvfIndex.sqrtCells(10000000000L) == 65536) // max clamp
+  }
+
+  test("persisted-index serve == in-memory serve, pruned and unpruned") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val model = IvfIndex.buildAndSave(emb, "vec_id", "embedding", root)
+    // √500 → 23 cells, from the corpus count, not a toy constant
+    assert(model.length == 23)
+    val inMem = Similarity.ivfTopKWith(
+        queries, Similarity.ivfAssignTo(emb, "vec_id", "embedding", model),
+        model, "vec_id", "embedding", k = 10, probes = 4)
+      .collect().map(_.toSeq).toSet
+    val servedFull = IvfIndex.topK(queries, root, "vec_id", "embedding",
+      k = 10, probes = 4, pruned = false).collect().map(_.toSeq).toSet
+    val servedPruned = IvfIndex.topK(queries, root, "vec_id", "embedding",
+      k = 10, probes = 4).collect().map(_.toSeq).toSet
+    // bit-for-bit: same float bits through the parquet round-trip, same
+    // deterministic scoring — cosine doubles included in the comparison
+    assert(servedFull == inMem, "full-read serve diverged from in-memory")
+    assert(servedPruned == inMem, "pruned serve diverged from in-memory")
+    assert(inMem.nonEmpty)
+  }
+
+  test("pruned serve reads only the probed cells' partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_pr").toString
+    val model = IvfIndex.buildAndSave(emb, "vec_id", "embedding", root)
+    val cells = IvfIndex.probedCells(queries, "embedding", model, probes = 4)
+    // probe-set is bounded by nCells and usually far smaller
+    assert(cells.nonEmpty && cells.size <= model.length)
+    val pruned = IvfIndex.assignmentTable(spark, root)
+      .readParts()(p => p.split('=') match {
+        case Array("cell", v) => cells.contains(v.toInt)
+        case _                => true
+      })
+    val full = IvfIndex.assignmentTable(spark, root).read()
+    val prunedCells = pruned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(prunedCells == cells.intersect(
+      full.select("cell").distinct().collect().map(_.getInt(0)).toSet))
+    // the scan got smaller — partition pruning did real work
+    assert(pruned.count() < full.count())
+  }
+
+  test("append-increment through the persisted table == rebuild on the frozen model") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val increment = emb.filter(col("vec_id") % 5 === 0)
+    val model = IvfIndex.buildAndSave(base, "vec_id", "embedding", root,
+      nCells = IvfIndex.sqrtCells(500))
+    IvfIndex.append(increment, "vec_id", "embedding", root): Unit
+    val appended = IvfIndex.assignmentTable(spark, root).read()
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val rebuilt = Similarity.ivfAssignTo(emb, "vec_id", "embedding", model)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(appended == rebuilt,
+      "incremental append must equal a full rebuild against the frozen model")
+  }
+
+  test("recall@k: full-probe IVF is exact; default probes clear a floor") {
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding",
+      k = 10)
+    val model = Similarity.ivfModel(emb, "vec_id", "embedding",
+      IvfIndex.sqrtCells(500))
+    val assigned = Similarity.ivfAssignTo(emb, "vec_id", "embedding", model)
+    // probes == nCells → every cell scanned → IVF degenerates to exact
+    val fullProbe = Similarity.ivfTopKWith(queries, assigned, model,
+      "vec_id", "embedding", k = 10, probes = model.length)
+    assert(Similarity.recallAtK(exact, fullProbe) == 1.0,
+      "full-probe IVF must reproduce the exact top-k")
+    // the real trade-off point: 4/23 cells scanned. Uniform-random
+    // embeddings are IVF's adversarial case (no cluster structure for
+    // the cells to exploit: true neighbors are near-orthogonal and
+    // scatter across cells), so the absolute number is modest — measured
+    // 0.31 on this deterministic corpus. Pin a floor under it, plus the
+    // law that buying more probes never costs recall.
+    val r4 = Similarity.recallAtK(exact,
+      Similarity.ivfTopKWith(queries, assigned, model,
+        "vec_id", "embedding", k = 10, probes = 4))
+    val r12 = Similarity.recallAtK(exact,
+      Similarity.ivfTopKWith(queries, assigned, model,
+        "vec_id", "embedding", k = 10, probes = 12))
+    assert(r4 >= 0.25, s"recall@10 with 4/23 probes fell to $r4")
+    assert(r12 >= r4, s"recall must be monotone in probes: $r12 < $r4")
+  }
+}

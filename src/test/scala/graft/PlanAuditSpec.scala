@@ -99,7 +99,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // q68 = cdc boundary scan + chunk explode, pure map stage
     "q68_cdc_chunks" -> 0,
     // q69 = pipelined assignment argmax + one cell-keyed cluster agg
-    "q69_cluster_medoids" -> 2)
+    "q69_cluster_medoids" -> 2,
+    // q70–q73 run whole reference jobs (multi-step dedup-latest chains,
+    // distinct-heavy master conforms) — their budgets are the measured
+    // whole-job exchange counts, pinned so a runner change that loses
+    // partitioning reuse across steps (or re-plans a master scan per
+    // reference) shows up as a budget breach, not a silent 2× shuffle
+    "q70_conf_t_venta" -> 9, "q71_conf_dim_cliente" -> 24,
+    "q72_conf_estructura" -> 7, "q73_conf_fact_reparto" -> 52)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
