@@ -163,15 +163,24 @@ object EventsStream {
     * passes — state is O(events within watermark + window), not O(stream).
     * Inner join: Spark's only stream-stream mode with no emission delay
     * beyond the watermark itself. */
-  private def intervalJoinFrame(spark: SparkSession, dir: String,
-                                typeA: String, typeB: String,
-                                windowSeconds: Long,
-                                watermarkDelay: String): DataFrame = {
-    val stream = rawStream(spark, dir)
-    val a = stream.filter(col("event_type") === typeA)
+  /** Stream-agnostic watermarked interval join — the production form:
+    * feed any two streaming frames shaped (user_id, event_id, ts). The
+    * time-range predicate plus both watermarks lets Spark bound the join
+    * state to O(watermark delay + window) per side REGARDLESS of stream
+    * length: a side-A row is held only until the B-side watermark passes
+    * `ts + window`, then evicted (EnrichedStreamSpec pins the plateau via
+    * StreamingQueryProgress.numRowsTotal). The catalog's q41 runs this
+    * with a beyond-data-span delay so the bounded AvailableNow output
+    * equals the batch join for the oracle gate; a continuous deployment
+    * tunes the delay to its real lateness SLA (minutes), which is what
+    * keeps the state bounded at 100 TB/day event volume. */
+  def intervalJoinStreams(sideA: DataFrame, sideB: DataFrame,
+                          windowSeconds: Long,
+                          watermarkDelay: String): DataFrame = {
+    val a = sideA
       .select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
       .withWatermark("ts_a", watermarkDelay)
-    val b = stream.filter(col("event_type") === typeB)
+    val b = sideB
       .select(col("user_id").as("__user_b"), col("event_id").as("id_b"),
         col("ts").as("ts_b"))
       .withWatermark("ts_b", watermarkDelay)
@@ -180,6 +189,17 @@ object EventsStream {
         col("ts_b") >= col("ts_a") &&
         col("ts_b") <= col("ts_a") + expr(s"INTERVAL $windowSeconds SECONDS"))
       .select(col("user_id"), col("id_a"), col("ts_a"), col("id_b"), col("ts_b"))
+  }
+
+  private def intervalJoinFrame(spark: SparkSession, dir: String,
+                                typeA: String, typeB: String,
+                                windowSeconds: Long,
+                                watermarkDelay: String): DataFrame = {
+    val stream = rawStream(spark, dir)
+    intervalJoinStreams(
+      stream.filter(col("event_type") === typeA),
+      stream.filter(col("event_type") === typeB),
+      windowSeconds, watermarkDelay)
   }
 
   def intervalJoined(spark: SparkSession, dir: String,

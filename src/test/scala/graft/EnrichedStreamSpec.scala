@@ -111,6 +111,60 @@ class EnrichedStreamSpec extends AnyFunSuite {
       "restart must not duplicate joined pairs")
   }
 
+  test("interval join under a realistic watermark holds bounded state (plateau)") {
+    // The production form of q41: minutes-scale watermark, continuous
+    // feed. The join must hold O(watermark + window) state per side, NOT
+    // the whole stream — on an unbounded feed that difference is the
+    // whole 100 TB story. Feed K batches of constant size with event
+    // time advancing 10 min per batch (window 60 s, delay 5 min): once
+    // the watermark is moving, eviction must hold total state rows flat
+    // while cumulative input keeps growing.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val joined = graft.streaming.EventsStream.intervalJoinStreams(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"),
+      windowSeconds = 60, watermarkDelay = "5 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("graft_sjoin_bounded").start()
+    val states = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      val users = 1L to 5L
+      val k = 10
+      (0 until k).foreach { i =>
+        // offset away from epoch 0: the initial watermark is 0, and rows
+        // AT the watermark are dropped as late
+        val base = 3600000L + i * 600000L // batches 10 min apart
+        val batch = users.flatMap { u =>
+          Seq((i * 100L + u, u, new java.sql.Timestamp(base), "view"),
+            (i * 100L + 50L + u, u,
+              new java.sql.Timestamp(base + 30000L), "purchase"))
+        }
+        input.addData(batch)
+        q.processAllAvailable()
+        states += Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+        info(s"batch $i: state=${states.last} emitted=${spark.table("graft_sjoin_bounded").count()}")
+      }
+      val out = spark.table("graft_sjoin_bounded").count()
+      assert(out == (k * users.size).toLong, s"expected ${k * users.size} pairs, got $out")
+      // plateau: once eviction is active (watermark trails by delay +
+      // window < 2 batches), state stops tracking cumulative input.
+      // Without watermark eviction state would reach 10 rows/batch × 10
+      // batches = 100 rows; bound it by 3 batches' worth.
+      val fed = k * users.size * 2
+      assert(states.last <= 3L * users.size * 2,
+        s"state ${states.last} rows has not plateaued (fed $fed); trace=$states")
+      // and the plateau is flat, not merely sub-linear: the late-run
+      // maximum must not exceed the mid-run maximum
+      assert(states.drop(6).max <= states.slice(2, 6).max,
+        s"state still growing late in the run: $states")
+    } finally q.stop()
+  }
+
   test("state-partition knob changes no results and restores the session conf") {
     import graft.streaming.StreamConf
     val shuffleKey = "spark.sql.shuffle.partitions"
