@@ -70,6 +70,31 @@ object Periods {
   def periods(n: Int, end: YearMonth): Seq[String] =
     (0 until n).map(i => end.minusMonths(i.toLong)).map(ym => f"${ym.getYear}%04d${ym.getMonthValue}%02d")
 
+  /** The reference's job clock: "now" in America/Lima, resolved once at
+    * job start (reference: common_jobs_functions.py:67 `NOW_LIMA` =
+    * utc-now → TZ_LIMA, :219 `get_now_lima_datetime`) — the entry point
+    * every periodic job anchors its period window on. The Clock is
+    * injectable so runs are deterministic and testable; around a Lima
+    * month boundary the UTC date and the Lima date differ, which is
+    * exactly why the reference pins the zone instead of the cluster
+    * clock. */
+  def nowLima(clock: java.time.Clock = java.time.Clock.systemUTC()): java.time.ZonedDateTime =
+    java.time.ZonedDateTime.now(clock)
+      .withZoneSameInstant(java.time.ZoneId.of("America/Lima"))
+
+  /** Current yyyyMM period per the Lima clock — the default anchor of
+    * the reference's get_periods (common_jobs_functions.py:368). */
+  def currentPeriod(clock: java.time.Clock = java.time.Clock.systemUTC()): String = {
+    val z = nowLima(clock)
+    f"${z.getYear}%04d${z.getMonthValue}%02d"
+  }
+
+  /** Trailing `n` periods anchored at the Lima "now" — get_periods with
+    * its NOW_LIMA default, the reference's actual runtime call shape. */
+  def periodsNow(n: Int,
+                 clock: java.time.Clock = java.time.Clock.systemUTC()): Seq[String] =
+    periods(n, YearMonth.from(nowLima(clock).toLocalDate))
+
   /** The yyyyMM period immediately before `p` — the reference's
     * `get_previous_period` (common_jobs_functions.py:358-366), which every
     * periodic job uses to address last month's slice. */

@@ -15,6 +15,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Periods.periods(2, YearMonth.of(2024, 1)) == Seq("202401", "202312"))
   }
 
+  test("Lima clock anchors the current period across the UTC month edge") {
+    // 2024-03-01T03:00Z is still 2024-02-29 22:00 in Lima (UTC-5): the
+    // reference pins the zone precisely so month-boundary runs pick the
+    // period the business day belongs to, not the cluster-UTC month
+    val atEdge = java.time.Clock.fixed(
+      java.time.Instant.parse("2024-03-01T03:00:00Z"),
+      java.time.ZoneOffset.UTC)
+    assert(Periods.nowLima(atEdge).toLocalDate.toString == "2024-02-29")
+    assert(Periods.currentPeriod(atEdge) == "202402")
+    assert(Periods.periodsNow(3, atEdge) == Seq("202402", "202401", "202312"))
+    // and well inside a month the two clocks agree
+    val mid = java.time.Clock.fixed(
+      java.time.Instant.parse("2024-03-15T12:00:00Z"),
+      java.time.ZoneOffset.UTC)
+    assert(Periods.currentPeriod(mid) == "202403")
+  }
+
   test("datesFilter covers whole months and magic ints roundtrip") {
     val (dates, magic, ps) = Periods.datesFilter(2, YearMonth.of(2024, 2))
     assert(ps == Seq("202402", "202401"))
