@@ -67,8 +67,13 @@ object IvfIndex {
     val cells = if (nCells > 0) nCells else sqrtCells(corpus.count())
     val model = Similarity.ivfModel(corpus, idCol, vecCol, cells, refineIters)
     saveModel(spark, root, model)
+    // cluster by cell before the partitioned write: each cell then lands
+    // in exactly one task, so the inverted file holds ~nCells files
+    // instead of tasks × nCells fragments (at √N cells the difference is
+    // the write finishing vs drowning in file ops)
     assignmentTable(spark, root).overwrite(
-      Similarity.ivfAssignTo(corpus, idCol, vecCol, model),
+      Similarity.ivfAssignTo(corpus, idCol, vecCol, model)
+        .repartition(col("cell")),
       partitionBy = Seq("cell")): Unit
     model
   }
@@ -98,7 +103,8 @@ object IvfIndex {
     val spark = increment.sparkSession
     val model = loadModel(spark, root)
     assignmentTable(spark, root).append(
-      Similarity.ivfAssignTo(increment, idCol, vecCol, model),
+      Similarity.ivfAssignTo(increment, idCol, vecCol, model)
+        .repartition(col("cell")),
       partitionBy = Seq("cell"))
   }
 
