@@ -150,18 +150,45 @@ object ConformanceLake {
     * so the oracle agrees. The clone keeps that semantic flip out of the
     * caller's session — flipping ANSI globally would silently change
     * unrelated queries built afterwards. */
+  // one conformance clone per (caller session, data dir): cloning and
+  // re-registering ~50 stage views per job invocation is pure plan-time
+  // overhead (a driver job per view), and the clone is config-immutable
+  // after setup so reuse is safe
+  private val cloneCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]()
+
+  private def conformanceSession(spark0: SparkSession, dir: String): SparkSession =
+    cloneCache.computeIfAbsent((spark0, dir), { key =>
+      val s = key._1.newSession()
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      StageSynth.register(s, key._2)
+      s
+    })
+
+  // job plans are pure functions of (clone, params, job): memoize them
+  // across run() calls too — a whole-job closure like
+  // fact_reparto_detalle is a large plan whose construction/analysis is
+  // driver work worth paying once, not once per invocation
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Params, String), DataFrame]()
+
   def run(spark0: SparkSession, dir: String,
           names: Seq[String] = ConformanceJobs.ordered.map(_.name),
           params: Params = Params()): Map[String, DataFrame] = {
-    val spark = spark0.newSession()
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    StageSynth.register(spark, dir)
-    val memo = scala.collection.mutable.Map[String, DataFrame]()
-    def jobOut(name: String): DataFrame =
-      memo.getOrElseUpdate(name, {
-        val job = ConformanceJobs.byName(name)
-        ConformanceRunner.run(job, resolve, params)
-      })
+    val spark = conformanceSession(spark0, dir)
+    // get/putIfAbsent, NOT computeIfAbsent: upstream jobs resolve
+    // recursively through jobOut, and ConcurrentHashMap forbids
+    // recursive updates inside a mapping function
+    def jobOut(name: String): DataFrame = {
+      val key = (spark, params, name)
+      val hit = planCache.get(key)
+      if (hit != null) hit
+      else {
+        val df = ConformanceRunner.run(ConformanceJobs.byName(name), resolve, params)
+        planCache.putIfAbsent(key, df)
+        planCache.get(key)
+      }
+    }
     lazy val resolve: (String, String) => DataFrame = {
       case ("BIGMAGIC", t) => spark.table(s"stage_$t")
       case (_, t)          => jobOut(t)
