@@ -111,4 +111,42 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(r4 >= 0.25, s"recall@10 with 4/23 probes fell to $r4")
     assert(r12 >= r4, s"recall must be monotone in probes: $r12 < $r4")
   }
+
+  test("clusterable corpus: IVF probes recover near-exact top-k") {
+    // Real embedding corpora are clustered, and that structure is the
+    // whole reason IVF works: a query's true neighbors share its
+    // cluster, the cluster maps to few cells, probes cover them.
+    // Deterministic planted-cluster corpus: 20 unit centers, 50 points
+    // each at noise sigma 0.15 — the complement of the uniform-random
+    // adversarial floor above.
+    import spark.implicits._
+    val dim = 16
+    def gaussians(seed: Long, n: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(n)(r.nextGaussian().toFloat)
+    }
+    def unit(seed: Long): Array[Float] = {
+      val v = gaussians(seed, dim)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = (0 until 20).map(c => unit(1000L + c))
+    val rows = (0L until 1000L).map { i =>
+      val noise = gaussians(2000L + i, dim)
+      val v = centers((i % 20).toInt).zip(noise)
+        .map { case (a, b) => a + 0.15f * b }
+      (i, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 20) // one query per cluster
+    val exact = Similarity.bruteForceTopK(qs, corpus, "vec_id", "embedding",
+      k = 10)
+    val model = Similarity.ivfModel(corpus, "vec_id", "embedding",
+      IvfIndex.sqrtCells(1000), refineIters = 2)
+    val assigned = Similarity.ivfAssignTo(corpus, "vec_id", "embedding", model)
+    val r = Similarity.recallAtK(exact,
+      Similarity.ivfTopKWith(qs, assigned, model, "vec_id", "embedding",
+        k = 10, probes = 4))
+    assert(r >= 0.85, s"clustered-corpus recall@10 with 4/32 probes = $r")
+  }
 }

@@ -202,6 +202,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans("q49_train_split").exists(_.contains(
       "ReadSchema: struct<doc_id:bigint,text:string,source:string>")),
       "q49 must scan only doc_id+text+source")
+    // conformance jobs compile to ONE plan, so pruning must cross the
+    // stage-view AND metadata boundaries: t_venta's closure touches
+    // orders through several synthesized stage tables, yet no orders
+    // scan may read the fact-side columns no job column derives from
+    val q70Orders = scans("q70_conf_t_venta").filter(_.contains("orders.parquet"))
+    assert(q70Orders.nonEmpty)
+    assert(q70Orders.forall(l =>
+      !l.contains("o_totalprice") && !l.contains("o_comment") &&
+        !l.contains("o_clerk") && !l.contains("o_shippriority")),
+      "q70's orders scans must prune columns through the stage views")
   }
 
   test("every query stays within its shuffle budget") {
