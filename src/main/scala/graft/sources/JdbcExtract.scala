@@ -82,4 +82,42 @@ object JdbcExtract {
         // invariant the reference hand-patches with its max_val+1 (:338)
         spark.read.jdbc(url, subquery(e), pc, lo, hi, e.numPartitions, props)
     }
+
+  /** Build an [[Extract]] from one row of the reference's table
+    * configuration (utils/load_dynamodb/datalake_tables_bigmagic.csv —
+    * the per-table record load_with_query_python.py reads from
+    * DynamoDB): COLUMNS is the select list (ID_COLUMN prepended `as id`
+    * when present, :345), SOURCE_SCHEMA.SOURCE_TABLE + JOIN_EXPR form
+    * the FROM clause (:348), FILTER_EXP is the standing business filter
+    * (:352), and FILTER_COLUMN is the incremental date predicate with
+    * `{0}`/`{1}` placeholders bound to the load window (:357). The
+    * bounds probe keeps the reference's `pc <> 0` null-date sentinel
+    * guard (:310). */
+  def fromTableConfig(cfg: Map[String, String],
+                      partitionColumn: Option[String] = None,
+                      numPartitions: Int = 8,
+                      window: Option[(String, String)] = None): Extract = {
+    def get(k: String): String = cfg.getOrElse(k, "").trim
+    require(get("COLUMNS").nonEmpty && get("SOURCE_TABLE").nonEmpty,
+      "table config needs COLUMNS and SOURCE_TABLE")
+    val cols =
+      if (get("ID_COLUMN").nonEmpty) s"${get("ID_COLUMN")} as id, ${get("COLUMNS")}"
+      else get("COLUMNS")
+    val from = (if (get("SOURCE_SCHEMA").nonEmpty)
+      s"${get("SOURCE_SCHEMA")}.${get("SOURCE_TABLE")}" else get("SOURCE_TABLE")) +
+      (if (get("JOIN_EXPR").nonEmpty) s" ${get("JOIN_EXPR")}" else "")
+    val incremental = (get("FILTER_COLUMN"), window) match {
+      case ("", _) | (_, None) => None
+      case (f, Some((lo, hi))) =>
+        Some(f.replace("{0}", lo).replace("{1}", hi))
+    }
+    val preds = Seq(Option(get("FILTER_EXP")).filter(_.nonEmpty),
+      incremental).flatten
+    Extract(
+      query = s"SELECT $cols FROM $from",
+      partitionColumn = partitionColumn,
+      numPartitions = numPartitions,
+      filter = if (preds.isEmpty) None else Some(preds.mkString(" AND ")),
+      boundsProbeFilter = partitionColumn.map(pc => s"$pc <> 0"))
+  }
 }

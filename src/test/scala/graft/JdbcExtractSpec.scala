@@ -107,6 +107,51 @@ class JdbcExtractSpec extends AnyFunSuite {
       tableExists = _ => sys.error("must not probe")).isEmpty)
   }
 
+  test("reference table-config row compiles to the reference's generated SQL") {
+    // one row of datalake_tables_bigmagic.csv, abbreviated: the rendered
+    // pieces must match load_with_query_python.py's construction
+    // (ID_COLUMN prepended :345, FROM + JOIN_EXPR :348, FILTER_EXP
+    // appended :352, {0}/{1} window binding :357, pc <> 0 probe :310)
+    val cfg = Map(
+      "COLUMNS" -> "t2.compania compania, t2.importe importe",
+      "ID_COLUMN" -> "t2.nropedido",
+      "SOURCE_SCHEMA" -> "dbo",
+      "SOURCE_TABLE" -> "tpedid7f t2",
+      "JOIN_EXPR" -> "inner join dbo.tpedid1f t on t.nropedido = t2.nropedido",
+      "FILTER_COLUMN" -> "fechapedid between {0} and {1}",
+      "FILTER_EXP" -> "t2.compania in (select compania from dbo.mcompa1f b where b.flgbi = 'a')")
+    val e = JdbcExtract.fromTableConfig(cfg,
+      partitionColumn = Some("t2.nropedido"), numPartitions = 10,
+      window = Some(("20240101", "20240131")))
+    assert(e.query ==
+      "SELECT t2.nropedido as id, t2.compania compania, t2.importe importe " +
+        "FROM dbo.tpedid7f t2 inner join dbo.tpedid1f t on t.nropedido = t2.nropedido")
+    assert(e.filter.contains(
+      "t2.compania in (select compania from dbo.mcompa1f b where b.flgbi = 'a')" +
+        " AND fechapedid between 20240101 and 20240131"))
+    assert(e.boundsProbeFilter.contains("t2.nropedido <> 0"))
+    assert(e.numPartitions == 10)
+    // no window bound → the incremental predicate is dropped, the
+    // standing business filter stays (full-load path)
+    val full = JdbcExtract.fromTableConfig(cfg)
+    assert(full.filter.contains(
+      "t2.compania in (select compania from dbo.mcompa1f b where b.flgbi = 'a')"))
+    assert(!full.filter.get.contains("fechapedid"))
+  }
+
+  test("config-driven extract runs end to end against the database") {
+    seeded
+    val cfg = Map("COLUMNS" -> "cod_compania, imp", "ID_COLUMN" -> "id",
+      "SOURCE_TABLE" -> "ventas", "FILTER_EXP" -> "imp >= 0")
+    val e = JdbcExtract.fromTableConfig(cfg,
+      partitionColumn = Some("id"), numPartitions = 4)
+    val df = JdbcExtract.read(spark, url, props, e)
+    assert(df.columns.map(_.toLowerCase).toSeq == Seq("id", "cod_compania", "imp"))
+    // the sentinel only shapes the BOUNDS; row id=0 still arrives via the
+    // unbounded first range partition
+    assert(df.count() == 101)
+  }
+
   test("probeViaJdbc answers through a real connection") {
     seeded
     val probe = JdbcServing.probeViaJdbc(spark, url, props,
