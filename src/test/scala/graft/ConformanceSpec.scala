@@ -104,6 +104,27 @@ class ConformanceSpec extends AnyFunSuite {
     }
   }
 
+  test("conformance execution leaves the caller session's ANSI mode untouched") {
+    // ConformanceLake flips ANSI off (Spark-3-faithful semantics) in a
+    // cached session CLONE; the caller's session must never see it —
+    // a leaked flip silently changes unrelated queries built afterwards
+    val key = "spark.sql.ansi.enabled"
+    val before = spark.conf.get(key)
+    assert(graft.sources.ConformanceLake.runJob(spark, sf, "m_pais").count() > 0)
+    assert(spark.conf.get(key) == before,
+      "the ANSI flip leaked into the caller session")
+  }
+
+  test("job plans and the session clone are memoized per (session, dir, params)") {
+    import graft.sources.ConformanceLake
+    val a = ConformanceLake.runJob(spark, sf, "m_pais")
+    val b = ConformanceLake.runJob(spark, sf, "m_pais")
+    // same analyzed DataFrame — plan construction paid once
+    assert(a eq b)
+    assert(a.sparkSession eq b.sparkSession)
+    assert(a.sparkSession ne spark)
+  }
+
   test("frozen catalog oracles match the runtime ConformanceSql rendering") {
     // The q70–q73 oracle SQL the driver executes is frozen under
     // resources/graft/conformance/oracles/. If the transcribed job
