@@ -91,6 +91,12 @@ object BloomDecontaminate {
     // only (idCol, textCol) are required; passthrough columns (e.g. the
     // corpus tables' `source`) are carried when present rather than
     // hard-required — a minimal (id, text) stream must analyze
+    val reserved = Seq("__sh", "n_candidatas", "contaminado_aprox")
+    val clashes = stream.columns.toSeq.intersect(reserved)
+    require(clashes.isEmpty,
+      s"flagStream writes columns ${reserved.mkString(", ")}; the input " +
+        s"stream already carries ${clashes.mkString(", ")} — rename them " +
+        "first (silently overwriting a caller's column is worse than failing)")
     val passthrough = stream.columns.toSeq
       .filterNot(c => c == idCol || c == textCol).map(col)
     stream.select(col(idCol) +: passthrough :+

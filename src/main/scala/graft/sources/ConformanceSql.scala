@@ -152,10 +152,28 @@ object ConformanceSql {
     case other => other.toUpperCase
   }
 
-  private def stripQuals(e: String, aliases: Set[String]): String =
-    aliases.filter(_.nonEmpty).foldLeft(e) { (s, a) =>
-      s.replaceAll(s"\\b${java.util.regex.Pattern.quote(a)}\\.", "")
+  /** Remove `alias.` qualifiers from identifier positions only: the
+    * expression is split at single-quoted string literals first, and the
+    * replacement runs on the non-quoted segments — a literal like
+    * 'tv.total' must survive an alias named tv verbatim. */
+  private def stripQuals(e: String, aliases: Set[String]): String = {
+    val live = aliases.filter(_.nonEmpty)
+    if (live.isEmpty) return e
+    // split keeping the quoted literals as their own segments ('' stays
+    // inside one literal segment per SQL escaping)
+    val seg = "'(?:[^']|'')*'".r
+    val sb = new StringBuilder
+    var last = 0
+    def stripped(s: String): String = live.foldLeft(s) { (x, a) =>
+      x.replaceAll(s"\\b${java.util.regex.Pattern.quote(a)}\\.", "")
     }
+    seg.findAllMatchIn(e).foreach { m =>
+      sb.append(stripped(e.substring(last, m.start))).append(m.matched)
+      last = m.end
+    }
+    sb.append(stripped(e.substring(last)))
+    sb.toString
+  }
 
   /** Render one step as a SQL query over already-rendered refs.
     * `refSql` maps a runner ref (src:var or step name) to a FROM-able

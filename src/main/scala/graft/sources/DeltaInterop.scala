@@ -302,19 +302,26 @@ object DeltaInterop {
     val current: Map[String, TxnEntry] = entries.map(e => relPath(e) -> e).toMap
     val dir = logDir(txn.root)
     Files.createDirectories(dir)
-    val prior: Map[String, DeltaAdd] =
-      if (listLogSafe(txn.root).isEmpty) Map.empty
-      else snapshot(spark, txn.root).files.map(f =>
-        f.path.split('/').map(encodeSegment).mkString("/") -> f).toMap
-    val nextV =
-      if (prior.isEmpty) 0L
-      else listLogSafe(txn.root).flatMap(_.getFileName.toString match {
-        case commitName(v) => Some(v.toLong); case _ => None
-      }).max + 1
+    // "first export" is an EMPTY LOG, not an empty prior file set (a
+    // valid prior commit can remove every file), and the next version
+    // comes from the replayed snapshot version — JSON commit names alone
+    // under-count on checkpoint-only logs (retention may have cleaned
+    // every commit at/below the checkpoint)
+    val priorSnap =
+      if (listLogSafe(txn.root).isEmpty) None
+      else Some(snapshot(spark, txn.root))
+    val prior: Map[String, DeltaAdd] = priorSnap
+      .map(_.files.map(f =>
+        f.path.split('/').map(encodeSegment).mkString("/") -> f).toMap)
+      .getOrElse(Map.empty)
+    val nextV = priorSnap.map(_.version + 1L).getOrElse(0L)
 
     val adds = current.filterNot { case (p, _) => prior.contains(p) }
     val removes = prior.keySet.diff(current.keySet)
-    if (nextV > 0 && adds.isEmpty && removes.isEmpty) return -1L
+    // schema evolution must re-commit metaData even with no file churn
+    val schemaChanged = priorSnap.exists(_.schema.json != schema.json)
+    if (nextV > 0 && adds.isEmpty && removes.isEmpty && !schemaChanged)
+      return -1L
 
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer[String]()
@@ -323,6 +330,8 @@ object DeltaInterop {
       protocol.putObject("protocol")
         .put("minReaderVersion", 1).put("minWriterVersion", 2)
       lines += mapper.writeValueAsString(protocol)
+    }
+    if (nextV == 0L || schemaChanged) {
       val metaWrap = mapper.createObjectNode()
       val meta = metaWrap.putObject("metaData")
       // deterministic id: re-exporting the same table keeps its identity

@@ -45,9 +45,11 @@ object JdbcExtract {
     s"(SELECT * FROM (${e.query}) q$where) graft_extract"
   }
 
-  /** MIN/MAX probe query (reference :310), as a one-row derived table. */
+  /** MIN/MAX probe query (reference :310), as a one-row derived table.
+    * Every predicate is parenthesized individually before AND-joining —
+    * an OR inside one must not rebind against its neighbors. */
   def boundsQuery(e: Extract, pc: String): String = {
-    val preds = e.boundsProbeFilter.toSeq ++ e.filter.map(f => s"($f)")
+    val preds = (e.boundsProbeFilter.toSeq ++ e.filter.toSeq).map(f => s"($f)")
     val where = if (preds.isEmpty) "" else preds.mkString(" WHERE ", " AND ", "")
     s"(SELECT MIN($pc) AS lo, MAX($pc) AS hi FROM (${e.query}) q$where) graft_bounds"
   }
@@ -111,8 +113,10 @@ object JdbcExtract {
       case (f, Some((lo, hi))) =>
         Some(f.replace("{0}", lo).replace("{1}", hi))
     }
-    val preds = Seq(Option(get("FILTER_EXP")).filter(_.nonEmpty),
-      incremental).flatten
+    // parenthesize each predicate before AND-joining: an OR inside
+    // FILTER_EXP must not swallow the incremental window by precedence
+    val preds = (Option(get("FILTER_EXP")).filter(_.nonEmpty).toSeq ++
+      incremental).map(p => s"($p)")
     Extract(
       query = s"SELECT $cols FROM $from",
       partitionColumn = partitionColumn,

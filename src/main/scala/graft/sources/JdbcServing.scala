@@ -65,7 +65,22 @@ object JdbcServing {
                   : String => Boolean =
     table =>
       try { spark.read.jdbc(url, probeSql(table), props).collect(); true }
-      catch { case _: Throwable => false }
+      catch {
+        // Only a missing-object answer may become `false`: returning
+        // false on a TRANSIENT failure would silently swap the DELETE
+        // preaction for the no-op `select 1` and double-load the slice
+        // once the connection recovers. SQLState class 42 (syntax/access
+        // — the probe SQL is fixed, so only the table identifier can be
+        // at fault) and S0002 (legacy base-table-not-found) mean
+        // missing; anything else (08xxx connection errors, timeouts,
+        // auth) propagates.
+        case t: Throwable =>
+          val missing = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .collectFirst { case s: java.sql.SQLException => s }
+            .flatMap(s => Option(s.getSQLState))
+            .exists(st => st.startsWith("42") || st == "S0002")
+          if (missing) false else throw t
+      }
 
   /** Load `df` into `table`, first running the preaction on the connection.
     * `runStatement` and `tableExists` are injected so tests (and non-JDBC

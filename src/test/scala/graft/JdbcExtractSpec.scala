@@ -126,16 +126,18 @@ class JdbcExtractSpec extends AnyFunSuite {
     assert(e.query ==
       "SELECT t2.nropedido as id, t2.compania compania, t2.importe importe " +
         "FROM dbo.tpedid7f t2 inner join dbo.tpedid1f t on t.nropedido = t2.nropedido")
+    // each predicate individually parenthesized: an OR inside FILTER_EXP
+    // must not capture the window predicate by AND precedence
     assert(e.filter.contains(
-      "t2.compania in (select compania from dbo.mcompa1f b where b.flgbi = 'a')" +
-        " AND fechapedid between 20240101 and 20240131"))
+      "(t2.compania in (select compania from dbo.mcompa1f b where b.flgbi = 'a'))" +
+        " AND (fechapedid between 20240101 and 20240131)"))
     assert(e.boundsProbeFilter.contains("t2.nropedido <> 0"))
     assert(e.numPartitions == 10)
     // no window bound → the incremental predicate is dropped, the
     // standing business filter stays (full-load path)
     val full = JdbcExtract.fromTableConfig(cfg)
     assert(full.filter.contains(
-      "t2.compania in (select compania from dbo.mcompa1f b where b.flgbi = 'a')"))
+      "(t2.compania in (select compania from dbo.mcompa1f b where b.flgbi = 'a'))"))
     assert(!full.filter.get.contains("fechapedid"))
   }
 
