@@ -278,6 +278,26 @@ object ScaleSweep {
       (rows.nonEmpty && bad.isEmpty,
         s"rows=${rows.length}, count/lift violations=${bad.length}")
     }
+    run("q67_tfidf") { df =>
+      // the metamorphic copies keep each doc's SOURCE, so per-source tf
+      // scales ×factor while n_sources and per-word source-df don't —
+      // every score scales ×factor uniformly and the per-source top-5
+      // ranking is INVARIANT. Verify against the original-corpus run.
+      import spark.implicits._
+      def keyed(d: DataFrame) = d
+        .select(col("source"), col("rango"), col("palabra"), col("score"))
+        .as[(String, Int, String, Double)].collect()
+        .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+      val scaled = keyed(df)
+      val base = keyed(SparkEntry.queries("q67_tfidf")(spark, src))
+      val bad = base.collect {
+        case (k, (w, s)) if !scaled.get(k).exists { case (w2, s2) =>
+          w2 == w && math.abs(s2 - factor * s) <= math.abs(factor * s) * 1e-9
+        } => k
+      }
+      (scaled.size == base.size && bad.isEmpty,
+        s"rows=${scaled.size} (base ${base.size}), ranking/score violations=${bad.size}")
+    }
     runCustom("ivf_index_serve") {
       // verdict item 3's scale evidence: build the PERSISTED index on the
       // scaled embeddings (sqrt(N) cells), serve pruned vs unpruned, and

@@ -156,7 +156,7 @@ object ConformanceSql {
     * expression is split at single-quoted string literals first, and the
     * replacement runs on the non-quoted segments — a literal like
     * 'tv.total' must survive an alias named tv verbatim. */
-  private def stripQuals(e: String, aliases: Set[String]): String = {
+  private[graft] def stripQuals(e: String, aliases: Set[String]): String = {
     val live = aliases.filter(_.nonEmpty)
     if (live.isEmpty) return e
     // split keeping the quoted literals as their own segments ('' stays

@@ -104,6 +104,20 @@ class ConformanceSpec extends AnyFunSuite {
     }
   }
 
+  test("stripQuals removes alias qualifiers but never touches string literals") {
+    import graft.sources.ConformanceSql.stripQuals
+    assert(stripQuals("tv.total + m.importe", Set("tv", "m")) ==
+      "total + importe")
+    // a literal embedding an alias token must survive verbatim
+    assert(stripQuals("CASE WHEN tv.cod = 'tv.total' THEN 'm.x' ELSE tv.x END",
+      Set("tv", "m")) == "CASE WHEN cod = 'tv.total' THEN 'm.x' ELSE x END")
+    // SQL-escaped quotes stay inside one literal segment
+    assert(stripQuals("concat(tv.a, 'it''s tv.b here', tv.c)", Set("tv")) ==
+      "concat(a, 'it''s tv.b here', c)")
+    // word boundary: an identifier merely ENDING in the alias is kept
+    assert(stripQuals("atv.x + tv.x", Set("tv")) == "atv.x + x")
+  }
+
   test("conformance execution leaves the caller session's ANSI mode untouched") {
     // ConformanceLake flips ANSI off (Spark-3-faithful semantics) in a
     // cached session CLONE; the caller's session must never see it —
