@@ -27,18 +27,14 @@ npass = nfail = 0
 for name, sql in sqls.items():
     spark_path = os.path.join(dump, f"{name}.parquet")
     try:
+        # EXACT comparison, no rounding: since round 6 the renderer
+        # splices ExactDecimalSql templates (HUGEINT replays of Spark's
+        # decimal rescale arithmetic) wherever DuckDB's native decimal
+        # typing would diverge, so every job compares bit-for-bit.
         spark_rel = f"read_parquet('{spark_path}/*.parquet')"
         desc = con.execute(f"DESCRIBE SELECT * FROM {spark_rel}").fetchall()
         cols = [r[0] for r in desc]
-        # DOUBLE columns: round to 6 dp first (mimics Spark's
-        # decimal-precision-overflow rescale, which rounds half-up at
-        # scale 6 when a numeric(38,12) product exceeds 38 digits — the
-        # reference's Spark 3 does the same), then compare at 4 dp to
-        # absorb double-vs-decimal last-ulp differences. Sampled catalog
-        # queries avoid division entirely and stay exact.
-        proj = ", ".join(
-            f'round(round("{c}", 6), 4) AS "{c}"' if t == "DOUBLE" else f'"{c}"'
-            for c, t in [(r[0], r[1]) for r in desc])
+        proj = ", ".join(f'"{c}"' for c in cols)
         spark_rel = f"(SELECT {proj} FROM {spark_rel})"
         order = ", ".join(f'"{c}"' for c in sorted(cols))
         a = con.execute(

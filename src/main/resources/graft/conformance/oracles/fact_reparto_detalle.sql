@@ -942,89 +942,415 @@ step_t_pedido_detalle_cumplimiento_df_t_historico_pedido_detalle_resumen_almacen
          cantidad_cajas AS cantidad_cajas,
          cantidad_botellas AS cantidad_botellas
   FROM (
-  SELECT vthv.cod_compania,
-         vthv.cod_sucursal,
-         vthv.cod_almacen,
-         t.cod_documento_almacen,
-         t.nro_documento_almacen,
-         vthv.cod_documento_pedido,
-         vthv.nro_documento_pedido,
-         vthv.cod_cliente,
-         vthvd.cod_articulo,
-         vthv.cod_documento_venta,
-         vthv.cod_procedimiento,
-         vthvd.cod_operacion,
-         max(vthv.fecha_liquidacion) AS fecha_liquidacion,
-         sum((CASE WHEN (vthv.cod_documento_venta = 'NCC') THEN (- 1) ELSE 1 END * vthvd.cant_paquete)) AS cantidad_cajas,
-         sum((CASE WHEN (vthv.cod_documento_venta = 'NCC') THEN (- 1) ELSE 1 END * vthvd.cant_unidad)) AS cantidad_botellas
+  SELECT __p0 AS cod_compania,
+         __p1 AS cod_sucursal,
+         __p2 AS cod_almacen,
+         __p3 AS cod_documento_almacen,
+         __p4 AS nro_documento_almacen,
+         __p5 AS cod_documento_pedido,
+         __p6 AS nro_documento_pedido,
+         __p7 AS cod_cliente,
+         __p8 AS cod_articulo,
+         __p9 AS cod_documento_venta,
+         __p10 AS cod_procedimiento,
+         __p11 AS cod_operacion,
+         __agg0 AS fecha_liquidacion,
+         CAST((CASE WHEN (CASE WHEN abs(__agg1) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg1 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg1) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg1 END)) // 1000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg1) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg1 END)) % 1000000::HUGEINT AS VARCHAR), 6, '0')) AS DECIMAL(38,6)) AS cantidad_cajas,
+         CAST((CASE WHEN (CASE WHEN abs(__agg2) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg2 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg2) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg2 END)) // 1000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg2) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg2 END)) % 1000000::HUGEINT AS VARCHAR), 6, '0')) AS DECIMAL(38,6)) AS cantidad_botellas
+  FROM (
+  SELECT __p0,
+         __p1,
+         __p2,
+         __p3,
+         __p4,
+         __p5,
+         __p6,
+         __p7,
+         __p8,
+         __p9,
+         __p10,
+         __p11,
+         max(__p12) AS __agg0,
+         sum(__p17) AS __agg1,
+         sum(__p22) AS __agg2
+  FROM (
+  SELECT vthv.cod_compania AS __p0,
+         vthv.cod_sucursal AS __p1,
+         vthv.cod_almacen AS __p2,
+         t.cod_documento_almacen AS __p3,
+         t.nro_documento_almacen AS __p4,
+         vthv.cod_documento_pedido AS __p5,
+         vthv.nro_documento_pedido AS __p6,
+         vthv.cod_cliente AS __p7,
+         vthvd.cod_articulo AS __p8,
+         vthv.cod_documento_venta AS __p9,
+         vthv.cod_procedimiento AS __p10,
+         vthvd.cod_operacion AS __p11,
+         vthv.fecha_liquidacion AS __p12,
+         (CAST((CASE WHEN (__p9 = 'NCC') THEN -1 ELSE 1 END) AS HUGEINT)) AS __p13,
+         (CASE WHEN abs(__p13) >= 10000000000::HUGEINT THEN NULL ELSE __p13 END) AS __p14,
+         CAST(replace(CAST(vthvd.cant_paquete AS VARCHAR), '.', '') AS HUGEINT) AS __p15,
+         (__p14 * __p15) AS __p16,
+         (CASE WHEN abs(__p16) >= 100000000000000000000000000000::HUGEINT THEN NULL ELSE __p16 END) AS __p17,
+         (CAST((CASE WHEN (__p9 = 'NCC') THEN -1 ELSE 1 END) AS HUGEINT)) AS __p18,
+         (CASE WHEN abs(__p18) >= 10000000000::HUGEINT THEN NULL ELSE __p18 END) AS __p19,
+         CAST(replace(CAST(vthvd.cant_unidad AS VARCHAR), '.', '') AS HUGEINT) AS __p20,
+         (__p19 * __p20) AS __p21,
+         (CASE WHEN abs(__p21) >= 100000000000000000000000000000::HUGEINT THEN NULL ELSE __p21 END) AS __p22
   FROM stage_t_documento_venta AS vthv
   JOIN stage_t_documento_venta_detalle AS vthvd ON (((((vthv.cod_compania = vthvd.cod_compania) AND (vthv.cod_sucursal = vthvd.cod_sucursal)) AND (vthv.cod_almacen = vthvd.cod_almacen)) AND (vthv.cod_documento_venta = vthvd.cod_documento_transaccion)) AND (vthv.nro_documento_venta = vthvd.nro_comprobante_venta))
   JOIN step_t_pedido_detalle_cumplimiento_df_t_historico_pedido_detalle_almacen_unico AS t ON ((((((((((vthv.cod_compania = t.cod_compania) AND (vthv.cod_sucursal = t.cod_sucursal)) AND (vthv.cod_almacen = t.cod_almacen)) AND (vthv.cod_documento_pedido = t.cod_documento_pedido)) AND (vthv.nro_documento_pedido = t.nro_documento_pedido)) AND (vthv.cod_documento_almacen = t.cod_documento_almacen)) AND (vthv.nro_documento_almacen = t.nro_documento_almacen)) AND (vthv.cod_documento_venta = t.cod_documento_venta)) AND (vthv.cod_procedimiento = t.cod_procedimiento_venta)) AND (vthvd.cod_operacion = t.cod_operacion_venta))
   WHERE ((NOT (vthv.cod_documento_venta IN ('RMD', 'CMD'))) AND (vthv.cod_estado_comprobante <> '002'))
-  GROUP BY vthv.cod_compania, vthv.cod_sucursal, vthv.cod_almacen, t.cod_documento_almacen, t.nro_documento_almacen, vthv.cod_documento_pedido, vthv.nro_documento_pedido, vthv.cod_cliente, vthvd.cod_articulo, vthv.cod_documento_venta, vthv.cod_procedimiento, vthvd.cod_operacion
+  )
+  GROUP BY __p0, __p1, __p2, __p3, __p4, __p5, __p6, __p7, __p8, __p9, __p10, __p11
+  )
   )
 ),
 step_t_pedido_detalle_cumplimiento_df_dom_t_pedido_detalle_cumplimiento AS (
-  SELECT id_pais AS id_pais,
-         id_periodo AS id_periodo,
-         concat_ws('|', cod_compania, cod_sucursal) AS id_sucursal,
-         (cod_compania || '|' || cod_sucursal || '|' || cod_almacen || '|' || cod_documento_pedido || '|' || nro_documento_pedido || '|' || cod_cliente) AS id_pedido,
-         (cod_compania || '|' || cod_articulo) AS id_producto,
-         CASE WHEN (coalesce(cod_documento_almacen, '') <> '') THEN (cod_compania || '|' || cod_sucursal || '|' || cod_almacen || '|' || cod_documento_almacen || '|' || nro_documento_almacen) ELSE NULL END AS id_reparto,
-         CAST(fecha_liquidacion AS DATE) AS fecha_liquidacion,
-         CAST(cant_cajafisica_ped AS DECIMAL(38,12)) AS cant_cajafisica_ped,
-         CAST(cant_cajavolumen_ped AS DECIMAL(38,12)) AS cant_cajavolumen_ped,
-         CAST(cant_cajafisica_ped_pro AS DECIMAL(38,12)) AS cant_cajafisica_ped_pro,
-         CAST(cant_cajavolumen_ped_pro AS DECIMAL(38,12)) AS cant_cajavolumen_ped_pro,
-         CAST(cant_cajafisica_asignado_ped AS DECIMAL(38,12)) AS cant_cajafisica_asignado_ped,
-         CAST(cant_cajavolumen_asignado_ped AS DECIMAL(38,12)) AS cant_cajavolumen_asignado_ped,
-         CAST(cant_cajafisica_asignado_ped_pro AS DECIMAL(38,12)) AS cant_cajafisica_asignado_ped_pro,
-         CAST(cant_cajavolumen_asignado_ped_pro AS DECIMAL(38,12)) AS cant_cajavolumen_asignado_ped_pro,
-         CAST(cant_cajafisica_desp AS DECIMAL(38,12)) AS cant_cajafisica_desp,
-         CAST(cant_cajavolumen_desp AS DECIMAL(38,12)) AS cant_cajavolumen_desp,
-         CAST(cant_cajafisica_desp_pro AS DECIMAL(38,12)) AS cant_cajafisica_desp_pro,
-         CAST(cant_cajavolumen_desp_pro AS DECIMAL(38,12)) AS cant_cajavolumen_desp_pro,
-         CAST(cant_caja_fisica_ven AS DECIMAL(38,12)) AS cant_caja_fisica_ven,
-         CAST(cant_caja_volumen_ven AS DECIMAL(38,12)) AS cant_caja_volumen_ven,
-         CAST(cant_caja_fisica_pro AS DECIMAL(38,12)) AS cant_caja_fisica_pro,
-         CAST(cant_caja_volumen_pro AS DECIMAL(38,12)) AS cant_caja_volumen_pro,
-         CAST(fecha_creacion AS TIMESTAMP) AS fecha_creacion,
-         CAST(fecha_modificacion AS TIMESTAMP) AS fecha_modificacion
+  SELECT __x0 AS id_pais,
+         __x1 AS id_periodo,
+         __x4 AS id_sucursal,
+         __x9 AS id_pedido,
+         __x11 AS id_producto,
+         __x14 AS id_reparto,
+         __x15 AS fecha_liquidacion,
+         CAST((CASE WHEN __x17 < 0 THEN '-' ELSE '' END || CAST(abs(__x17) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x17) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_cajafisica_ped,
+         CAST((CASE WHEN __x20 < 0 THEN '-' ELSE '' END || CAST(abs(__x20) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x20) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_cajavolumen_ped,
+         CAST((CASE WHEN __x22 < 0 THEN '-' ELSE '' END || CAST(abs(__x22) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x22) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_cajafisica_ped_pro,
+         CAST((CASE WHEN __x25 < 0 THEN '-' ELSE '' END || CAST(abs(__x25) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x25) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_cajavolumen_ped_pro,
+         CAST((CASE WHEN __x27 < 0 THEN '-' ELSE '' END || CAST(abs(__x27) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x27) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_cajafisica_asignado_ped,
+         CAST((CASE WHEN __x30 < 0 THEN '-' ELSE '' END || CAST(abs(__x30) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x30) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_cajavolumen_asignado_ped,
+         CAST((CASE WHEN __x32 < 0 THEN '-' ELSE '' END || CAST(abs(__x32) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x32) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_cajafisica_asignado_ped_pro,
+         CAST((CASE WHEN __x35 < 0 THEN '-' ELSE '' END || CAST(abs(__x35) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x35) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_cajavolumen_asignado_ped_pro,
+         CAST((CASE WHEN __x37 < 0 THEN '-' ELSE '' END || CAST(abs(__x37) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x37) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_cajafisica_desp,
+         CAST((CASE WHEN __x40 < 0 THEN '-' ELSE '' END || CAST(abs(__x40) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x40) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_cajavolumen_desp,
+         CAST((CASE WHEN __x42 < 0 THEN '-' ELSE '' END || CAST(abs(__x42) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x42) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_cajafisica_desp_pro,
+         CAST((CASE WHEN __x45 < 0 THEN '-' ELSE '' END || CAST(abs(__x45) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x45) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_cajavolumen_desp_pro,
+         CAST((CASE WHEN __x48 < 0 THEN '-' ELSE '' END || CAST(abs(__x48) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x48) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_caja_fisica_ven,
+         CAST((CASE WHEN __x51 < 0 THEN '-' ELSE '' END || CAST(abs(__x51) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x51) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_caja_volumen_ven,
+         CAST((CASE WHEN __x54 < 0 THEN '-' ELSE '' END || CAST(abs(__x54) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x54) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_caja_fisica_pro,
+         CAST((CASE WHEN __x57 < 0 THEN '-' ELSE '' END || CAST(abs(__x57) // 1000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs(__x57) % 1000000000000::HUGEINT AS VARCHAR), 12, '0')) AS DECIMAL(38,12)) AS cant_caja_volumen_pro,
+         __x58 AS fecha_creacion,
+         __x59 AS fecha_modificacion
   FROM (
-  SELECT vthv.cod_compania,
-         vthv.cod_sucursal,
-         vthv.cod_almacen,
-         vthv.cod_documento_pedido,
-         vthv.nro_documento_pedido,
-         vthv.cod_cliente,
-         vthv.cod_articulo,
-         coalesce(vthv.cod_documento_almacen, '') AS cod_documento_almacen,
-         coalesce(vthv.nro_documento_almacen, '') AS nro_documento_almacen,
-         max(vthv.id_pais) AS id_pais,
-         max(vthv.id_periodo) AS id_periodo,
-         max(t.fecha_liquidacion) AS fecha_liquidacion,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Ven') THEN (vthv.cantidad_cajas + (vthv.cantidad_botellas / m.cant_unidad_paquete)) ELSE 0 END) AS cant_cajafisica_ped,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Ven') THEN (((vthv.cantidad_cajas * m.cant_unidad_paquete) + vthv.cantidad_botellas) * m.cant_unidad_volumen) ELSE 0 END) AS cant_cajavolumen_ped,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Pro') THEN (vthv.cantidad_cajas + (vthv.cantidad_botellas / m.cant_unidad_paquete)) ELSE 0 END) AS cant_cajafisica_ped_pro,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Pro') THEN (((vthv.cantidad_cajas * m.cant_unidad_paquete) + vthv.cantidad_botellas) * m.cant_unidad_volumen) ELSE 0 END) AS cant_cajavolumen_ped_pro,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Ven') THEN (vthv.cantidad_cajas_asignada + (vthv.cantidad_botellas_asignada / m.cant_unidad_paquete)) ELSE 0 END) AS cant_cajafisica_asignado_ped,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Ven') THEN (((vthv.cantidad_cajas_asignada * m.cant_unidad_paquete) + vthv.cantidad_botellas_asignada) * m.cant_unidad_volumen) ELSE 0 END) AS cant_cajavolumen_asignado_ped,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Pro') THEN (vthv.cantidad_cajas_asignada + (vthv.cantidad_botellas_asignada / m.cant_unidad_paquete)) ELSE 0 END) AS cant_cajafisica_asignado_ped_pro,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Pro') THEN (((vthv.cantidad_cajas_asignada * m.cant_unidad_paquete) + vthv.cantidad_botellas_asignada) * m.cant_unidad_volumen) ELSE 0 END) AS cant_cajavolumen_asignado_ped_pro,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Ven') THEN (vthv.cantidad_cajas_despechado + (vthv.cantidad_botellas_despechado / m.cant_unidad_paquete)) ELSE 0 END) AS cant_cajafisica_desp,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Ven') THEN (((vthv.cantidad_cajas_despechado * m.cant_unidad_paquete) + vthv.cantidad_botellas_despechado) * m.cant_unidad_volumen) ELSE 0 END) AS cant_cajavolumen_desp,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Pro') THEN (vthv.cantidad_cajas_despechado + (vthv.cantidad_botellas_despechado / m.cant_unidad_paquete)) ELSE 0 END) AS cant_cajafisica_desp_pro,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Pro') THEN (((vthv.cantidad_cajas_despechado * m.cant_unidad_paquete) + vthv.cantidad_botellas_despechado) * m.cant_unidad_volumen) ELSE 0 END) AS cant_cajavolumen_desp_pro,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Ven') THEN (t.cantidad_cajas + (t.cantidad_botellas / m.cant_unidad_paquete)) ELSE 0 END) AS cant_caja_fisica_ven,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Ven') THEN (((t.cantidad_cajas * m.cant_unidad_paquete) + t.cantidad_botellas) * m.cant_unidad_volumen) ELSE 0 END) AS cant_caja_volumen_ven,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Pro') THEN (t.cantidad_cajas + (t.cantidad_botellas / m.cant_unidad_paquete)) ELSE 0 END) AS cant_caja_fisica_pro,
-         sum(CASE WHEN (vthv.cod_tipo_operacion = 'Pro') THEN (((t.cantidad_cajas * m.cant_unidad_paquete) + t.cantidad_botellas) * m.cant_unidad_volumen) ELSE 0 END) AS cant_caja_volumen_pro,
-         max(vthv.fecha_creacion) AS fecha_creacion,
-         max(vthv.fecha_modificacion) AS fecha_modificacion
+  SELECT *,
+         (CASE WHEN 1000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__x16 < 0) != (1000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__x16) + abs(1000::HUGEINT)) // (2::HUGEINT * abs(1000::HUGEINT))) END) AS __x17,
+         (CASE WHEN 1000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__x21 < 0) != (1000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__x21) + abs(1000::HUGEINT)) // (2::HUGEINT * abs(1000::HUGEINT))) END) AS __x22,
+         (CASE WHEN 1000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__x26 < 0) != (1000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__x26) + abs(1000::HUGEINT)) // (2::HUGEINT * abs(1000::HUGEINT))) END) AS __x27,
+         (CASE WHEN 1000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__x31 < 0) != (1000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__x31) + abs(1000::HUGEINT)) // (2::HUGEINT * abs(1000::HUGEINT))) END) AS __x32,
+         (CASE WHEN 1000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__x36 < 0) != (1000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__x36) + abs(1000::HUGEINT)) // (2::HUGEINT * abs(1000::HUGEINT))) END) AS __x37,
+         (CASE WHEN 1000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__x41 < 0) != (1000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__x41) + abs(1000::HUGEINT)) // (2::HUGEINT * abs(1000::HUGEINT))) END) AS __x42
+  FROM (
+  SELECT id_pais AS __x0,
+         id_periodo AS __x1,
+         cod_compania AS __x2,
+         cod_sucursal AS __x3,
+         concat_ws('|', __x2, __x3) AS __x4,
+         cod_almacen AS __x5,
+         cod_documento_pedido AS __x6,
+         nro_documento_pedido AS __x7,
+         cod_cliente AS __x8,
+         (__x2 || '|' || __x3 || '|' || __x5 || '|' || __x6 || '|' || __x7 || '|' || __x8) AS __x9,
+         cod_articulo AS __x10,
+         (__x2 || '|' || __x10) AS __x11,
+         cod_documento_almacen AS __x12,
+         nro_documento_almacen AS __x13,
+         (CASE WHEN (NOT (coalesce(__x12, '') = '')) THEN (__x2 || '|' || __x3 || '|' || __x5 || '|' || __x12 || '|' || __x13) ELSE CAST(NULL AS VARCHAR) END) AS __x14,
+         fecha_liquidacion AS __x15,
+         CAST(replace(CAST(cant_cajafisica_ped AS VARCHAR), '.', '') AS HUGEINT) AS __x16,
+         CAST(replace(CAST(cant_cajavolumen_ped AS VARCHAR), '.', '') AS HUGEINT) AS __x18,
+         (__x18 * 1000000::HUGEINT) AS __x19,
+         (CASE WHEN abs(__x19) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __x19 END) AS __x20,
+         CAST(replace(CAST(cant_cajafisica_ped_pro AS VARCHAR), '.', '') AS HUGEINT) AS __x21,
+         CAST(replace(CAST(cant_cajavolumen_ped_pro AS VARCHAR), '.', '') AS HUGEINT) AS __x23,
+         (__x23 * 1000000::HUGEINT) AS __x24,
+         (CASE WHEN abs(__x24) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __x24 END) AS __x25,
+         CAST(replace(CAST(cant_cajafisica_asignado_ped AS VARCHAR), '.', '') AS HUGEINT) AS __x26,
+         CAST(replace(CAST(cant_cajavolumen_asignado_ped AS VARCHAR), '.', '') AS HUGEINT) AS __x28,
+         (__x28 * 1000000::HUGEINT) AS __x29,
+         (CASE WHEN abs(__x29) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __x29 END) AS __x30,
+         CAST(replace(CAST(cant_cajafisica_asignado_ped_pro AS VARCHAR), '.', '') AS HUGEINT) AS __x31,
+         CAST(replace(CAST(cant_cajavolumen_asignado_ped_pro AS VARCHAR), '.', '') AS HUGEINT) AS __x33,
+         (__x33 * 1000000::HUGEINT) AS __x34,
+         (CASE WHEN abs(__x34) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __x34 END) AS __x35,
+         CAST(replace(CAST(cant_cajafisica_desp AS VARCHAR), '.', '') AS HUGEINT) AS __x36,
+         CAST(replace(CAST(cant_cajavolumen_desp AS VARCHAR), '.', '') AS HUGEINT) AS __x38,
+         (__x38 * 1000000::HUGEINT) AS __x39,
+         (CASE WHEN abs(__x39) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __x39 END) AS __x40,
+         CAST(replace(CAST(cant_cajafisica_desp_pro AS VARCHAR), '.', '') AS HUGEINT) AS __x41,
+         CAST(replace(CAST(cant_cajavolumen_desp_pro AS VARCHAR), '.', '') AS HUGEINT) AS __x43,
+         (__x43 * 1000000::HUGEINT) AS __x44,
+         (CASE WHEN abs(__x44) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __x44 END) AS __x45,
+         CAST(replace(CAST(cant_caja_fisica_ven AS VARCHAR), '.', '') AS HUGEINT) AS __x46,
+         (__x46 * 1000000::HUGEINT) AS __x47,
+         (CASE WHEN abs(__x47) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __x47 END) AS __x48,
+         CAST(replace(CAST(cant_caja_volumen_ven AS VARCHAR), '.', '') AS HUGEINT) AS __x49,
+         (__x49 * 1000000::HUGEINT) AS __x50,
+         (CASE WHEN abs(__x50) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __x50 END) AS __x51,
+         CAST(replace(CAST(cant_caja_fisica_pro AS VARCHAR), '.', '') AS HUGEINT) AS __x52,
+         (__x52 * 1000000::HUGEINT) AS __x53,
+         (CASE WHEN abs(__x53) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __x53 END) AS __x54,
+         CAST(replace(CAST(cant_caja_volumen_pro AS VARCHAR), '.', '') AS HUGEINT) AS __x55,
+         (__x55 * 1000000::HUGEINT) AS __x56,
+         (CASE WHEN abs(__x56) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __x56 END) AS __x57,
+         fecha_creacion AS __x58,
+         fecha_modificacion AS __x59
+  FROM (
+  SELECT __p0 AS cod_compania,
+         __p1 AS cod_sucursal,
+         __p2 AS cod_almacen,
+         __p3 AS cod_documento_pedido,
+         __p4 AS nro_documento_pedido,
+         __p5 AS cod_cliente,
+         __p6 AS cod_articulo,
+         __p8 AS cod_documento_almacen,
+         __p10 AS nro_documento_almacen,
+         __agg0 AS id_pais,
+         __agg1 AS id_periodo,
+         __agg2 AS fecha_liquidacion,
+         CAST((CASE WHEN (CASE WHEN abs(__agg3) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg3 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg3) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg3 END)) // 1000000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg3) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg3 END)) % 1000000000000000::HUGEINT AS VARCHAR), 15, '0')) AS DECIMAL(38,15)) AS cant_cajafisica_ped,
+         CAST((CASE WHEN (CASE WHEN abs(__agg4) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg4 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg4) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg4 END)) // 1000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg4) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg4 END)) % 1000000::HUGEINT AS VARCHAR), 6, '0')) AS DECIMAL(38,6)) AS cant_cajavolumen_ped,
+         CAST((CASE WHEN (CASE WHEN abs(__agg5) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg5 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg5) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg5 END)) // 1000000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg5) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg5 END)) % 1000000000000000::HUGEINT AS VARCHAR), 15, '0')) AS DECIMAL(38,15)) AS cant_cajafisica_ped_pro,
+         CAST((CASE WHEN (CASE WHEN abs(__agg6) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg6 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg6) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg6 END)) // 1000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg6) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg6 END)) % 1000000::HUGEINT AS VARCHAR), 6, '0')) AS DECIMAL(38,6)) AS cant_cajavolumen_ped_pro,
+         CAST((CASE WHEN (CASE WHEN abs(__agg7) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg7 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg7) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg7 END)) // 1000000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg7) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg7 END)) % 1000000000000000::HUGEINT AS VARCHAR), 15, '0')) AS DECIMAL(38,15)) AS cant_cajafisica_asignado_ped,
+         CAST((CASE WHEN (CASE WHEN abs(__agg8) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg8 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg8) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg8 END)) // 1000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg8) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg8 END)) % 1000000::HUGEINT AS VARCHAR), 6, '0')) AS DECIMAL(38,6)) AS cant_cajavolumen_asignado_ped,
+         CAST((CASE WHEN (CASE WHEN abs(__agg9) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg9 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg9) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg9 END)) // 1000000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg9) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg9 END)) % 1000000000000000::HUGEINT AS VARCHAR), 15, '0')) AS DECIMAL(38,15)) AS cant_cajafisica_asignado_ped_pro,
+         CAST((CASE WHEN (CASE WHEN abs(__agg10) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg10 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg10) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg10 END)) // 1000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg10) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg10 END)) % 1000000::HUGEINT AS VARCHAR), 6, '0')) AS DECIMAL(38,6)) AS cant_cajavolumen_asignado_ped_pro,
+         CAST((CASE WHEN (CASE WHEN abs(__agg11) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg11 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg11) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg11 END)) // 1000000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg11) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg11 END)) % 1000000000000000::HUGEINT AS VARCHAR), 15, '0')) AS DECIMAL(38,15)) AS cant_cajafisica_desp,
+         CAST((CASE WHEN (CASE WHEN abs(__agg12) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg12 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg12) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg12 END)) // 1000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg12) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg12 END)) % 1000000::HUGEINT AS VARCHAR), 6, '0')) AS DECIMAL(38,6)) AS cant_cajavolumen_desp,
+         CAST((CASE WHEN (CASE WHEN abs(__agg13) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg13 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg13) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg13 END)) // 1000000000000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg13) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg13 END)) % 1000000000000000::HUGEINT AS VARCHAR), 15, '0')) AS DECIMAL(38,15)) AS cant_cajafisica_desp_pro,
+         CAST((CASE WHEN (CASE WHEN abs(__agg14) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg14 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg14) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg14 END)) // 1000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg14) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg14 END)) % 1000000::HUGEINT AS VARCHAR), 6, '0')) AS DECIMAL(38,6)) AS cant_cajavolumen_desp_pro,
+         CAST((CASE WHEN (CASE WHEN abs(__agg15) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg15 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg15) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg15 END)) // 1000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg15) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg15 END)) % 1000000::HUGEINT AS VARCHAR), 6, '0')) AS DECIMAL(38,6)) AS cant_caja_fisica_ven,
+         CAST((CASE WHEN (CASE WHEN abs(__agg16) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg16 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg16) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg16 END)) // 1000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg16) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg16 END)) % 1000000::HUGEINT AS VARCHAR), 6, '0')) AS DECIMAL(38,6)) AS cant_caja_volumen_ven,
+         CAST((CASE WHEN (CASE WHEN abs(__agg17) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg17 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg17) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg17 END)) // 1000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg17) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg17 END)) % 1000000::HUGEINT AS VARCHAR), 6, '0')) AS DECIMAL(38,6)) AS cant_caja_fisica_pro,
+         CAST((CASE WHEN (CASE WHEN abs(__agg18) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg18 END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN abs(__agg18) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg18 END)) // 1000000::HUGEINT AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN abs(__agg18) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __agg18 END)) % 1000000::HUGEINT AS VARCHAR), 6, '0')) AS DECIMAL(38,6)) AS cant_caja_volumen_pro,
+         __agg19 AS fecha_creacion,
+         __agg20 AS fecha_modificacion
+  FROM (
+  SELECT __p0,
+         __p1,
+         __p2,
+         __p3,
+         __p4,
+         __p5,
+         __p6,
+         __p8,
+         __p10,
+         max(__p11) AS __agg0,
+         max(__p12) AS __agg1,
+         max(__p13) AS __agg2,
+         sum(__p26) AS __agg3,
+         sum(__p37) AS __agg4,
+         sum(__p46) AS __agg5,
+         sum(__p56) AS __agg6,
+         sum(__p67) AS __agg7,
+         sum(__p77) AS __agg8,
+         sum(__p86) AS __agg9,
+         sum(__p96) AS __agg10,
+         sum(__p107) AS __agg11,
+         sum(__p117) AS __agg12,
+         sum(__p126) AS __agg13,
+         sum(__p136) AS __agg14,
+         sum(__p146) AS __agg15,
+         sum(__p156) AS __agg16,
+         sum(__p164) AS __agg17,
+         sum(__p174) AS __agg18,
+         max(__p175) AS __agg19,
+         max(__p176) AS __agg20
+  FROM (
+  SELECT *,
+         (CASE WHEN 10::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p23 < 0) != (10::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p23) + abs(10::HUGEINT)) // (2::HUGEINT * abs(10::HUGEINT))) END) AS __p24,
+         (CASE WHEN (__p14 = 'Ven') THEN (CASE WHEN abs(__p24) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p24 END) ELSE (CASE WHEN abs(__p25) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p25 END) END) AS __p26,
+         (CASE WHEN 10::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p43 < 0) != (10::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p43) + abs(10::HUGEINT)) // (2::HUGEINT * abs(10::HUGEINT))) END) AS __p44,
+         (CASE WHEN (__p14 = 'Pro') THEN (CASE WHEN abs(__p44) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p44 END) ELSE (CASE WHEN abs(__p45) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p45 END) END) AS __p46,
+         (CASE WHEN 10::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p64 < 0) != (10::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p64) + abs(10::HUGEINT)) // (2::HUGEINT * abs(10::HUGEINT))) END) AS __p65,
+         (CASE WHEN (__p14 = 'Ven') THEN (CASE WHEN abs(__p65) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p65 END) ELSE (CASE WHEN abs(__p66) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p66 END) END) AS __p67,
+         (CASE WHEN 10::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p83 < 0) != (10::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p83) + abs(10::HUGEINT)) // (2::HUGEINT * abs(10::HUGEINT))) END) AS __p84,
+         (CASE WHEN (__p14 = 'Pro') THEN (CASE WHEN abs(__p84) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p84 END) ELSE (CASE WHEN abs(__p85) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p85 END) END) AS __p86,
+         (CASE WHEN 10::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p104 < 0) != (10::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p104) + abs(10::HUGEINT)) // (2::HUGEINT * abs(10::HUGEINT))) END) AS __p105,
+         (CASE WHEN (__p14 = 'Ven') THEN (CASE WHEN abs(__p105) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p105 END) ELSE (CASE WHEN abs(__p106) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p106 END) END) AS __p107,
+         (CASE WHEN 10::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p123 < 0) != (10::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p123) + abs(10::HUGEINT)) // (2::HUGEINT * abs(10::HUGEINT))) END) AS __p124,
+         (CASE WHEN (__p14 = 'Pro') THEN (CASE WHEN abs(__p124) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p124 END) ELSE (CASE WHEN abs(__p125) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p125 END) END) AS __p126
+  FROM (
+  SELECT *,
+         (CASE WHEN __p19 = 0 THEN NULL ELSE (CASE WHEN (__p20 < 0) != (__p19 < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p20) + abs(__p19)) // (2::HUGEINT * abs(__p19))) END) AS __p21,
+         (CASE WHEN abs(__p21) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p21 END) AS __p22,
+         ((__p15 * 10000000000::HUGEINT) + __p22) AS __p23,
+         (CASE WHEN 1000000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p34 < 0) != (1000000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p34) + abs(1000000::HUGEINT)) // (2::HUGEINT * abs(1000000::HUGEINT))) END) AS __p35,
+         (CASE WHEN (__p14 = 'Ven') THEN (CASE WHEN abs(__p35) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p35 END) ELSE (CASE WHEN abs(__p36) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p36 END) END) AS __p37,
+         (CASE WHEN __p39 = 0 THEN NULL ELSE (CASE WHEN (__p40 < 0) != (__p39 < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p40) + abs(__p39)) // (2::HUGEINT * abs(__p39))) END) AS __p41,
+         (CASE WHEN abs(__p41) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p41 END) AS __p42,
+         ((__p15 * 10000000000::HUGEINT) + __p42) AS __p43,
+         (CASE WHEN 1000000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p53 < 0) != (1000000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p53) + abs(1000000::HUGEINT)) // (2::HUGEINT * abs(1000000::HUGEINT))) END) AS __p54,
+         (CASE WHEN (__p14 = 'Pro') THEN (CASE WHEN abs(__p54) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p54 END) ELSE (CASE WHEN abs(__p55) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p55 END) END) AS __p56,
+         (CASE WHEN __p60 = 0 THEN NULL ELSE (CASE WHEN (__p61 < 0) != (__p60 < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p61) + abs(__p60)) // (2::HUGEINT * abs(__p60))) END) AS __p62,
+         (CASE WHEN abs(__p62) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p62 END) AS __p63,
+         ((__p57 * 10000000000::HUGEINT) + __p63) AS __p64,
+         (CASE WHEN 1000000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p74 < 0) != (1000000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p74) + abs(1000000::HUGEINT)) // (2::HUGEINT * abs(1000000::HUGEINT))) END) AS __p75,
+         (CASE WHEN (__p14 = 'Ven') THEN (CASE WHEN abs(__p75) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p75 END) ELSE (CASE WHEN abs(__p76) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p76 END) END) AS __p77,
+         (CASE WHEN __p79 = 0 THEN NULL ELSE (CASE WHEN (__p80 < 0) != (__p79 < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p80) + abs(__p79)) // (2::HUGEINT * abs(__p79))) END) AS __p81,
+         (CASE WHEN abs(__p81) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p81 END) AS __p82,
+         ((__p57 * 10000000000::HUGEINT) + __p82) AS __p83,
+         (CASE WHEN 1000000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p93 < 0) != (1000000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p93) + abs(1000000::HUGEINT)) // (2::HUGEINT * abs(1000000::HUGEINT))) END) AS __p94,
+         (CASE WHEN (__p14 = 'Pro') THEN (CASE WHEN abs(__p94) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p94 END) ELSE (CASE WHEN abs(__p95) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p95 END) END) AS __p96,
+         (CASE WHEN __p100 = 0 THEN NULL ELSE (CASE WHEN (__p101 < 0) != (__p100 < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p101) + abs(__p100)) // (2::HUGEINT * abs(__p100))) END) AS __p102,
+         (CASE WHEN abs(__p102) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p102 END) AS __p103,
+         ((__p97 * 10000000000::HUGEINT) + __p103) AS __p104,
+         (CASE WHEN 1000000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p114 < 0) != (1000000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p114) + abs(1000000::HUGEINT)) // (2::HUGEINT * abs(1000000::HUGEINT))) END) AS __p115,
+         (CASE WHEN (__p14 = 'Ven') THEN (CASE WHEN abs(__p115) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p115 END) ELSE (CASE WHEN abs(__p116) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p116 END) END) AS __p117,
+         (CASE WHEN __p119 = 0 THEN NULL ELSE (CASE WHEN (__p120 < 0) != (__p119 < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p120) + abs(__p119)) // (2::HUGEINT * abs(__p119))) END) AS __p121,
+         (CASE WHEN abs(__p121) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p121 END) AS __p122,
+         ((__p97 * 10000000000::HUGEINT) + __p122) AS __p123,
+         (CASE WHEN 1000000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p133 < 0) != (1000000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p133) + abs(1000000::HUGEINT)) // (2::HUGEINT * abs(1000000::HUGEINT))) END) AS __p134,
+         (CASE WHEN (__p14 = 'Pro') THEN (CASE WHEN abs(__p134) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p134 END) ELSE (CASE WHEN abs(__p135) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p135 END) END) AS __p136,
+         (CASE WHEN __p140 = 0 THEN NULL ELSE (CASE WHEN (__p141 < 0) != (__p140 < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p141) + abs(__p140)) // (2::HUGEINT * abs(__p140))) END) AS __p142,
+         (CASE WHEN abs(__p142) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p142 END) AS __p143,
+         (__p137 + __p143) AS __p144,
+         (CASE WHEN (__p14 = 'Ven') THEN (CASE WHEN abs(__p144) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p144 END) ELSE (CASE WHEN abs(__p145) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p145 END) END) AS __p146,
+         (CASE WHEN 1000000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p153 < 0) != (1000000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p153) + abs(1000000::HUGEINT)) // (2::HUGEINT * abs(1000000::HUGEINT))) END) AS __p154,
+         (CASE WHEN (__p14 = 'Ven') THEN (CASE WHEN abs(__p154) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p154 END) ELSE (CASE WHEN abs(__p155) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p155 END) END) AS __p156,
+         (CASE WHEN __p158 = 0 THEN NULL ELSE (CASE WHEN (__p159 < 0) != (__p158 < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p159) + abs(__p158)) // (2::HUGEINT * abs(__p158))) END) AS __p160,
+         (CASE WHEN abs(__p160) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p160 END) AS __p161,
+         (__p137 + __p161) AS __p162,
+         (CASE WHEN (__p14 = 'Pro') THEN (CASE WHEN abs(__p162) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p162 END) ELSE (CASE WHEN abs(__p163) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p163 END) END) AS __p164,
+         (CASE WHEN 1000000::HUGEINT = 0 THEN NULL ELSE (CASE WHEN (__p171 < 0) != (1000000::HUGEINT < 0) THEN -1::HUGEINT ELSE 1::HUGEINT END) * ((2::HUGEINT * abs(__p171) + abs(1000000::HUGEINT)) // (2::HUGEINT * abs(1000000::HUGEINT))) END) AS __p172,
+         (CASE WHEN (__p14 = 'Pro') THEN (CASE WHEN abs(__p172) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p172 END) ELSE (CASE WHEN abs(__p173) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p173 END) END) AS __p174
+  FROM (
+  SELECT vthv.cod_compania AS __p0,
+         vthv.cod_sucursal AS __p1,
+         vthv.cod_almacen AS __p2,
+         vthv.cod_documento_pedido AS __p3,
+         vthv.nro_documento_pedido AS __p4,
+         vthv.cod_cliente AS __p5,
+         vthv.cod_articulo AS __p6,
+         vthv.cod_documento_almacen AS __p7,
+         coalesce(__p7, '') AS __p8,
+         vthv.nro_documento_almacen AS __p9,
+         coalesce(__p9, '') AS __p10,
+         vthv.id_pais AS __p11,
+         vthv.id_periodo AS __p12,
+         t.fecha_liquidacion AS __p13,
+         vthv.cod_tipo_operacion AS __p14,
+         CAST(replace(CAST(vthv.cantidad_cajas AS VARCHAR), '.', '') AS HUGEINT) AS __p15,
+         CAST(replace(CAST(vthv.cantidad_botellas AS VARCHAR), '.', '') AS HUGEINT) AS __p16,
+         m.cant_unidad_paquete AS __p17,
+         (CAST(__p17 AS HUGEINT)) AS __p18,
+         (CASE WHEN abs(__p18) >= 10000000000::HUGEINT THEN NULL ELSE __p18 END) AS __p19,
+         (__p16 * 10000000000::HUGEINT) AS __p20,
+         (CAST(0 AS HUGEINT) * 1000000000000000::HUGEINT) AS __p25,
+         (CAST(__p17 AS HUGEINT)) AS __p27,
+         (CASE WHEN abs(__p27) >= 10000000000::HUGEINT THEN NULL ELSE __p27 END) AS __p28,
+         (__p15 * __p28) AS __p29,
+         (CASE WHEN abs(__p29) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p29 END) AS __p30,
+         (__p30 + __p16) AS __p31,
+         (CASE WHEN abs(__p31) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p31 END) AS __p32,
+         CAST(replace(CAST(m.cant_unidad_volumen AS VARCHAR), '.', '') AS HUGEINT) AS __p33,
+         (__p32 * __p33) AS __p34,
+         (CAST(0 AS HUGEINT) * 1000000::HUGEINT) AS __p36,
+         (CAST(__p17 AS HUGEINT)) AS __p38,
+         (CASE WHEN abs(__p38) >= 10000000000::HUGEINT THEN NULL ELSE __p38 END) AS __p39,
+         (__p16 * 10000000000::HUGEINT) AS __p40,
+         (CAST(0 AS HUGEINT) * 1000000000000000::HUGEINT) AS __p45,
+         (CAST(__p17 AS HUGEINT)) AS __p47,
+         (CASE WHEN abs(__p47) >= 10000000000::HUGEINT THEN NULL ELSE __p47 END) AS __p48,
+         (__p15 * __p48) AS __p49,
+         (CASE WHEN abs(__p49) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p49 END) AS __p50,
+         (__p50 + __p16) AS __p51,
+         (CASE WHEN abs(__p51) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p51 END) AS __p52,
+         (__p52 * __p33) AS __p53,
+         (CAST(0 AS HUGEINT) * 1000000::HUGEINT) AS __p55,
+         CAST(replace(CAST(vthv.cantidad_cajas_asignada AS VARCHAR), '.', '') AS HUGEINT) AS __p57,
+         CAST(replace(CAST(vthv.cantidad_botellas_asignada AS VARCHAR), '.', '') AS HUGEINT) AS __p58,
+         (CAST(__p17 AS HUGEINT)) AS __p59,
+         (CASE WHEN abs(__p59) >= 10000000000::HUGEINT THEN NULL ELSE __p59 END) AS __p60,
+         (__p58 * 10000000000::HUGEINT) AS __p61,
+         (CAST(0 AS HUGEINT) * 1000000000000000::HUGEINT) AS __p66,
+         (CAST(__p17 AS HUGEINT)) AS __p68,
+         (CASE WHEN abs(__p68) >= 10000000000::HUGEINT THEN NULL ELSE __p68 END) AS __p69,
+         (__p57 * __p69) AS __p70,
+         (CASE WHEN abs(__p70) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p70 END) AS __p71,
+         (__p71 + __p58) AS __p72,
+         (CASE WHEN abs(__p72) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p72 END) AS __p73,
+         (__p73 * __p33) AS __p74,
+         (CAST(0 AS HUGEINT) * 1000000::HUGEINT) AS __p76,
+         (CAST(__p17 AS HUGEINT)) AS __p78,
+         (CASE WHEN abs(__p78) >= 10000000000::HUGEINT THEN NULL ELSE __p78 END) AS __p79,
+         (__p58 * 10000000000::HUGEINT) AS __p80,
+         (CAST(0 AS HUGEINT) * 1000000000000000::HUGEINT) AS __p85,
+         (CAST(__p17 AS HUGEINT)) AS __p87,
+         (CASE WHEN abs(__p87) >= 10000000000::HUGEINT THEN NULL ELSE __p87 END) AS __p88,
+         (__p57 * __p88) AS __p89,
+         (CASE WHEN abs(__p89) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p89 END) AS __p90,
+         (__p90 + __p58) AS __p91,
+         (CASE WHEN abs(__p91) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p91 END) AS __p92,
+         (__p92 * __p33) AS __p93,
+         (CAST(0 AS HUGEINT) * 1000000::HUGEINT) AS __p95,
+         CAST(replace(CAST(vthv.cantidad_cajas_despechado AS VARCHAR), '.', '') AS HUGEINT) AS __p97,
+         CAST(replace(CAST(vthv.cantidad_botellas_despechado AS VARCHAR), '.', '') AS HUGEINT) AS __p98,
+         (CAST(__p17 AS HUGEINT)) AS __p99,
+         (CASE WHEN abs(__p99) >= 10000000000::HUGEINT THEN NULL ELSE __p99 END) AS __p100,
+         (__p98 * 10000000000::HUGEINT) AS __p101,
+         (CAST(0 AS HUGEINT) * 1000000000000000::HUGEINT) AS __p106,
+         (CAST(__p17 AS HUGEINT)) AS __p108,
+         (CASE WHEN abs(__p108) >= 10000000000::HUGEINT THEN NULL ELSE __p108 END) AS __p109,
+         (__p97 * __p109) AS __p110,
+         (CASE WHEN abs(__p110) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p110 END) AS __p111,
+         (__p111 + __p98) AS __p112,
+         (CASE WHEN abs(__p112) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p112 END) AS __p113,
+         (__p113 * __p33) AS __p114,
+         (CAST(0 AS HUGEINT) * 1000000::HUGEINT) AS __p116,
+         (CAST(__p17 AS HUGEINT)) AS __p118,
+         (CASE WHEN abs(__p118) >= 10000000000::HUGEINT THEN NULL ELSE __p118 END) AS __p119,
+         (__p98 * 10000000000::HUGEINT) AS __p120,
+         (CAST(0 AS HUGEINT) * 1000000000000000::HUGEINT) AS __p125,
+         (CAST(__p17 AS HUGEINT)) AS __p127,
+         (CASE WHEN abs(__p127) >= 10000000000::HUGEINT THEN NULL ELSE __p127 END) AS __p128,
+         (__p97 * __p128) AS __p129,
+         (CASE WHEN abs(__p129) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p129 END) AS __p130,
+         (__p130 + __p98) AS __p131,
+         (CASE WHEN abs(__p131) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p131 END) AS __p132,
+         (__p132 * __p33) AS __p133,
+         (CAST(0 AS HUGEINT) * 1000000::HUGEINT) AS __p135,
+         CAST(replace(CAST(t.cantidad_cajas AS VARCHAR), '.', '') AS HUGEINT) AS __p137,
+         CAST(replace(CAST(t.cantidad_botellas AS VARCHAR), '.', '') AS HUGEINT) AS __p138,
+         (CAST(__p17 AS HUGEINT)) AS __p139,
+         (CASE WHEN abs(__p139) >= 10000000000::HUGEINT THEN NULL ELSE __p139 END) AS __p140,
+         (__p138 * 1::HUGEINT) AS __p141,
+         (CAST(0 AS HUGEINT) * 1000000::HUGEINT) AS __p145,
+         (CAST(__p17 AS HUGEINT)) AS __p147,
+         (CASE WHEN abs(__p147) >= 10000000000::HUGEINT THEN NULL ELSE __p147 END) AS __p148,
+         (__p137 * __p148) AS __p149,
+         (CASE WHEN abs(__p149) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p149 END) AS __p150,
+         (__p150 + __p138) AS __p151,
+         (CASE WHEN abs(__p151) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p151 END) AS __p152,
+         (__p152 * __p33) AS __p153,
+         (CAST(0 AS HUGEINT) * 1000000::HUGEINT) AS __p155,
+         (CAST(__p17 AS HUGEINT)) AS __p157,
+         (CASE WHEN abs(__p157) >= 10000000000::HUGEINT THEN NULL ELSE __p157 END) AS __p158,
+         (__p138 * 1::HUGEINT) AS __p159,
+         (CAST(0 AS HUGEINT) * 1000000::HUGEINT) AS __p163,
+         (CAST(__p17 AS HUGEINT)) AS __p165,
+         (CASE WHEN abs(__p165) >= 10000000000::HUGEINT THEN NULL ELSE __p165 END) AS __p166,
+         (__p137 * __p166) AS __p167,
+         (CASE WHEN abs(__p167) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p167 END) AS __p168,
+         (__p168 + __p138) AS __p169,
+         (CASE WHEN abs(__p169) >= 100000000000000000000000000000000000000::HUGEINT THEN NULL ELSE __p169 END) AS __p170,
+         (__p170 * __p33) AS __p171,
+         (CAST(0 AS HUGEINT) * 1000000::HUGEINT) AS __p173,
+         vthv.fecha_creacion AS __p175,
+         vthv.fecha_modificacion AS __p176
   FROM step_t_pedido_detalle_cumplimiento_df_t_historico_pedido_detalle_almacen AS vthv
   LEFT JOIN step_t_pedido_detalle_cumplimiento_df_t_historico_pedido_detalle_resumen_almacen_venta AS t ON ((((((((((((vthv.cod_compania = t.cod_compania) AND (vthv.cod_sucursal = t.cod_sucursal)) AND (vthv.cod_almacen = t.cod_almacen)) AND (vthv.cod_documento_pedido = t.cod_documento_pedido)) AND (vthv.nro_documento_pedido = t.nro_documento_pedido)) AND (vthv.cod_cliente = t.cod_cliente)) AND (vthv.cod_articulo = t.cod_articulo)) AND (vthv.cod_documento_almacen = t.cod_documento_almacen)) AND (vthv.nro_documento_almacen = t.nro_documento_almacen)) AND (vthv.cod_documento_venta = t.cod_documento_venta)) AND (vthv.cod_procedimiento_venta = t.cod_procedimiento)) AND (vthv.cod_operacion_venta = t.cod_operacion))
   JOIN stage_m_articulo AS m ON ((vthv.cod_compania = m.cod_compania) AND (vthv.cod_articulo = m.cod_articulo))
-  GROUP BY vthv.cod_compania, vthv.cod_sucursal, vthv.cod_almacen, vthv.cod_documento_pedido, vthv.nro_documento_pedido, vthv.cod_cliente, vthv.cod_articulo, coalesce(vthv.cod_documento_almacen, ''), coalesce(vthv.nro_documento_almacen, '')
+  
+  )
+  )
+  )
+  GROUP BY __p0, __p1, __p2, __p3, __p4, __p5, __p6, __p8, __p10
+  )
+  )
+  
+  )
   )
 ),
 job_t_pedido_detalle_cumplimiento AS (

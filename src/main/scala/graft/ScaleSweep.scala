@@ -93,6 +93,27 @@ object ScaleSweep {
     // increment queries)
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast when the table restriction would starve an enabled
+    // invariant: a query reading an unscaled table under dataDir would
+    // otherwise see missing/stale parquet and report nonsense
+    val tableDeps: Map[String, Set[String]] = Map(
+      "q15_dedup_exact" -> Set("documents"), "q19_minhash_dedup" -> Set("documents"),
+      "q20_simhash" -> Set("documents"), "q38_dedup_components" -> Set("documents"),
+      "q56_boilerplate" -> Set("documents"), "q59_stream_dedup" -> Set("events"),
+      "q60_incremental_dedup" -> Set("documents"),
+      "q57_temperature_mix" -> Set("documents"), "q64_collocations" -> Set("documents"),
+      "q67_tfidf" -> Set("documents"),
+      "q55_ann_ivf" -> Set("embeddings"), "q24_embedding_dedup" -> Set("embeddings"),
+      "q63_ann_quantized" -> Set("embeddings"), "ivf_index_serve" -> Set("embeddings"))
+    locally {
+      val enabled = only.getOrElse(tableDeps.keySet)
+      val starved = enabled.filter(q =>
+        !tableDeps.getOrElse(q, Set.empty).subsetOf(tablesToScale))
+      require(starved.isEmpty,
+        s"SPARK_GRAFT_SCALE_TABLES=${tablesToScale.mkString(",")} excludes " +
+          s"tables that enabled invariants read: ${starved.mkString(", ")} — " +
+          "set SPARK_GRAFT_SCALE_ONLY to the queries the restriction supports")
+    }
     def runCustom(name: String)(body: => (Boolean, String)): Unit = {
       if (only.exists(!_.contains(name))) return
       val t0 = System.nanoTime()

@@ -21,8 +21,15 @@ import graft.sources.TxnTable
   *     pruning, no full scan) and a daily increment is one
   *     [[Similarity.ivfAssignTo]] pass + append (cost: churn × nCells dot
   *     products, the standing corpus is never rescanned);
-  *   - both tables are transactional: time travel gives
-  *     index-as-of-version, and a torn build is invisible to readers.
+  *   - both tables are transactional, and a root-level INDEX pin ties
+  *     them together: every publish (build or append) atomically records
+  *     the (centroid version, assignment version) PAIR, and every read
+  *     resolves both tables from one pin read — so a concurrent rebuild
+  *     can never pair new centroids with the old inverted file (or vice
+  *     versa), and time travel gives index-as-of-version. Rebuild is
+  *     single-writer by contract (two concurrent buildAndSave calls race
+  *     the pin; appends against a frozen model may race freely — every
+  *     append publishes the same centroid version it assigned with).
   *
   * Cell-count sizing follows the standard inverted-file rule
   * (sqrt(N) cells, e.g. Johnson, Douze, Jégou, "Billion-scale similarity
@@ -71,10 +78,11 @@ object IvfIndex {
     // in exactly one task, so the inverted file holds ~nCells files
     // instead of tasks × nCells fragments (at √N cells the difference is
     // the write finishing vs drowning in file ops)
-    assignmentTable(spark, root).overwrite(
+    val av = assignmentTable(spark, root).overwrite(
       Similarity.ivfAssignTo(corpus, idCol, vecCol, model)
         .repartition(col("cell")),
-      partitionBy = Seq("cell")): Unit
+      partitionBy = Seq("cell"))
+    writePin(root, centroidTable(spark, root).version(), av)
     model
   }
 
@@ -84,11 +92,61 @@ object IvfIndex {
       model.toSeq.toDF("cell", "centroid", "cnorm")): Unit
   }
 
+  // ------------------------------------------------------- version pin
+  // The root INDEX file holds "centroidVersion assignmentVersion". It is
+  // replaced atomically (tmp + ATOMIC_MOVE, the TxnLog hint pattern), so
+  // a reader sees either the old pair or the new pair, never a mix.
+
+  private def pinPath(root: String) = java.nio.file.Paths.get(root, "INDEX")
+
+  private def writePin(root: String, cv: Long, av: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val dir = java.nio.file.Paths.get(root)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".index-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, s"$cv $av".getBytes("UTF-8"))
+    Files.move(tmp, pinPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** The published (centroidVersion, assignmentVersion) pair; falls back
+    * to both tables' latest versions for pre-pin indexes. */
+  def readPin(spark: SparkSession, root: String): (Long, Long) = {
+    val p = pinPath(root)
+    if (java.nio.file.Files.exists(p)) {
+      val Array(cv, av) =
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+          .split(' ')
+      (cv.toLong, av.toLong)
+    } else
+      (centroidTable(spark, root).version(),
+        assignmentTable(spark, root).version())
+  }
+
   /** Collect the bounded model back to the driver, cell-ordered (the
-    * array index IS the cell id downstream code relies on). */
-  def loadModel(spark: SparkSession, root: String): Model = {
+    * array index IS the cell id downstream code relies on). Defaults to
+    * the pinned version so the model always matches the inverted file a
+    * co-resolved read serves from. */
+  def loadModel(spark: SparkSession, root: String): Model =
+    loadModelAt(spark, root, readPin(spark, root)._1)
+
+  /** Driver-memory budget for the collected model. [[sqrtCells]] caps
+    * cells at 65536 by default (≈ 200 MB at 768-dim float — a broadcast
+    * dim, not a corpus), but an index built with an explicit oversized
+    * nCells must fail loudly here rather than OOM the driver mid-collect.
+    * Past this size the right design is a two-level coarse quantizer
+    * (IVF over the centroids), not a bigger driver heap. */
+  val MaxModelCells: Int = 1 << 18
+
+  def loadModelAt(spark: SparkSession, root: String, version: Long): Model = {
     import spark.implicits._
-    centroidTable(spark, root).read()
+    val t = centroidTable(spark, root)
+    val n = t.readVersion(version).count()
+    require(n <= MaxModelCells,
+      s"IVF model at $root has $n cells > MaxModelCells=$MaxModelCells — " +
+        "the collected-model budget; rebuild with fewer cells (sqrtCells) " +
+        "or introduce a two-level coarse quantizer before serving")
+    t.readVersion(version)
       .select(col("cell").cast("int"), col("centroid"), col("cnorm"))
       .as[(Int, Array[Float], Double)].collect().sortBy(_._1)
   }
@@ -97,15 +155,20 @@ object IvfIndex {
     * persisted model and append to the inverted file. Equals a rebuild
     * against the same model bit-for-bit (per-row assignment depends on
     * nothing but the row and the centroids — [[Similarity.ivfAssignTo]]'s
-    * law, re-pinned through the persisted table in IvfIndexSpec). */
+    * law, re-pinned through the persisted table in IvfIndexSpec). The
+    * published pin carries the centroid version the increment was
+    * actually assigned with. */
   def append(increment: DataFrame, idCol: String, vecCol: String,
              root: String): Long = {
     val spark = increment.sparkSession
-    val model = loadModel(spark, root)
-    assignmentTable(spark, root).append(
+    val (cv, _) = readPin(spark, root)
+    val model = loadModelAt(spark, root, cv)
+    val av = assignmentTable(spark, root).append(
       Similarity.ivfAssignTo(increment, idCol, vecCol, model)
         .repartition(col("cell")),
       partitionBy = Seq("cell"))
+    writePin(root, cv, av)
+    av
   }
 
   private def cellOf(part: String): Option[Int] =
@@ -140,15 +203,19 @@ object IvfIndex {
   def topK(queries: DataFrame, root: String, idCol: String, vecCol: String,
            k: Int, probes: Int = 4, pruned: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
-    val model = loadModel(spark, root)
+    // one pin read resolves BOTH tables: the served inverted file always
+    // pairs with the centroids that produced it, even while a rebuild is
+    // publishing a new pair (the pin replace is atomic)
+    val (cv, av) = readPin(spark, root)
+    val model = loadModelAt(spark, root, cv)
     val at = assignmentTable(spark, root)
     val assigned =
-      if (!pruned) at.read()
+      if (!pruned) at.readVersion(av)
       else {
         val cells = probedCells(queries, vecCol, model, probes)
         // entries with an unparseable/absent part path stay in the scan
         // (pruning must never drop data it cannot prove irrelevant)
-        at.readParts()(p => cellOf(p).forall(cells.contains))
+        at.readParts(av)(p => cellOf(p).forall(cells.contains))
       }
     Similarity.ivfTopKWith(queries, assigned, model, idCol, vecCol, k, probes)
   }

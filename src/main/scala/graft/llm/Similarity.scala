@@ -45,9 +45,17 @@ object Similarity {
     * so results are bit-identical to the pairwise form and the oracle.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+                     vecCol: String, k: Int,
+                     maxQueries: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the query set is a broadcast build side: misuse with an unbounded
+    // frame must fail with a message, not OOM the driver mid-collect
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"bruteForceTopK: query set exceeds maxQueries=$maxQueries rows — " +
+        "it is collected and broadcast; batch the queries or raise the cap " +
+        "explicitly if the driver can hold them")
     val qArr: Array[(Long, Array[Float], Double)] = queries
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
       .collect().map { case (id, v) => (id, v, VectorNorms.norm(v)) }
@@ -374,7 +382,6 @@ object Similarity {
       .select(col("query_id"), col("rango"), col("neighbor_id"), col("cosine"))
   }
 
-  /** JVM-side twins of the float_dot kernel (identical summation order). */
   /** recall@k: the fraction of exact top-k (query, neighbor) pairs the
     * approximate result retains — THE metric an ANN configuration is
     * judged by (probes/nCells trade cost against exactly this number).
@@ -394,6 +401,7 @@ object Similarity {
     }
   }
 
+  /** JVM-side twins of the float_dot kernel (identical summation order). */
   private[graft] object VectorNorms {
     def dot(a: Array[Float], b: Array[Float]): Double = {
       val n = math.min(a.length, b.length)

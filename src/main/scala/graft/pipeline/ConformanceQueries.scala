@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.sources.{ConformanceGate, ConformanceLake, ConformanceSql}
+import graft.sources.{ConformanceExact, ConformanceGate, ConformanceLake, ConformanceSql}
 
 /** Catalog entries that drive whole reference jobs through the
   * declarative conformance engine and value-check them with the driver's
@@ -22,19 +22,25 @@ import graft.sources.{ConformanceGate, ConformanceLake, ConformanceSql}
   * dependency closure (stage synthesis + upstream domain jobs) as one
   * DuckDB query, frozen under resources/graft/conformance/oracles/ —
   * ConformanceSpec pins the runtime rendering against the frozen copy so
-  * metadata drift fails sbt test rather than the driver gate. Jobs whose
-  * numeric(38,12) chains overflow Spark's decimal precision (t_venta_
-  * detalle and downstream facts) are excluded: their Spark-3-faithful
-  * rescale rounds at scale 6 where DuckDB computes in double, so they are
-  * checked by the rounding-aware sweep instead of the exact hash gate.
+  * metadata drift fails sbt test rather than the driver gate.
+  *
+  * Round 6: the decimal-heavy fact jobs (q74–q76) joined the exact gate.
+  * Their numeric(38,12) chains round at Catalyst's rescale points where
+  * DuckDB's native decimal ops compute in double, so their oracles splice
+  * ExactDecimalSql templates — HUGEINT scaled-integer replays of the
+  * resolved Catalyst trees (ConformanceExact) — making the comparison
+  * bit-exact instead of rounding-tolerant.
   */
 object ConformanceQueries {
 
   val sampledJobs: Seq[(String, String)] = Seq(
-    "q70_conf_t_venta"      -> "t_venta",
-    "q71_conf_dim_cliente"  -> "dim_cliente",
-    "q72_conf_estructura"   -> "m_estructura_comercial",
-    "q73_conf_fact_reparto" -> "fact_reparto_detalle")
+    "q70_conf_t_venta"        -> "t_venta",
+    "q71_conf_dim_cliente"    -> "dim_cliente",
+    "q72_conf_estructura"     -> "m_estructura_comercial",
+    "q73_conf_fact_reparto"   -> "fact_reparto_detalle",
+    "q74_conf_fact_venta_det" -> "fact_venta_detalle",
+    "q75_conf_fact_cli_venta" -> "fact_cliente_venta",
+    "q76_conf_fact_kpi"       -> "fact_kpi_detalle")
 
   private def run(job: String)(spark: SparkSession, dir: String): DataFrame =
     ConformanceGate.normalize(ConformanceLake.runJob(spark, dir, job))
@@ -44,7 +50,8 @@ object ConformanceQueries {
     * the final select list derives from the job's output schema. */
   def renderOracle(spark: SparkSession, dir: String, job: String): String =
     ConformanceSql.render(job,
-      ConformanceGate.finalSelect(ConformanceLake.runJob(spark, dir, job).schema))
+      ConformanceGate.finalSelect(ConformanceLake.runJob(spark, dir, job).schema),
+      exactOps = ConformanceExact.templates(spark, dir, job))
 
   private def frozenOracle(job: String): String = {
     val in = getClass.getResourceAsStream(s"/graft/conformance/oracles/$job.sql")

@@ -39,12 +39,28 @@ object ConformanceRunner {
 
   /** Run one job against resolved source frames. `resolve` maps a
     * (layer, table) read to its DataFrame (stage synth or an upstream
-    * job's output). */
+    * job's output). `trace`, when set, observes the frame after every op
+    * (step, op index within the step, op, current frame) — the hook
+    * ConformanceExact uses to lift resolved Catalyst trees for the
+    * exact-decimal oracle rendering. */
   def run(job: Job, resolve: (String, String) => DataFrame,
-          params: Params = Params()): DataFrame = {
+          params: Params = Params(),
+          trace: (Step, Int, Op, DataFrame) => Unit = null,
+          persistShared: DataFrame => DataFrame = identity): DataFrame = {
     val srcByVar: Map[String, Source] =
       job.sources.map(s => s.varName -> s).toMap
     val stepOut = scala.collection.mutable.Map[String, DataFrame]()
+    // steps referenced by more than one downstream op would re-execute
+    // their whole subtree per reference (Spark shares only identical
+    // physical exchanges): hand them to persistShared — ConformanceLake
+    // pins them like the reference's materialized intermediates (e.g.
+    // fact_cliente_venta joins tmp_aux_cantidades_general into the 3m
+    // AND 12m trailing windows)
+    val stepRefs: Map[String, Int] = job.steps.flatMap(_.ops).collect {
+      case From(r, _) if !r.startsWith("src:") => r
+      case Join(r, _, _, _, _) if !r.startsWith("src:") => r
+      case UnionOp(r, _) if !r.startsWith("src:") => r
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
     // lineage order keys for the orderBy->dropDuplicates idiom
     val stepOrder = scala.collection.mutable.Map[String, Seq[String]]()
 
@@ -60,7 +76,7 @@ object ConformanceRunner {
     job.steps.foreach { step =>
       var df: DataFrame = null
       var pendingOrder: Seq[String] = Seq.empty
-      step.ops.foreach {
+      step.ops.zipWithIndex.foreach { case (op, opIdx) => op match {
         case From(r, alias) =>
           df = ref(r)
           pendingOrder = refOrder(r)
@@ -115,7 +131,10 @@ object ConformanceRunner {
           // would cost a range exchange at scale
           pendingOrder = keys
       }
-      stepOut(step.name) = df
+        if (trace != null) trace(step, opIdx, op, df)
+      }
+      stepOut(step.name) =
+        if (stepRefs.getOrElse(step.name, 0) > 1) persistShared(df) else df
       if (pendingOrder.nonEmpty) stepOrder(step.name) = pendingOrder
     }
     stepOut(job.result)
@@ -153,17 +172,56 @@ object ConformanceLake {
   // one conformance clone per (caller session, data dir): cloning and
   // re-registering ~50 stage views per job invocation is pure plan-time
   // overhead (a driver job per view), and the clone is config-immutable
-  // after setup so reuse is safe
+  // after setup so reuse is safe. The entry also carries a cheap DATA
+  // fingerprint (file names/mtimes/sizes under dir): if the files are
+  // rewritten in the same JVM (the driver regenerates testdata between
+  // rounds), the next run() misses the cache, drops the stale clone's
+  // plans and persisted intermediates, and rebuilds — callers never see
+  // stale persisted results and entries cannot accumulate per rewrite.
+  private final case class CloneEntry(fp: String, session: SparkSession)
   private val cloneCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), CloneEntry]()
+
+  private def fingerprint(dir: String): String = {
+    def stamp(f: java.io.File): String =
+      s"${f.getName}:${f.lastModified}:${f.length}"
+    val top = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    top.flatMap { f =>
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(c => stamp(f) + "/" + stamp(c))
+      else Array(stamp(f))
+    }.sorted.mkString("|").hashCode.toString
+  }
+
+  private def dropSessionCaches(stale: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    planCache.asScala.filter(_._1._1 eq stale).foreach { case (k, df) =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      planCache.remove(k): Unit
+    }
+    stepPersists.asScala.filter(_.sparkSession eq stale).foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      stepPersists.remove(df): Unit
+    }
+  }
 
   private def conformanceSession(spark0: SparkSession, dir: String): SparkSession =
-    cloneCache.computeIfAbsent((spark0, dir), { key =>
-      val s = key._1.newSession()
-      s.conf.set("spark.sql.ansi.enabled", "false")
-      StageSynth.register(s, key._2)
-      s
-    })
+    cloneCache.compute((spark0, dir), { (key, old) =>
+      val fp = fingerprint(dir)
+      if (old != null && old.fp == fp) old
+      else {
+        if (old != null) dropSessionCaches(old.session)
+        val s = key._1.newSession()
+        s.conf.set("spark.sql.ansi.enabled", "false")
+        StageSynth.register(s, key._2)
+        CloneEntry(fp, s)
+      }
+    }).session
+
+  /** The memoized ANSI-off conformance clone for (session, dir) — stage
+    * views registered (ConformanceExact resolves stage reads here). */
+  private[graft] def session(spark0: SparkSession, dir: String): SparkSession =
+    conformanceSession(spark0, dir)
 
   // job plans are pure functions of (clone, params, job): memoize them
   // across run() calls too — a whole-job closure like
@@ -171,6 +229,19 @@ object ConformanceLake {
   // driver work worth paying once, not once per invocation
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, Params, String), DataFrame]()
+
+  // step outputs pinned by persistShared (multiply-referenced within one
+  // job); tracked so clearCaches can release them
+  private val stepPersists =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  private def persistShared(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      stepPersists.add(df): Unit
+    }
+    df
+  }
 
   def run(spark0: SparkSession, dir: String,
           names: Seq[String] = ConformanceJobs.ordered.map(_.name),
@@ -205,7 +276,8 @@ object ConformanceLake {
         if (hit != null) hit
         else {
           planCache.putIfAbsent(key,
-            ConformanceRunner.run(ConformanceJobs.byName(name), resolve, params))
+            ConformanceRunner.run(ConformanceJobs.byName(name), resolve, params,
+              persistShared = persistShared))
           planCache.get(key)
         }
       }
@@ -231,6 +303,10 @@ object ConformanceLake {
     planCache.values().asScala.foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
+    stepPersists.asScala.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    stepPersists.clear()
     planCache.clear()
     cloneCache.clear()
   }

@@ -211,7 +211,9 @@ object ConformanceSql {
   private def renderStep(job: Job, step: Step, refSql: String => String,
                          refOrder: String => Seq[String],
                          refCols: String => Option[Seq[String]],
-                         p: Params): (String, Seq[String], Option[Seq[String]]) = {
+                         p: Params,
+                         exact: Int => Option[ExactDecimalSql.ExactOp])
+      : (String, Seq[String], Option[Seq[String]]) = {
     var from = ""                      // FROM ... JOIN ... fragment
     val wheres = scala.collection.mutable.ArrayBuffer[String]()
     var cur: String = null             // closed level SQL
@@ -249,7 +251,24 @@ object ConformanceSql {
     def strip(e: String): String =
       if (closed) stripQuals(stripForeign(e), aliases) else stripForeign(e)
 
-    step.ops.foreach {
+    // splice an exact-decimal template (ConformanceExact) in place of the
+    // string-dialect rendering of a projection/aggregation op: the
+    // template is already DuckDB SQL (toDuck-invariant by construction)
+    // and closes the level exactly like close() would
+    def closeExact(t: ExactDecimalSql.ExactOp): Unit = {
+      val w = if (wheres.isEmpty) ""
+              else "WHERE " + wheres.mkString("\n  AND ")
+      val base = if (closed) s"(\n$cur\n)" else from
+      cur = t.template.replace("__BASE__", base).replace("__WHERE__", w)
+      wheres.clear()
+      closed = true
+      outCols = Some(t.targets)
+      pendingOrder = Seq.empty
+    }
+
+    step.ops.zipWithIndex.foreach { case (op0, opIdx) => (op0, exact(opIdx)) match {
+      case (Select(_) | GroupBy(_, _), Some(t)) => closeExact(t)
+      case (op, _) => op match {
       case From(r, alias) =>
         from = refSql(r) + (if (alias.nonEmpty) s" AS $alias" else "")
         aliases += alias
@@ -332,16 +351,21 @@ object ConformanceSql {
         pendingOrder = Seq.empty
       case OrderBy(keys) =>
         pendingOrder = keys
-    }
+      }
+    }}
     if (!closed) close(Seq("*"))
     (cur, pendingOrder, outCols)
   }
 
   /** Render `jobName` (and its whole dependency closure) as a single
     * DuckDB query over the testdata tables. `finalSelect` projects the
-    * job's output for the gate (cast normalization). */
+    * job's output for the gate (cast normalization). `exactOps` carries
+    * ConformanceExact's exact-decimal templates for ops whose string
+    * rendering could not hash-match (decimal rescale arithmetic). */
   def render(jobName: String, finalSelect: Seq[String],
-             p: Params = Params()): String = {
+             p: Params = Params(),
+             exactOps: Map[(String, String, Int), ExactDecimalSql.ExactOp] =
+               Map.empty): String = {
     val closure = scala.collection.mutable.LinkedHashSet[String]()
     def visit(name: String): Unit = {
       val j = ConformanceJobs.byName(name)
@@ -393,7 +417,7 @@ object ConformanceSql {
         } else stepCols.getOrElse(r, None)
       job.steps.foreach { st =>
         val (sql, pending, cols) = renderStep(job, st, refSql, refOrder,
-          refCols, p)
+          refCols, p, idx => exactOps.get((name, st.name, idx)))
         if (pending.nonEmpty) stepOrder(st.name) = pending
         stepCols(st.name) = cols
         ctes += s"step_${name}_${st.name}" -> sql

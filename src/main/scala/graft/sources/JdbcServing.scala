@@ -67,18 +67,22 @@ object JdbcServing {
       try { spark.read.jdbc(url, probeSql(table), props).collect(); true }
       catch {
         // Only a missing-object answer may become `false`: returning
-        // false on a TRANSIENT failure would silently swap the DELETE
+        // false on ANY other failure would silently swap the DELETE
         // preaction for the no-op `select 1` and double-load the slice
-        // once the connection recovers. SQLState class 42 (syntax/access
-        // — the probe SQL is fixed, so only the table identifier can be
-        // at fault) and S0002 (legacy base-table-not-found) mean
-        // missing; anything else (08xxx connection errors, timeouts,
-        // auth) propagates.
+        // once the condition clears. That includes permission errors —
+        // class 42 ALSO holds 42501 (Postgres insufficient_privilege) /
+        // 42000 (MySQL access denied), so only the object-not-found
+        // states qualify: 42P01 (Postgres undefined_table), 42S02
+        // (MySQL/ODBC base table not found), 42704 (DB2/Derby undefined
+        // name), 42X05 (Derby table does not exist), S0002 (legacy
+        // base-table-not-found). Connection errors, timeouts, auth, and
+        // revoked grants all propagate.
         case t: Throwable =>
+          val missingStates = Set("42P01", "42S02", "42704", "42X05", "S0002")
           val missing = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
             .collectFirst { case s: java.sql.SQLException => s }
             .flatMap(s => Option(s.getSQLState))
-            .exists(st => st.startsWith("42") || st == "S0002")
+            .exists(missingStates.contains)
           if (missing) false else throw t
       }
 

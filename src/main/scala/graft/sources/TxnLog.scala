@@ -354,6 +354,21 @@ final case class TxnTable(spark: SparkSession, root: String,
     commit(entriesFull(base) ++ stage(df, partitionBy), base)
   }
 
+  /** Dynamic partition overwrite (the reference's default fact write
+    * mode, common_jobs_functions.py:326 `partitionOverwriteMode=dynamic`):
+    * partitions present in `df` are replaced atomically, every other
+    * partition's files carry into the new manifest BY REFERENCE — an
+    * incremental period rebuild rewrites only the touched periods. */
+  def overwritePartitions(df: DataFrame, partitionBy: Seq[String]): Long = {
+    require(partitionBy.nonEmpty,
+      "overwritePartitions needs partition columns; use overwrite() for full replace")
+    val base = version()
+    val staged = stage(df, partitionBy)
+    val touched = staged.map(_.part).toSet
+    val kept = entriesFull(base).filterNot(e => touched.contains(e.part))
+    commit(kept ++ staged, base)
+  }
+
   /** Crash-safe SCD1 upsert with Delta-merge cost semantics
     * (reference: common_jobs_functions.py:288-304).
     *

@@ -43,7 +43,8 @@ object ConformanceDump {
       val df = outs(n)
       ConformanceGate.normalize(df)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$n.parquet")
-      sqlMap(n) = ConformanceSql.render(n, ConformanceGate.finalSelect(df.schema))
+      sqlMap(n) = ConformanceSql.render(n, ConformanceGate.finalSelect(df.schema),
+        exactOps = ConformanceExact.templates(spark, dir, n))
     }
     val json = sqlMap.map { case (k, v) =>
       s""""$k": ${com.fasterxml.jackson.databind.json.JsonMapper.builder()

@@ -105,8 +105,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // whole-job exchange counts, pinned so a runner change that loses
     // partitioning reuse across steps (or re-plans a master scan per
     // reference) shows up as a budget breach, not a silent 2× shuffle
-    "q70_conf_t_venta" -> 9, "q71_conf_dim_cliente" -> 24,
-    "q72_conf_estructura" -> 7, "q73_conf_fact_reparto" -> 52)
+    // r6: counts below exclude cached (InMemoryRelation) subtrees — the
+    // conformance runner persists shared step/job intermediates, which
+    // execute once however often they are referenced, so the live count
+    // is the marginal shuffle work of the fact itself over its cached
+    // upstream layers
+    "q70_conf_t_venta" -> 9, "q71_conf_dim_cliente" -> 8,
+    "q72_conf_estructura" -> 7, "q73_conf_fact_reparto" -> 4,
+    "q74_conf_fact_venta_det" -> 6, "q75_conf_fact_cli_venta" -> 14,
+    "q76_conf_fact_kpi" -> 12)
 
   test("with auto-broadcast off, no query degrades to a quadratic join") {
     // at 100 TB a "small" side can stop fitting the broadcast threshold;
@@ -215,10 +222,31 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("every query stays within its shuffle budget") {
+    // deterministic baseline: conformance plans must be FRESH — once an
+    // earlier suite materializes a persisted intermediate, its cached
+    // subtree prints in AQE-final form and the count drifts with suite
+    // order
+    graft.sources.ConformanceLake.clearCaches()
     val ex = "Exchange (hash|range|Single)".r
+    // drop cached subtrees before counting: everything printed under an
+    // InMemoryRelation is the plan that built the cache — it executes
+    // once however many times it is referenced, and its printed form
+    // mutates once the cache materializes (AQE-final), which made the
+    // raw count depend on suite order. The indent of the
+    // InMemoryRelation line scopes its subtree.
+    def liveLines(plan: String): Iterator[String] = {
+      var skipIndent = -1
+      plan.linesIterator.filter { line =>
+        val indent = line.indexWhere(c => c != ' ' && c != ':' && c != '+' && c != '-')
+        val depth = if (indent < 0) 0 else indent
+        if (skipIndent >= 0 && depth > skipIndent) false
+        else if (line.contains("InMemoryRelation")) { skipIndent = depth; false }
+        else { skipIndent = -1; true }
+      }
+    }
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      val n = ex.findAllIn(plan).length
+      val n = liveLines(plan).map(l => ex.findAllIn(l).length).sum
       val budget = shuffleBudget.getOrElse(name,
         fail(s"no shuffle budget declared for $name — add one"))
       if (n > budget) Some(s"$name: $n > $budget") else None
