@@ -519,40 +519,52 @@ object LLMQueries {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-      // loud ASCII guard: cdc_boundaries positions are UTF-8 BYTE
-      // offsets while substring() below is CHARACTER-based (and the
-      // oracle hashes code points) — the three only coincide on ASCII,
-      // so non-ASCII input must fail here, not silently mis-chunk
-      .withColumn("text",
-        when(octet_length(col("text")) === length(col("text")), col("text"))
-          .otherwise(raise_error(concat(
-            lit("q68_cdc_chunks requires ASCII text (byte offsets != char offsets) — doc_id="),
-            col("doc_id").cast("string")))))
+      // byte-safe since r6: every position is a UTF-8 BYTE offset (what
+      // the kernel scans), and chunk values hash the HEX of the byte
+      // span — multi-byte text chunks correctly even when a boundary
+      // splits a code point (CDC is a byte-stream algorithm; rsync-style
+      // stores chunk bytes, not characters). A deterministic multi-byte
+      // suffix on every 7th doc keeps the gate exercising that path on
+      // the ASCII-heavy synthetic corpus.
+      .withColumn("text", concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" café — δοκιμή 測試")).otherwise(lit(""))))
+      .withColumn("hx", hex(col("text").cast("binary")))
       .withColumn("ends", expr("cdc_boundaries(text, 16, 64)"))
       .withColumn("starts",
         concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1)))
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"), col("hx"),
         posexplode(arrays_zip(col("starts").as("s"), col("ends").as("e")))
           .as(Seq("idx", "p")))
       .select(col("doc_id"),
         col("idx").cast(IntegerType).as("idx_chunk"),
         (col("p.s") + 1).cast(IntegerType).as("inicio"),
         (col("p.e") - col("p.s")).cast(IntegerType).as("n_bytes"),
-        md5(expr("substring(text, p.s + 1, p.e - p.s)")).as("hash_chunk"))
+        md5(expr("substring(hx, 2 * p.s + 1, 2 * (p.e - p.s))")).as("hash_chunk"))
   }
 
   val q68Sql: String =
-    """WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    text || CASE WHEN doc_id % 7 = 0 THEN ' café — δοκιμή 測試' ELSE '' END AS text
+      |  FROM documents),
+      |b2 AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |              octet_length(encode(text)) AS n FROM base),
+      |bytes AS (SELECT doc_id, hx, n,
+      |  list_transform(range(1, n + 1),
+      |    j -> (strpos('0123456789ABCDEF', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
+      |       + (strpos('0123456789ABCDEF', substr(hx, CAST(2*j AS INT), 1)) - 1)) AS bl
+      |  FROM b2),
       |hpos AS (
       |  SELECT doc_id, i
-      |  FROM base, unnest(range(16, greatest(n, 16))) AS t(i)
+      |  FROM bytes, unnest(range(16, greatest(n, 16))) AS t(i)
       |  WHERE list_reduce(list_transform(range(i - 15, i + 1),
-      |          j -> CAST(ord(text[j]) AS HUGEINT)),
+      |          j -> CAST(bl[CAST(j AS INT)] AS HUGEINT)),
       |        (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT)
       |        % 64 = 0),
       |ends AS (
       |  SELECT doc_id, i AS e FROM hpos
-      |  UNION ALL SELECT doc_id, n FROM base),
+      |  UNION ALL SELECT doc_id, n FROM bytes),
       |ordered AS (
       |  SELECT doc_id, e,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS idx,
@@ -561,8 +573,8 @@ object LLMQueries {
       |SELECT o.doc_id, CAST(idx AS INTEGER) AS idx_chunk,
       |  CAST(s + 1 AS INTEGER) AS inicio,
       |  CAST(e - s AS INTEGER) AS n_bytes,
-      |  md5(substr(b.text, CAST(s + 1 AS INTEGER), CAST(e - s AS INTEGER))) AS hash_chunk
-      |FROM ordered o JOIN base b USING (doc_id)""".stripMargin
+      |  md5(substr(b.hx, CAST(2 * s + 1 AS INTEGER), CAST(2 * (e - s) AS INTEGER))) AS hash_chunk
+      |FROM ordered o JOIN b2 b USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------------- q69
   /** Topic-cluster assignment + medoids: every embedding is assigned to

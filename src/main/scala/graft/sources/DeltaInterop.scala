@@ -31,9 +31,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     file's `partitionValues`, cast to their schema types — Delta data
   *     files do not carry partition columns;
   *   - `protocol` is enforced, not assumed: reader version ≤ 1, or ≤ 3
-  *     when every `readerFeatures` entry is supported (timestampNtz
-  *     only). Deletion vectors, column mapping or v2 checkpoints fail
-  *     loudly rather than silently returning wrong rows.
+  *     when every `readerFeatures` entry is supported (timestampNtz,
+  *     deletionVectors). Column mapping or v2 checkpoints fail loudly
+  *     rather than silently returning wrong rows.
+  *   - deletion vectors (r6): each file's DV descriptor is resolved
+  *     (uuid-file / inline-z85 / absolute-path), CRC-verified, and its
+  *     RoaringBitmapArray deserialized driver-side; reads drop deleted
+  *     rows by probing the broadcast bitmap with the parquet scan's
+  *     `_metadata.row_index` — so tables written by current writers
+  *     (OPTIMIZE with DVs on) read correctly.
   *
   * Scale: log replay touches file METADATA only (checkpoint scan is a
   * column-pruned distributed read collected as add/remove entries; JSON
@@ -57,11 +63,19 @@ object DeltaInterop {
 
   private val mapper = new ObjectMapper()
 
+  /** Deletion-vector descriptor (PROTOCOL.md "Deletion Vector
+    * Descriptor Schema"): `storageType` u = UUID-named file relative to
+    * the table, i = inline (z85 in `pathOrInlineDv`), p = absolute path. */
+  final case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+                                offset: Option[Int], sizeInBytes: Int,
+                                cardinality: Long)
+
   /** One live data file of a snapshot. `partitionValues` uses None for a
     * null partition value (the protocol serializes those as JSON null). */
   final case class DeltaAdd(path: String,
                             partitionValues: Map[String, Option[String]],
-                            size: Long)
+                            size: Long,
+                            dv: Option[DvDescriptor] = None)
 
   final case class DeltaSnapshot(version: Long, schema: StructType,
                                  partitionColumns: Seq[String],
@@ -90,13 +104,13 @@ object DeltaInterop {
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
 
   private def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
-    val supported = Set("timestampNtz")
+    val supported = Set("timestampNtz", "deletionVectors")
     val ok = minReader <= 1 ||
       (minReader <= 3 && readerFeatures.forall(supported.contains))
     require(ok, "unsupported Delta reader protocol: version " + minReader +
       (if (readerFeatures.nonEmpty)
         readerFeatures.mkString(" features [", ", ", "]") else "") +
-      " — deletion vectors / column mapping / v2 checkpoints would read wrong")
+      " — column mapping / v2 checkpoints would read wrong")
   }
 
   private def checkMetaData(conf: Map[String, String]): Unit = {
@@ -167,8 +181,21 @@ object DeltaInterop {
               applyMeta(s.getString(s.fieldIndex("schemaString")),
                 s.getSeq[String](s.fieldIndex("partitionColumns")), conf)
             case "add" =>
+              val dv =
+                if (s.schema.fieldNames.contains("deletionVector") &&
+                    !s.isNullAt(s.fieldIndex("deletionVector"))) {
+                  val d = s.getStruct(s.fieldIndex("deletionVector"))
+                  Some(DvDescriptor(
+                    d.getString(d.fieldIndex("storageType")),
+                    d.getString(d.fieldIndex("pathOrInlineDv")),
+                    if (d.schema.fieldNames.contains("offset") &&
+                        !d.isNullAt(d.fieldIndex("offset")))
+                      Some(d.getInt(d.fieldIndex("offset"))) else None,
+                    d.getInt(d.fieldIndex("sizeInBytes")),
+                    d.getLong(d.fieldIndex("cardinality"))))
+                } else None
               applyAdd(DeltaAdd(decodePath(s.getString(s.fieldIndex("path"))),
-                rowPartitionValues(s), s.getLong(s.fieldIndex("size"))))
+                rowPartitionValues(s), s.getLong(s.fieldIndex("size")), dv))
             case "remove" =>
               applyRemove(decodePath(s.getString(s.fieldIndex("path"))))
           }
@@ -203,8 +230,15 @@ object DeltaInterop {
             o.properties().asScala.map { e =>
               e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
             }.toMap).getOrElse(Map.empty[String, Option[String]])
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+            DvDescriptor(d.get("storageType").asText(),
+              d.get("pathOrInlineDv").asText(),
+              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+              d.get("sizeInBytes").asInt(),
+              d.get("cardinality").asLong())
+          }
           applyAdd(DeltaAdd(decodePath(a.get("path").asText()), pv,
-            Option(a.get("size")).map(_.asLong()).getOrElse(0L)))
+            Option(a.get("size")).map(_.asLong()).getOrElse(0L), dv))
         }
       }
     }
@@ -215,12 +249,131 @@ object DeltaInterop {
       partCols, files.values.toList)
   }
 
+  // ----------------------------------------------------- deletion vectors
+  // PROTOCOL.md "Deletion Vectors": a DV is a RoaringBitmapArray of the
+  // file's deleted row indexes (64-bit index = [32-bit bitmap ordinal |
+  // 32-bit position]). On-disk DV files start with a format-version byte
+  // (1); each blob inside is <int32-BE dataSize><bitmap bytes><int32-BE
+  // CRC-32 of the bitmap bytes>, the descriptor's offset pointing at the
+  // size. The bitmap serialization is "portable": int32-LE magic
+  // 1681511377, int64-LE bitmap count, then standard-format 32-bit
+  // RoaringBitmaps (the library Spark already ships).
+
+  /** Driver-loaded, broadcast-friendly deleted-row membership test. */
+  final class DvBitmap(bitmaps: Array[org.roaringbitmap.RoaringBitmap])
+      extends Serializable {
+    def contains(rowIndex: Long): Boolean = {
+      val hi = (rowIndex >>> 32).toInt
+      hi < bitmaps.length && bitmaps(hi) != null &&
+        bitmaps(hi).contains(rowIndex.toInt)
+    }
+    def cardinality: Long = bitmaps.filter(_ != null).map(_.getLongCardinality).sum
+  }
+
+  private val z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val z85Decode: Array[Int] = {
+    val d = Array.fill(128)(-1)
+    z85Alphabet.zipWithIndex.foreach { case (c, i) => d(c.toInt) = i }
+    d
+  }
+
+  /** Z85 decode (the base85 variant the protocol prescribes): 5 chars ->
+    * one big-endian uint32 -> 4 bytes. Input length must be ≡ 0 (mod 5). */
+  private[sources] def z85(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 length ${s.length} not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      (0 until 5).foreach { j =>
+        val c = s.charAt(i + j)
+        val d = if (c < 128) z85Decode(c.toInt) else -1
+        require(d >= 0, s"invalid z85 character '$c'")
+        v = v * 85 + d
+      }
+      val o = i / 5 * 4
+      out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+      out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+      i += 5
+    }
+    out
+  }
+
+  private def dvFilePath(root: String, dv: DvDescriptor): Path =
+    dv.storageType match {
+      case "p" => Paths.get(dv.pathOrInlineDv)
+      case "u" =>
+        val enc = dv.pathOrInlineDv
+        require(enc.length >= 20, s"DV uuid token too short: $enc")
+        val prefix = enc.dropRight(20)
+        val u = z85(enc.takeRight(20))
+        val bb = java.nio.ByteBuffer.wrap(u)
+        val uuid = new UUID(bb.getLong, bb.getLong)
+        val name = s"deletion_vector_$uuid.bin"
+        if (prefix.isEmpty) Paths.get(root, name)
+        else Paths.get(root, prefix, name)
+      case other =>
+        throw new IllegalArgumentException(s"unknown DV storageType $other")
+    }
+
+  /** Load and verify one file's deletion vector. */
+  def loadDv(root: String, dv: DvDescriptor): DvBitmap = {
+    val bitmapBytes: Array[Byte] = dv.storageType match {
+      case "i" =>
+        val b = z85(dv.pathOrInlineDv)
+        // z85 pads to 4-byte groups; the descriptor carries the true size
+        b.take(dv.sizeInBytes)
+      case _ =>
+        val p = dvFilePath(root, dv)
+        val all = Files.readAllBytes(p)
+        require(all.nonEmpty && all(0) == 1,
+          s"$p: unsupported DV file format version ${if (all.isEmpty) "?" else all(0)}")
+        val off = dv.offset.getOrElse(1)
+        val bb = java.nio.ByteBuffer.wrap(all, off, all.length - off)
+        val size = bb.getInt // big-endian
+        require(size == dv.sizeInBytes,
+          s"$p: DV blob size $size != descriptor sizeInBytes ${dv.sizeInBytes}")
+        val data = new Array[Byte](size)
+        bb.get(data)
+        val expected = bb.getInt
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
+        require(crc.getValue.toInt == expected,
+          s"$p: DV checksum mismatch (stored $expected, computed ${crc.getValue.toInt})")
+        data
+    }
+    val bb = java.nio.ByteBuffer.wrap(bitmapBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == 1681511377, s"bad RoaringBitmapArray magic $magic")
+    val n = bb.getLong
+    require(n >= 0 && n <= Int.MaxValue, s"absurd DV bitmap count $n")
+    val bms = new Array[org.roaringbitmap.RoaringBitmap](n.toInt)
+    (0 until n.toInt).foreach { i =>
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      bm.deserialize(bb)
+      bb.position(bb.position() + bm.serializedSizeInBytes())
+      bms(i) = bm
+    }
+    val out = new DvBitmap(bms)
+    require(dv.cardinality < 0 || out.cardinality == dv.cardinality,
+      s"DV cardinality ${out.cardinality} != descriptor ${dv.cardinality}")
+    out
+  }
+
   private def rowPartitionValues(s: Row): Map[String, Option[String]] =
     if (s.schema.fieldNames.contains("partitionValues") &&
         !s.isNullAt(s.fieldIndex("partitionValues")))
       s.getMap[String, String](s.fieldIndex("partitionValues"))
         .map { case (k, v) => k -> Option(v) }.toMap
     else Map.empty
+
+  private def normalizeFilePath(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      Option(u.getPath).filter(_.nonEmpty).getOrElse(p)
+    } catch { case _: Throwable => p }
 
   /** Read the table as a DataFrame at `version` (default: latest). */
   def read(spark: SparkSession, root: String,
@@ -234,10 +387,31 @@ object DeltaInterop {
         .dataType)
     def abs(p: String): String =
       if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
+    // DVs are per-file metadata, bounded by design (a bitmap over one
+    // file's row indexes): load them driver-side once, broadcast, and
+    // filter on the parquet scan's (_metadata.file_path, row_index) — a
+    // constant-time membership probe per row, no join, no index
+    // materialization
+    val dvByPath: Map[String, DvBitmap] =
+      snap.files.filter(_.dv.isDefined)
+        .map(f => normalizeFilePath(abs(f.path)) -> loadDv(root, f.dv.get)).toMap
+    def applyDvs(df: DataFrame): DataFrame =
+      if (dvByPath.isEmpty) df
+      else {
+        val bc = spark.sparkContext.broadcast(dvByPath)
+        val keep = udf { (path: String, idx: Long) =>
+          !bc.value.get(normalizeFilePath(path)).exists(_.contains(idx))
+        }
+        df.withColumn("__dv_path", col("_metadata.file_path"))
+          .withColumn("__dv_idx", col("_metadata.row_index"))
+          .filter(keep(col("__dv_path"), col("__dv_idx")))
+          .drop("__dv_path", "__dv_idx")
+      }
     if (snap.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
     } else if (snap.partitionColumns.isEmpty) {
-      spark.read.schema(dataSchema).parquet(snap.files.map(f => abs(f.path)): _*)
+      applyDvs(
+        spark.read.schema(dataSchema).parquet(snap.files.map(f => abs(f.path)): _*))
     } else {
       // one relation per distinct partition tuple: the tuple's values are
       // attached as typed literals (protocol: data files carry no
@@ -245,7 +419,8 @@ object DeltaInterop {
       val groups = snap.files.groupBy(f =>
         snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, None)))
       groups.map { case (tuple, fs) =>
-        val base = spark.read.schema(dataSchema).parquet(fs.map(f => abs(f.path)): _*)
+        val base = applyDvs(
+          spark.read.schema(dataSchema).parquet(fs.map(f => abs(f.path)): _*))
         snap.partitionColumns.zip(tuple).zip(partTypes).foldLeft(base) {
           case (df, ((c, v), (_, dt))) =>
             df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(

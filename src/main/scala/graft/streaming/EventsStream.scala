@@ -71,18 +71,25 @@ object EventsStream {
     * once the watermark passes its end, so with a bounded AvailableNow run
     * the trailing windows correctly remain open (unemitted). Returns the
     * final watermark so callers know the emitted horizon. */
-  def tumblingToParquet(spark: SparkSession, dir: String, outPath: String,
-                        checkpointPath: String, windowLength: String = "1 hour",
-                        watermarkDelay: String = "1 minute"): String =
-      StreamConf.withStatePartitions(spark) {
-    val stream = rawStream(spark, dir)
-    val agg = stream
+  /** The watermarked tumbling rollup as a streaming frame (the sink-less
+    * half of [[tumblingToParquet]]; StreamRestartSpec drives it through
+    * interrupted runs). */
+  private[graft] def tumblingFrame(spark: SparkSession, dir: String,
+                                   windowLength: String,
+                                   watermarkDelay: String): DataFrame =
+    rawStream(spark, dir)
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_eventos"),
            sum(col("value").cast(DecimalType(38, 6))).as("imp_valor"))
       .select(col("w.start").as("ventana"), col("event_type"),
               col("n_eventos"), col("imp_valor").cast("double").as("imp_valor"))
+
+  def tumblingToParquet(spark: SparkSession, dir: String, outPath: String,
+                        checkpointPath: String, windowLength: String = "1 hour",
+                        watermarkDelay: String = "1 minute"): String =
+      StreamConf.withStatePartitions(spark) {
+    val agg = tumblingFrame(spark, dir, windowLength, watermarkDelay)
     val q = agg.writeStream
       .outputMode("append")
       .format("parquet")
@@ -191,7 +198,7 @@ object EventsStream {
       .select(col("user_id"), col("id_a"), col("ts_a"), col("id_b"), col("ts_b"))
   }
 
-  private def intervalJoinFrame(spark: SparkSession, dir: String,
+  private[graft] def intervalJoinFrame(spark: SparkSession, dir: String,
                                 typeA: String, typeB: String,
                                 windowSeconds: Long,
                                 watermarkDelay: String): DataFrame = {

@@ -130,12 +130,12 @@ class DeltaInteropSpec extends AnyFunSuite {
   test("unsupported reader protocol fails loudly, not wrong") {
     val root = tmpDir("delta_proto")
     writeCommit(root, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""",
       metaLine(dataSchema, Nil)))
     val e = intercept[IllegalArgumentException] {
       DeltaInterop.snapshot(spark, root.toString)
     }
-    assert(e.getMessage.contains("deletionVectors") ||
+    assert(e.getMessage.contains("columnMapping") ||
       e.getMessage.contains("unsupported"))
     // column mapping via metaData configuration is equally fatal
     val root2 = tmpDir("delta_proto2")
@@ -144,6 +144,98 @@ class DeltaInteropSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DeltaInterop.snapshot(spark, root2.toString)
     }
+  }
+
+  // --- deletion vectors (r6): serialize a RoaringBitmapArray exactly as
+  // the protocol prescribes and read a DV'd table back correctly
+
+  /** Portable RoaringBitmapArray bytes for 64-bit row indexes. */
+  private def dvBitmapBytes(rows: Seq[Long]): Array[Byte] = {
+    val byHi = rows.groupBy(r => (r >>> 32).toInt)
+    val n = if (byHi.isEmpty) 0 else byHi.keys.max + 1
+    val bms = (0 until n).map { i =>
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      byHi.getOrElse(i, Nil).foreach(r => bm.add(r.toInt))
+      bm.runOptimize(); bm
+    }
+    val size = 4 + 8 + bms.map(_.serializedSizeInBytes()).sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377)
+    bb.putLong(n.toLong)
+    bms.foreach { bm => bm.serialize(bb) }
+    bb.array()
+  }
+
+  /** Write a protocol-layout DV file: version byte 1, then
+    * <int32-BE size><bitmap><int32-BE crc> at the returned offset. */
+  private def writeDvFile(path: Path, bitmap: Array[Byte]): Int = {
+    val crc = new java.util.zip.CRC32(); crc.update(bitmap)
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + bitmap.length + 4)
+    bb.put(1.toByte)
+    bb.putInt(bitmap.length)
+    bb.put(bitmap)
+    bb.putInt(crc.getValue.toInt)
+    Files.createDirectories(path.getParent)
+    Files.write(path, bb.array())
+    1 // offset of the size int
+  }
+
+  private def z85enc(bytes: Array[Byte]): String = {
+    val alpha = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+    require(bytes.length % 4 == 0)
+    bytes.grouped(4).map { g =>
+      var v = g.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      val out = new Array[Char](5)
+      (4 to 0 by -1).foreach { i => out(i) = alpha((v % 85).toInt); v /= 85 }
+      new String(out)
+    }.mkString
+  }
+
+  test("deletion vectors: uuid-file DV drops exactly the flagged rows") {
+    val root = tmpDir("delta_dv")
+    val df = (0 until 10).map(i => (i, s"n$i")).toDF("id", "name")
+    oneFile(df, root.resolve("f1.parquet"))
+    // delete rows at file positions 1, 3, 7
+    val uuid = java.util.UUID.fromString("a52eda8c-0a57-4636-814b-9c165388f7ca")
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits)
+    ub.putLong(uuid.getLeastSignificantBits)
+    val token = z85enc(ub.array())
+    writeDvFile(root.resolve(s"deletion_vector_$uuid.bin"),
+      dvBitmapBytes(Seq(1L, 3L, 7L)))
+    writeCommit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaLine(dataSchema, Nil),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$token","offset":1,"sizeInBytes":${dvBitmapBytes(Seq(1L, 3L, 7L)).length},"cardinality":3}}}"""))
+    val got = DeltaInterop.read(spark, root.toString)
+      .as[(Int, String)].collect().map(_._1).sorted.toSeq
+    assert(got == Seq(0, 2, 4, 5, 6, 8, 9))
+  }
+
+  test("deletion vectors: inline DV and later DV update via re-add") {
+    val root = tmpDir("delta_dv_inline")
+    val df = (0 until 6).map(i => (i, s"n$i")).toDF("id", "name")
+    oneFile(df, root.resolve("f1.parquet"))
+    def addLine(deleted: Seq[Long]): String = {
+      val b = dvBitmapBytes(deleted)
+      val padded = b ++ Array.fill((4 - b.length % 4) % 4)(0.toByte)
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"${z85enc(padded)}","sizeInBytes":${b.length},"cardinality":${deleted.length}}}}"""
+    }
+    writeCommit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaLine(dataSchema, Nil),
+      addLine(Seq(0L))))
+    assert(DeltaInterop.read(spark, root.toString)
+      .as[(Int, String)].collect().map(_._1).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    // a later DELETE grows the DV: protocol re-adds the same path with
+    // the new descriptor; last add wins in state reconstruction
+    writeCommit(root, 1, Seq(addLine(Seq(0L, 4L))))
+    assert(DeltaInterop.read(spark, root.toString)
+      .as[(Int, String)].collect().map(_._1).sorted.toSeq == Seq(1, 2, 3, 5))
+    // and time travel still sees the version-0 view
+    assert(DeltaInterop.read(spark, root.toString, Some(0L))
+      .as[(Int, String)].collect().map(_._1).sorted.toSeq == Seq(1, 2, 3, 4, 5))
   }
 
   test("txn table exports a delta history an external reader can replay") {

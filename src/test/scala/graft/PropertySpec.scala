@@ -153,6 +153,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("cdc boundaries are BYTE offsets: unicode text partitions its UTF-8 bytes") {
+    import graft.functions.CdcChunk
+    // arbitrary unicode (surrogate-free) — boundaries must partition the
+    // byte stream; a boundary may legitimately split a code point (CDC is
+    // a byte-stream algorithm, the r6 byte-safe q68 hashes byte spans)
+    val uni = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('á', 'é', 'ß', 'ç', 'ñ', 'Ω', 'δ', '測', '試', '—'),
+      1 -> Gen.const(' '))).map(_.mkString)
+    check(Prop.forAll(uni) { s =>
+      val bytes = s.getBytes("UTF-8")
+      val b = CdcChunk.boundaries(UTF8String.fromString(s), 16, 64)
+        .toIntArray().toSeq
+      val spans = (0 +: b).zip(b)
+      // spans reassemble the exact byte stream
+      spans.flatMap { case (a, e) => bytes.slice(a, e) }.sameElements(bytes) &&
+        b.last == bytes.length
+    })
+  }
+
   test("magic hora: integer round-trip for every second of the day") {
     // pure-scala replay of the Periods column formula (h*10000 + m*100 + s
     // and its seconds-of-day inverse) — total and bijective over [0, 86400);
