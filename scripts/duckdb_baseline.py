@@ -26,7 +26,9 @@ def main(out_dir, sf_dir, out_path="BASELINE_duckdb.json", runs=2):
     con.execute("SET threads TO 32")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # ScaleData output: a directory of part files
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     times, errors = {}, {}

@@ -30,10 +30,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     Spark StructType); partition columns are reattached from each
   *     file's `partitionValues`, cast to their schema types — Delta data
   *     files do not carry partition columns;
-  *   - `protocol` is enforced, not assumed: reader version ≤ 1, or ≤ 3
+  *   - `protocol` is enforced, not assumed: reader version ≤ 2, or ≤ 3
   *     when every `readerFeatures` entry is supported (timestampNtz,
-  *     deletionVectors). Column mapping or v2 checkpoints fail loudly
-  *     rather than silently returning wrong rows.
+  *     deletionVectors, columnMapping). v2 checkpoints and id-mode column
+  *     mapping fail loudly rather than silently returning wrong rows.
+  *   - column mapping, name mode (r6): data columns scan under the
+  *     physical names recorded in the schema field metadata and rename
+  *     back to logical; partitionValues resolve by physical name — so
+  *     tables whose columns were RENAMEd read correctly.
   *   - deletion vectors (r6): each file's DV descriptor is resolved
   *     (uuid-file / inline-z85 / absolute-path), CRC-verified, and its
   *     RoaringBitmapArray deserialized driver-side; reads drop deleted
@@ -104,18 +108,22 @@ object DeltaInterop {
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
 
   private def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
-    val supported = Set("timestampNtz", "deletionVectors")
-    val ok = minReader <= 1 ||
+    val supported = Set("timestampNtz", "deletionVectors", "columnMapping")
+    val ok = minReader <= 2 ||
       (minReader <= 3 && readerFeatures.forall(supported.contains))
     require(ok, "unsupported Delta reader protocol: version " + minReader +
       (if (readerFeatures.nonEmpty)
         readerFeatures.mkString(" features [", ", ", "]") else "") +
-      " — column mapping / v2 checkpoints would read wrong")
+      " — v2 checkpoints / unknown features would read wrong")
   }
 
   private def checkMetaData(conf: Map[String, String]): Unit = {
     val mode = conf.getOrElse("delta.columnMapping.mode", "none")
-    require(mode == "none", s"unsupported delta.columnMapping.mode=$mode")
+    // name-mode mapping is supported (physical names resolved from the
+    // schema metadata); id mode needs parquet field-id resolution we do
+    // not implement — keep failing loudly
+    require(mode == "none" || mode == "name",
+      s"unsupported delta.columnMapping.mode=$mode (only none/name)")
   }
 
   /** Reconstruct the table state at `version` (default: latest). */
@@ -369,6 +377,21 @@ object DeltaInterop {
         .map { case (k, v) => k -> Option(v) }.toMap
     else Map.empty
 
+  /** Column-mapping (name mode): the parquet files store columns under
+    * the physical name recorded in the field metadata; logical names live
+    * only in the schema. Nested mapped fields are out of scope (flat
+    * reference schemas) and fail loudly. */
+  private def physicalName(f: org.apache.spark.sql.types.StructField): String = {
+    val key = "delta.columnMapping.physicalName"
+    f.dataType match {
+      case s: StructType if s.fields.exists(_.metadata.contains(key)) =>
+        throw new IllegalArgumentException(
+          s"column mapping on nested field ${f.name} is not supported")
+      case _ => ()
+    }
+    if (f.metadata.contains(key)) f.metadata.getString(key) else f.name
+  }
+
   private def normalizeFilePath(p: String): String =
     try {
       val u = new java.net.URI(p)
@@ -379,12 +402,21 @@ object DeltaInterop {
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, root, version)
-    val dataSchema = StructType(
-      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
-    val partTypes = snap.partitionColumns.map(c =>
-      c -> snap.schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalStateException(s"partition column $c not in schema"))
-        .dataType)
+    // data columns scan under their PHYSICAL names (column mapping; equal
+    // to the logical name in unmapped tables), then rename back
+    val dataFields = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f =>
+      org.apache.spark.sql.types.StructField(physicalName(f), f.dataType, f.nullable)))
+    val renames: Seq[(String, String)] =
+      dataFields.map(f => physicalName(f) -> f.name).toSeq
+    val partFields = snap.partitionColumns.map(c =>
+      snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalStateException(s"partition column $c not in schema")))
+    val partTypes = partFields.map(f => f.name -> f.dataType)
+    // partitionValues in the log are keyed by PHYSICAL name
+    val partPhysical: Map[String, String] =
+      partFields.map(f => f.name -> physicalName(f)).toMap
     def abs(p: String): String =
       if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
     // DVs are per-file metadata, bounded by design (a bitmap over one
@@ -407,20 +439,23 @@ object DeltaInterop {
           .filter(keep(col("__dv_path"), col("__dv_idx")))
           .drop("__dv_path", "__dv_idx")
       }
+    def renamed(df: DataFrame): DataFrame =
+      df.select(renames.map { case (ph, lg) => col(ph).as(lg) }: _*)
     if (snap.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
     } else if (snap.partitionColumns.isEmpty) {
-      applyDvs(
-        spark.read.schema(dataSchema).parquet(snap.files.map(f => abs(f.path)): _*))
+      renamed(applyDvs(
+        spark.read.schema(dataSchema).parquet(snap.files.map(f => abs(f.path)): _*)))
     } else {
       // one relation per distinct partition tuple: the tuple's values are
       // attached as typed literals (protocol: data files carry no
       // partition columns), then unioned by name
       val groups = snap.files.groupBy(f =>
-        snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, None)))
+        snap.partitionColumns.map(c =>
+          f.partitionValues.getOrElse(partPhysical(c), None)))
       groups.map { case (tuple, fs) =>
-        val base = applyDvs(
-          spark.read.schema(dataSchema).parquet(fs.map(f => abs(f.path)): _*))
+        val base = renamed(applyDvs(
+          spark.read.schema(dataSchema).parquet(fs.map(f => abs(f.path)): _*)))
         snap.partitionColumns.zip(tuple).zip(partTypes).foldLeft(base) {
           case (df, ((c, v), (_, dt))) =>
             df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(

@@ -97,4 +97,84 @@ object JdbcServing {
     effectivePreaction(table, filters, tableExists).foreach(runStatement)
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
   }
+
+  // ------------------------------------------------------- staged bulk load
+
+  /** A staged bulk load: part files + the COPY manifest naming exactly
+    * those files, plus the COPY statement the warehouse runs. */
+  final case class StagedLoad(manifestPath: String, files: Seq[String],
+                              copySql: String)
+
+  /** CSV conventions for the staged files — explicit and symmetric with
+    * [[readStaged]], mirroring the connector's defaults (pipe-delimited
+    * gzip CSV, `\N` nulls). */
+  private val csvOptions = Map(
+    "sep" -> "|", "nullValue" -> "\\N", "header" -> "false",
+    "compression" -> "gzip", "escape" -> "\"", "quote" -> "\"",
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Stage `df` for a warehouse bulk COPY — the reference's actual load
+    * path (common_jobs_functions.py:450–573 rides the Redshift
+    * connector, which unloads to staged files and issues a COPY; the
+    * JDBC row insert in [[load]] is the small-dim fallback). The shape:
+    *
+    *   1. `df` is written as gzipped pipe-delimited CSV part files under
+    *      `stagingDir` (one file per partition — the parallel-ingest unit
+    *      a warehouse COPY fans out over);
+    *   2. a COPY MANIFEST (the public Redshift manifest format:
+    *      `{"entries":[{"url":..., "mandatory":true}]}`) lists exactly the
+    *      staged part files, so the warehouse loads all-or-nothing and a
+    *      stale file lingering in the staging prefix can never leak in;
+    *   3. the returned COPY statement targets the manifest. The caller
+    *      runs it through its connection (injected in tests — there is no
+    *      live warehouse in the sandbox), after the usual delete
+    *      preaction.
+    *
+    * Columns are projected in a stable declared order because COPY binds
+    * CSV fields positionally — the column list is emitted into the COPY
+    * statement for self-description. */
+  def stageForCopy(df: DataFrame, table: String, stagingDir: String,
+                   urlPrefix: String = ""): StagedLoad = {
+    df.write.mode(SaveMode.Overwrite).options(csvOptions)
+      .csv(stagingDir)
+    val staged = {
+      val d = new java.io.File(stagingDir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(_.getAbsolutePath).sorted.toSeq
+    }
+    require(staged.nonEmpty, s"stageForCopy: no part files under $stagingDir")
+    val entries = staged.map(p =>
+      s"""{"url": "$urlPrefix$p", "mandatory": true}""")
+    val manifest = entries.mkString("{\"entries\": [\n  ", ",\n  ", "\n]}")
+    val manifestPath = s"$stagingDir/manifest.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(manifestPath),
+      manifest.getBytes("UTF-8"))
+    val cols = df.columns.mkString("(", ", ", ")")
+    val copy = s"COPY $table $cols FROM '$urlPrefix$manifestPath' " +
+      "MANIFEST FORMAT CSV DELIMITER '|' NULL AS '\\N' GZIP " +
+      "TIMEFORMAT 'auto';"
+    StagedLoad(manifestPath, staged, copy)
+  }
+
+  /** Read staged part files back with the same conventions (round-trip
+    * verification / a local warehouse stand-in). */
+  def readStaged(spark: org.apache.spark.sql.SparkSession,
+                 stagingDir: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.options(csvOptions).schema(schema)
+      .csv(s"$stagingDir/part-*")
+
+  /** Full staged-load flow: delete preaction (existence-probed), then the
+    * manifest COPY — both through the injected statement runner. */
+  def bulkLoad(df: DataFrame, table: String, stagingDir: String,
+               filters: Seq[(String, Seq[Any])] = Nil,
+               tableExists: String => Boolean = _ => true,
+               urlPrefix: String = "")
+              (runStatement: String => Unit): StagedLoad = {
+    val staged = stageForCopy(df, table, stagingDir, urlPrefix)
+    effectivePreaction(table, filters, tableExists).foreach(runStatement)
+    runStatement(staged.copySql)
+    staged
+  }
 }

@@ -130,20 +130,47 @@ class DeltaInteropSpec extends AnyFunSuite {
   test("unsupported reader protocol fails loudly, not wrong") {
     val root = tmpDir("delta_proto")
     writeCommit(root, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
       metaLine(dataSchema, Nil)))
     val e = intercept[IllegalArgumentException] {
       DeltaInterop.snapshot(spark, root.toString)
     }
-    assert(e.getMessage.contains("columnMapping") ||
+    assert(e.getMessage.contains("v2Checkpoint") ||
       e.getMessage.contains("unsupported"))
-    // column mapping via metaData configuration is equally fatal
+    // id-mode column mapping (parquet field-id resolution) is still fatal
     val root2 = tmpDir("delta_proto2")
     writeCommit(root2, 0, Seq(protocolLine,
-      """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""))
+      """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":1}}"""))
     intercept[IllegalArgumentException] {
       DeltaInterop.snapshot(spark, root2.toString)
     }
+  }
+
+  test("column mapping (name mode): physical names scan, logical names return") {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+    val root = tmpDir("delta_cmap")
+    def mapped(name: String, phys: String, id: Int): Metadata =
+      new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("id", IntegerType, nullable = true, mapped("id", "col-aaaa", 1)),
+      StructField("name", StringType, nullable = true, mapped("name", "col-bbbb", 2)),
+      StructField("pais", StringType, nullable = true, mapped("pais", "col-cccc", 3))))
+    // data files carry the PHYSICAL column names, partition col excluded
+    val df = Seq((1, "a"), (2, "b")).toDF("col-aaaa", "col-bbbb")
+    oneFile(df, root.resolve("f1.parquet"))
+    val metaJson = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().writeValueAsString(logical.json)
+    writeCommit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$metaJson,"partitionColumns":["pais"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},"createdTime":1}}""",
+      // partitionValues keyed by the PHYSICAL partition column name
+      """{"add":{"path":"f1.parquet","partitionValues":{"col-cccc":"PE"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaInterop.read(spark, root.toString)
+    assert(got.columns.toSeq == Seq("id", "name", "pais"))
+    assert(got.as[(Int, String, String)].collect().sorted.toSeq ==
+      Seq((1, "a", "PE"), (2, "b", "PE")))
   }
 
   // --- deletion vectors (r6): serialize a RoaringBitmapArray exactly as
