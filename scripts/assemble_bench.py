@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Assemble the two-SF bench artifact (BENCH_full_r06.json): per-query
+Spark seconds and spark/duckdb ratios at sf0.1 AND the ScaleData 10x
+slice, so overhead-dominated ratios at the small SF stop polluting the
+signal and per-query scaling exponents are visible.
+
+Usage: assemble_bench.py <bench_sf01.json> <baseline_sf01.json>
+                         <bench_sf1.json> <baseline_sf1.json> <out.json>
+(bench files = the Bench stdout JSON line, possibly log-prefixed)
+"""
+import json
+import sys
+
+
+def bench(path):
+    line = open(path).read()
+    return json.loads(line[line.index('{'):])
+
+
+def main(b01, d01, b1, d1, out):
+    s01, s1 = bench(b01), bench(b1)
+    k01, k1 = json.load(open(d01)), json.load(open(d1))
+
+    def sf_block(spark, duck):
+        qs = spark["queries"]
+        base = duck["queries"]
+        ratios = {k: qs[k] / base[k] for k in qs if base.get(k)}
+        return {
+            "spark_total_s": sum(qs.values()),
+            "duckdb_total_s": sum(base.get(k, 0.0) for k in qs),
+            "queries_spark_s": qs,
+            "queries_duckdb_s": {k: base[k] for k in qs if k in base},
+            "spark_vs_duckdb": ratios,
+            "spark_errors": spark.get("errors", {}),
+            "duckdb_errors": duck.get("errors", {}),
+        }
+
+    blocks = {"sf0.1": sf_block(s01, k01), "sf1_10x_slice": sf_block(s1, k1)}
+    # scaling exponent per query: log10(t_sf1/t_sf01) for a 10x size step —
+    # 1.0 = linear, 0 = flat (overhead-bound at the small SF)
+    import math
+    exps = {}
+    for k, v1 in blocks["sf1_10x_slice"]["queries_spark_s"].items():
+        v0 = blocks["sf0.1"]["queries_spark_s"].get(k)
+        if v0 and v0 > 0 and v1 > 0:
+            exps[k] = round(math.log10(v1 / v0), 3)
+    over2x = sorted(k for k, r in blocks["sf1_10x_slice"]["spark_vs_duckdb"].items()
+                    if r > 2.0)
+    doc = {
+        "round": 6,
+        "cpus": 32,
+        "runs_per_query": 2, "agg": "min", "materialization": "noop sink",
+        "sf1_note": "10x ScaleData replication of sf0.1 (all tables, "
+                    "FK-consistent strides)",
+        "scaling_exponent_log10": exps,
+        "over_2x_baseline_at_sf1": over2x,
+        **blocks,
+    }
+    json.dump(doc, open(out, "w"), indent=1, sort_keys=True)
+    print(f"sf0.1: spark {blocks['sf0.1']['spark_total_s']:.1f}s vs duckdb "
+          f"{blocks['sf0.1']['duckdb_total_s']:.1f}s")
+    print(f"sf1:   spark {blocks['sf1_10x_slice']['spark_total_s']:.1f}s vs duckdb "
+          f"{blocks['sf1_10x_slice']['duckdb_total_s']:.1f}s")
+    print(f"over 2x baseline at sf1: {over2x}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:6])

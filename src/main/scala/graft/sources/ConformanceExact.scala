@@ -53,7 +53,17 @@ object ConformanceExact {
       val trace: (Step, Int, Op, DataFrame) => Unit = (step, opIdx, op, df) =>
         op match {
           case From(_, a) => aliases = if (a.nonEmpty) Set(a) else Set.empty
-          case Join(_, a, _, _, _) => if (a.nonEmpty) aliases += a
+          case Join(_, a, _, _, _) =>
+            if (a.nonEmpty) aliases += a
+            df.queryExecution.analyzed match {
+              case j: org.apache.spark.sql.catalyst.plans.logical.Join
+                if j.condition.exists(ExactDecimalSql.needsExact) =>
+                throw new IllegalArgumentException(
+                  s"$name/${step.name}: join condition contains decimal " +
+                    "rescale arithmetic — exact rendering only covers " +
+                    "select/groupBy ops")
+              case _ => ()
+            }
           case Select(_) =>
             df.queryExecution.analyzed match {
               case p: Project if p.projectList.exists(ExactDecimalSql.needsExact) =>
@@ -72,6 +82,29 @@ object ConformanceExact {
               case _ => ()
             }
             aliases = Set.empty
+          // decimal arithmetic in any op the exact renderer does NOT
+          // cover must fail loudly here — a silent string rendering
+          // would hash-diverge at the gate with no hint why
+          case WithColumn(n, _) =>
+            df.queryExecution.analyzed match {
+              case p: Project
+                if p.projectList.exists(e =>
+                  e.name == n && ExactDecimalSql.needsExact(e)) =>
+                throw new IllegalArgumentException(
+                  s"$name/${step.name}: withColumn($n) contains decimal " +
+                    "rescale arithmetic — exact rendering only covers " +
+                    "select/groupBy ops; restructure the transcription")
+              case _ => ()
+            }
+          case Filter(_) =>
+            df.queryExecution.analyzed match {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+                if ExactDecimalSql.needsExact(f.condition) =>
+                throw new IllegalArgumentException(
+                  s"$name/${step.name}: filter contains decimal rescale " +
+                    "arithmetic — exact rendering only covers select/groupBy")
+              case _ => ()
+            }
           case _ => ()
         }
       ConformanceRunner.run(job, resolve, params, trace)

@@ -481,7 +481,11 @@ object ExactDecimalSql {
           s.dataType match {
             case Dec(_, _) => s"sum($dist${op.sql})"
             case LongType => s"CAST(sum($dist${op.sql}) AS BIGINT)"
-            case DoubleType => s"sum($dist${op.sql})"
+            case DoubleType =>
+              // double summation is order-dependent in BOTH engines — a
+              // hash gate over it would flake; the reference keeps money
+              // in decimal, so refuse rather than render a coin flip
+              throw unsupported(s"order-dependent double sum ${s.sql}")
             case other => throw unsupported(s"sum of $other")
           }
         case m: Max =>

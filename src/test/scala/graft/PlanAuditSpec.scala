@@ -27,10 +27,10 @@ class PlanAuditSpec extends AnyFunSuite {
   private val shuffleBudget = Map(
     "q1_pricing_summary" -> 1, "q2_star_join" -> 2, "q3_dim_conform" -> 0,
     "q4_dedup_latest" -> 1, "q5_period_agg" -> 2, "q6_trailing_3m" -> 2,
-    // q8 runs the split-distinct rewrite: MORE exchanges (7) than the
-    // Expand form (2) but each carries pre-deduped pairs — total bytes
-    // are under half (enforced by the variant test below)
-    "q7_topn_per_group" -> 1, "q8_customer_metrics" -> 7, "q9_magic_date" -> 0,
+    // q8 (r6) runs the one-exchange rewrite: two join-side exchanges +
+    // the o_custkey repartition; the multi-distinct Expand stays inside
+    // partitions (variant test below pins the shape and value identity)
+    "q7_topn_per_group" -> 1, "q8_customer_metrics" -> 3, "q9_magic_date" -> 0,
     "q10_asof_rate" -> 1, "q11_merge_upsert" -> 1, "q12_union_instances" -> 0,
     "q13_sessionize" -> 1, "q14_stream_tumbling" -> 0, "q15_dedup_exact" -> 1,
     "q16_text_quality" -> 0, "q17_token_count" -> 0, "q18_lang_id" -> 0,
@@ -185,6 +185,21 @@ class PlanAuditSpec extends AnyFunSuite {
       CoreQueries.q8CustomerMetricsSplit(spark, sfBytes).write.format("noop").mode("overwrite").save())
     assert(bSplit * 2 < bExpand,
       s"split shuffle ($bSplit B) must be under half of Expand's ($bExpand B)")
+    // the r6 catalog form: the fact crosses the wire ONCE (o_custkey
+    // repartition after the join), and the multi-distinct Expand runs
+    // entirely inside those partitions — HashPartitioning(custkey)
+    // satisfies the (custkey, key) clustering the distinct level needs,
+    // so no further exchange plans. (It can shuffle MORE bytes than the
+    // naive Expand at tiny SF, whose map-side pair-dedup bites when key
+    // repetition is high — but it runs the fact pipeline once instead of
+    // 4x/with 4x rows, which is what wins wall-clock at 10x and beyond.)
+    val one = CoreQueries.q8CustomerMetricsOneExchange(spark, sf)
+    assert(one.exceptAll(expand).isEmpty && expand.exceptAll(one).isEmpty,
+      "one-exchange rewrite must be value-identical to the Expand form")
+    val onePlan = one.queryExecution.executedPlan.toString
+    val nEx = "Exchange (hash|range|Single)".r.findAllIn(onePlan).length
+    assert(nEx == 3, // two join sides + the custkey repartition, no more
+      s"one-exchange form must plan exactly 3 exchanges, found $nEx:\n$onePlan")
   }
 
   test("scans prune columns and push filters down to parquet") {
