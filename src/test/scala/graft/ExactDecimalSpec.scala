@@ -89,6 +89,78 @@ class ExactDecimalSpec extends AnyFunSuite {
     assert(ConformanceExact.templates(spark, sf, "t_venta").isEmpty)
   }
 
+  test("differential fuzz: Spark decimal ops == the HUGEINT replay semantics") {
+    // The renderer's DuckDB SQL implements: exact integer arithmetic on
+    // unscaled values + round-half-away-from-zero rescale + NULL when
+    // |unscaled| >= 10^p. This pins that MODEL against Spark itself over
+    // randomized inputs (including exact half-boundary values), so the
+    // DuckDB gate can only disagree through a rendering bug, never a
+    // semantics misunderstanding.
+    import java.math.BigInteger
+    val TEN = BigInteger.TEN
+    def pow10(k: Int) = TEN.pow(k)
+    // round-half-away division, the roundDivSql twin
+    def roundDiv(n: BigInteger, d: BigInteger): BigInteger = {
+      val sign = if (n.signum * d.signum < 0) -1 else 1
+      val q = n.abs.multiply(BigInteger.TWO).add(d.abs)
+        .divide(d.abs.multiply(BigInteger.TWO))
+      if (sign < 0) q.negate else q
+    }
+    def check(x: BigInteger, p: Int): Option[BigInteger] =
+      if (x.abs.compareTo(pow10(p)) >= 0) None else Some(x)
+    def rescale(x: BigInteger, from: Int, to: Int): BigInteger =
+      if (to >= from) x.multiply(pow10(to - from))
+      else roundDiv(x, pow10(from - to))
+
+    val rnd = new scala.util.Random(20260814L)
+    def dec(intDigits: Int, scale: Int): java.math.BigDecimal = {
+      // mix uniform digits with exact half-boundary shapes
+      val base = BigInt(intDigits + scale, rnd) *
+        (if (rnd.nextBoolean()) 1 else -1)
+      val v = rnd.nextInt(4) match {
+        case 0 => base - (base mod BigInt(10)) + 5 // ...5 trailing digit
+        case _ => base
+      }
+      new java.math.BigDecimal(v.bigInteger, scale)
+    }
+    val samples = (1 to 400).map(_ => (dec(6, 6), dec(4, 12)))
+    import ansiOff.implicits._
+    val df = samples.map { case (a, b) => (a.toPlainString, b.toPlainString) }
+      .toDF("a", "b")
+      .selectExpr(
+        "CAST(a AS DECIMAL(18,6)) AS a", "CAST(b AS DECIMAL(38,12)) AS b")
+      .selectExpr("a", "b", "a * b AS m", "a / b AS d", "a + b AS s2",
+        "CAST(a AS DECIMAL(18,2)) AS c")
+    val m = df.schema("m").dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
+    val dT = df.schema("d").dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
+    val sT = df.schema("s2").dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
+    df.collect().foreach { r =>
+      val a = r.getDecimal(0); val b = r.getDecimal(1)
+      val ua = a.unscaledValue; val ub = b.unscaledValue
+      // multiply: exact product at s1+s2, rescale to result scale
+      val expM = check(rescale(ua.multiply(ub), 6 + 12, m.scale), m.precision)
+      assert(Option(r.getDecimal(2)).map(_.unscaledValue) == expM,
+        s"multiply mismatch for $a * $b")
+      // divide: round(a * 10^(s+s2-s1) / b) at the result scale
+      val expD =
+        if (ub.signum == 0) None
+        else check(roundDiv(ua.multiply(pow10(dT.scale + 12 - 6)), ub), dT.precision)
+      assert(Option(r.getDecimal(3)).map(_.unscaledValue) == expD,
+        s"divide mismatch for $a / $b")
+      // add: align to max scale, sum, rescale to the result scale
+      val mScale = math.max(6, 12)
+      val expS = check(rescale(
+        rescale(ua, 6, mScale).add(rescale(ub, 12, mScale)), mScale, sT.scale),
+        sT.precision)
+      assert(Option(r.getDecimal(4)).map(_.unscaledValue) == expS,
+        s"add mismatch for $a + $b")
+      // narrowing cast rounds half-away at the target scale
+      val expC = check(rescale(ua, 6, 2), 18)
+      assert(Option(r.getDecimal(5)).map(_.unscaledValue) == expC,
+        s"cast mismatch for $a")
+    }
+  }
+
   test("replay envelope: lake magnitudes stay far inside DECIMAL128/int128") {
     // The HUGEINT replay equals Spark's MathContext.DECIMAL128 arithmetic
     // while every exact intermediate holds <= 34 significant digits —
