@@ -140,15 +140,17 @@ object IvfIndex {
 
   def loadModelAt(spark: SparkSession, root: String, version: Long): Model = {
     import spark.implicits._
-    val t = centroidTable(spark, root)
-    val n = t.readVersion(version).count()
-    require(n <= MaxModelCells,
-      s"IVF model at $root has $n cells > MaxModelCells=$MaxModelCells — " +
+    // one pass: LIMIT bounds what the driver ever holds, and one row past
+    // the cap proves the overflow without a separate count job on the
+    // serving path
+    val capped = centroidTable(spark, root).readVersion(version)
+      .select(col("cell").cast("int"), col("centroid"), col("cnorm"))
+      .as[(Int, Array[Float], Double)].limit(MaxModelCells + 1).collect()
+    require(capped.length <= MaxModelCells,
+      s"IVF model at $root exceeds MaxModelCells=$MaxModelCells — " +
         "the collected-model budget; rebuild with fewer cells (sqrtCells) " +
         "or introduce a two-level coarse quantizer before serving")
-    t.readVersion(version)
-      .select(col("cell").cast("int"), col("centroid"), col("cnorm"))
-      .as[(Int, Array[Float], Double)].collect().sortBy(_._1)
+    capped.sortBy(_._1)
   }
 
   /** Incremental maintenance: assign ONLY `increment` against the frozen

@@ -50,15 +50,18 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     // the query set is a broadcast build side: misuse with an unbounded
-    // frame must fail with a message, not OOM the driver mid-collect
-    val nq = queries.limit(maxQueries + 1).count()
-    require(nq <= maxQueries,
+    // frame must fail with a message, not OOM the driver mid-collect —
+    // the LIMIT bounds what the driver ever holds, and one row past the
+    // cap proves the overflow without a second job over the query plan
+    val capped = queries
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .limit(maxQueries + 1).collect()
+    require(capped.length <= maxQueries,
       s"bruteForceTopK: query set exceeds maxQueries=$maxQueries rows — " +
         "it is collected and broadcast; batch the queries or raise the cap " +
         "explicitly if the driver can hold them")
-    val qArr: Array[(Long, Array[Float], Double)] = queries
-      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-      .collect().map { case (id, v) => (id, v, VectorNorms.norm(v)) }
+    val qArr: Array[(Long, Array[Float], Double)] =
+      capped.map { case (id, v) => (id, v, VectorNorms.norm(v)) }
     val bq = spark.sparkContext.broadcast(qArr)
     val partials = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]

@@ -383,12 +383,19 @@ object DeltaInterop {
     * reference schemas) and fail loudly. */
   private def physicalName(f: org.apache.spark.sql.types.StructField): String = {
     val key = "delta.columnMapping.physicalName"
-    f.dataType match {
-      case s: StructType if s.fields.exists(_.metadata.contains(key)) =>
-        throw new IllegalArgumentException(
-          s"column mapping on nested field ${f.name} is not supported")
-      case _ => ()
+    // nested mapped fields (struct/array/map at any depth) would need
+    // physical-name resolution inside the scan schema — refuse loudly
+    def nestedMapped(dt: DataType): Boolean = dt match {
+      case s: StructType =>
+        s.fields.exists(x => x.metadata.contains(key) || nestedMapped(x.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => nestedMapped(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        nestedMapped(m.keyType) || nestedMapped(m.valueType)
+      case _ => false
     }
+    if (nestedMapped(f.dataType))
+      throw new IllegalArgumentException(
+        s"column mapping on nested field ${f.name} is not supported")
     if (f.metadata.contains(key)) f.metadata.getString(key) else f.name
   }
 
@@ -423,18 +430,43 @@ object DeltaInterop {
     // file's row indexes): load them driver-side once, broadcast, and
     // filter on the parquet scan's (_metadata.file_path, row_index) — a
     // constant-time membership probe per row, no join, no index
-    // materialization
+    // materialization. FAIL-CLOSED: the scan-side path string can differ
+    // from the log-side path in scheme/relativity/encoding, so lookups
+    // resolve by canonical path AND any miss whose file NAME belongs to
+    // a DV'd file throws — deleted rows must never silently reappear
+    // because of a key-normalization mismatch.
+    def canonical(p: String): String =
+      try new java.io.File(normalizeFilePath(p)).getCanonicalPath
+      catch { case _: Throwable => normalizeFilePath(p) }
+    def baseName(p: String): String =
+      normalizeFilePath(p).substring(normalizeFilePath(p).lastIndexOf('/') + 1)
     val dvByPath: Map[String, DvBitmap] =
       snap.files.filter(_.dv.isDefined)
-        .map(f => normalizeFilePath(abs(f.path)) -> loadDv(root, f.dv.get)).toMap
-    def applyDvs(df: DataFrame): DataFrame =
-      if (dvByPath.isEmpty) df
+        .map(f => canonical(abs(f.path)) -> loadDv(root, f.dv.get)).toMap
+    val dvNames: Set[String] =
+      snap.files.filter(_.dv.isDefined).map(f => baseName(f.path)).toSet
+    val applyDvs: DataFrame => DataFrame =
+      if (dvByPath.isEmpty) identity
       else {
-        val bc = spark.sparkContext.broadcast(dvByPath)
+        val bcMap = spark.sparkContext.broadcast(dvByPath)
+        val bcNames = spark.sparkContext.broadcast(dvNames)
         val keep = udf { (path: String, idx: Long) =>
-          !bc.value.get(normalizeFilePath(path)).exists(_.contains(idx))
+          bcMap.value.get(
+            try new java.io.File(
+              new java.net.URI(path).getPath match { case null => path; case p => p })
+              .getCanonicalPath
+            catch { case _: Throwable => path }) match {
+            case Some(bm) => !bm.contains(idx)
+            case None =>
+              val name = path.substring(path.lastIndexOf('/') + 1)
+              if (bcNames.value.contains(name))
+                throw new IllegalStateException(
+                  s"deletion vector for $path failed to resolve by canonical " +
+                    "path — refusing to return rows the DV may delete")
+              true
+          }
         }
-        df.withColumn("__dv_path", col("_metadata.file_path"))
+        df => df.withColumn("__dv_path", col("_metadata.file_path"))
           .withColumn("__dv_idx", col("_metadata.row_index"))
           .filter(keep(col("__dv_path"), col("__dv_idx")))
           .drop("__dv_path", "__dv_idx")

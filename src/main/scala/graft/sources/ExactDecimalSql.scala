@@ -106,15 +106,19 @@ object ExactDecimalSql {
     if (p >= 39) x
     else s"(CASE WHEN abs($x) >= ${pow10(p)} THEN NULL ELSE $x END)"
 
-  /** Canonical DECIMAL(p,s) materialization of an unscaled name: builds
-    * the fixed-scale decimal string and casts (exact both engines; the
-    * || chain NULL-propagates like Spark). */
-  private def fmtDecimal(h: String, p: Int, s: Int): String =
+  /** Canonical fixed-scale decimal STRING of an unscaled name (the ||
+    * chain NULL-propagates like Spark). */
+  private def fmtString(h: String, s: Int): String =
     if (s == 0)
-      s"CAST((CASE WHEN $h < 0 THEN '-' ELSE '' END || CAST(abs($h) AS VARCHAR)) AS DECIMAL($p,$s))"
+      s"(CASE WHEN $h < 0 THEN '-' ELSE '' END || CAST(abs($h) AS VARCHAR))"
     else
-      s"CAST((CASE WHEN $h < 0 THEN '-' ELSE '' END || CAST(abs($h) // ${pow10(s)} AS VARCHAR)" +
-        s" || '.' || lpad(CAST(abs($h) % ${pow10(s)} AS VARCHAR), $s, '0')) AS DECIMAL($p,$s))"
+      s"(CASE WHEN $h < 0 THEN '-' ELSE '' END || CAST(abs($h) // ${pow10(s)} AS VARCHAR)" +
+        s" || '.' || lpad(CAST(abs($h) % ${pow10(s)} AS VARCHAR), $s, '0'))"
+
+  /** DECIMAL(p,s) materialization via the canonical string (exact both
+    * engines — string->decimal parses the unscaled integer verbatim). */
+  private def fmtDecimal(h: String, p: Int, s: Int): String =
+    s"CAST(${fmtString(h, s)} AS DECIMAL($p,$s))"
 
   /** Unscaled-HUGEINT extraction from a true DECIMAL column reference
     * (DuckDB prints decimals at fixed scale, so dropping the dot IS the
@@ -418,15 +422,15 @@ object ExactDecimalSql {
         val h = R(s"(CAST(${v.sql} AS HUGEINT)${if (s > 0) s" * ${pow10(s)}" else ""})", v.layer)
         R(checkSql(em.name(h).sql, p), h.layer)
       case (Dec(_, s), DoubleType) =>
-        // via the canonical string: VARCHAR->DOUBLE is correctly-rounded
-        // nearest in both engines (matches Spark's BigDecimal.doubleValue)
+        // direct string->double: correctly-rounded nearest in both
+        // engines (matches Spark's BigDecimal.doubleValue); a DECIMAL
+        // intermediate would double-round via hugeint->double / 10^s
         val h = em.name(rx(c.child))
-        val str = fmtDecimal(h.sql, 38, s)
-        R(s"CAST($str AS DOUBLE)", h.layer)
+        R(s"CAST(${fmtString(h.sql, s)} AS DOUBLE)", h.layer)
       case (Dec(_, s), StringType) =>
-        val h = em.name(rx(c.child))
         // Spark prints the decimal at its full fixed scale
-        R(fmtDecimal(h.sql, 38, s).replaceAll("AS DECIMAL\\(38,\\d+\\)\\)$", "AS VARCHAR)"), h.layer)
+        val h = em.name(rx(c.child))
+        R(fmtString(h.sql, s), h.layer)
       case (Dec(_, s), IntegerType | LongType) =>
         // Spark Decimal.toLong truncates toward zero
         val h = em.name(rx(c.child))

@@ -76,7 +76,10 @@ object JdbcServing {
         // (MySQL/ODBC base table not found), 42704 (DB2/Derby undefined
         // name), 42X05 (Derby table does not exist), S0002 (legacy
         // base-table-not-found). Connection errors, timeouts, auth, and
-        // revoked grants all propagate.
+        // revoked grants all propagate. Scope: the reference serves
+        // Redshift (Postgres family) — Oracle's ambiguous 42000 for
+        // ORA-00942 is deliberately NOT classified as missing; an Oracle
+        // target would need a vendor-aware probe injected by the caller.
         case t: Throwable =>
           val missingStates = Set("42P01", "42S02", "42704", "42X05", "S0002")
           val missing = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)

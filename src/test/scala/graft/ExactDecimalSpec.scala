@@ -114,23 +114,36 @@ class ExactDecimalSpec extends AnyFunSuite {
 
     val rnd = new scala.util.Random(20260814L)
     def dec(intDigits: Int, scale: Int): java.math.BigDecimal = {
-      // mix uniform digits with exact half-boundary shapes
-      val base = BigInt(intDigits + scale, rnd) *
-        (if (rnd.nextBoolean()) 1 else -1)
-      val v = rnd.nextInt(4) match {
-        case 0 => base - (base mod BigInt(10)) + 5 // ...5 trailing digit
-        case _ => base
-      }
-      new java.math.BigDecimal(v.bigInteger, scale)
+      // uniform over the full DIGIT range (not bit-length!), signed, with
+      // exact half-boundary and max-magnitude adversaries mixed in — the
+      // magnitudes must reach the precision ceiling so the overflow-NULL
+      // path is genuinely exercised
+      val ceil = BigInt(10).pow(intDigits + scale)
+      val base0 = BigInt(ceil.bitLength, rnd).mod(ceil)
+      val base = (rnd.nextInt(4) match {
+        case 0 => base0 - (base0 mod BigInt(10)) + 5 // ...5 trailing digit
+        case 1 => ceil - 1 - (base0 mod BigInt(1000)) // near the ceiling
+        case _ => base0
+      }) * (if (rnd.nextBoolean()) 1 else -1)
+      new java.math.BigDecimal(base.bigInteger, scale)
     }
-    val samples = (1 to 400).map(_ => (dec(6, 6), dec(4, 12)))
+    // (a, b): realistic magnitudes. w: a wide (38,12) operand whose
+    // narrowing cast to (18,2) can overflow — the one overflow-NULL path
+    // REACHABLE inside the <=34-significant-digit envelope (a decimal
+    // MULTIPLY can only overflow precision 38 when its exact product
+    // already exceeds 34 digits, i.e. outside the envelope where Spark's
+    // DECIMAL128 pre-rounding kicks in and this replay does not apply)
+    val samples = (1 to 400).map(_ =>
+      (dec(6, 6), dec(4, 12), dec(20, 12)))
     import ansiOff.implicits._
-    val df = samples.map { case (a, b) => (a.toPlainString, b.toPlainString) }
-      .toDF("a", "b")
+    val df = samples.map { case (a, b, w) =>
+        (a.toPlainString, b.toPlainString, w.toPlainString) }
+      .toDF("a", "b", "w")
       .selectExpr(
-        "CAST(a AS DECIMAL(18,6)) AS a", "CAST(b AS DECIMAL(38,12)) AS b")
+        "CAST(a AS DECIMAL(18,6)) AS a", "CAST(b AS DECIMAL(38,12)) AS b",
+        "CAST(w AS DECIMAL(38,12)) AS w")
       .selectExpr("a", "b", "a * b AS m", "a / b AS d", "a + b AS s2",
-        "CAST(a AS DECIMAL(18,2)) AS c")
+        "CAST(a AS DECIMAL(18,2)) AS c", "w", "CAST(w AS DECIMAL(18,2)) AS cw")
     val m = df.schema("m").dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
     val dT = df.schema("d").dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
     val sT = df.schema("s2").dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
@@ -158,7 +171,15 @@ class ExactDecimalSpec extends AnyFunSuite {
       val expC = check(rescale(ua, 6, 2), 18)
       assert(Option(r.getDecimal(5)).map(_.unscaledValue) == expC,
         s"cast mismatch for $a")
+      // wide narrowing cast: (38,12) -> (18,2), overflow-NULL reachable
+      val uw = r.getDecimal(6).unscaledValue
+      val expW = check(rescale(uw, 12, 2), 18)
+      assert(Option(r.getDecimal(7)).map(_.unscaledValue) == expW,
+        s"wide cast mismatch for ${r.getDecimal(6)}")
     }
+    // sanity: the adversarial family genuinely reached the NULL branch
+    assert(df.selectExpr("count(*) - count(cw)").head().getLong(0) > 0,
+      "wide-cast family never overflowed — fuzz lost its teeth")
   }
 
   test("replay envelope: lake magnitudes stay far inside DECIMAL128/int128") {
