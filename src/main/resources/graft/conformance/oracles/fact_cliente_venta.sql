@@ -1922,22 +1922,22 @@ job_fact_cliente_venta AS (
        id_compania,
        id_cliente,
        cod_modulo,
-       CAST(cant_caja_fisica_ven_3meses AS DOUBLE) AS cant_caja_fisica_ven_3meses,
-       CAST(cant_caja_fisica_ven_12meses AS DOUBLE) AS cant_caja_fisica_ven_12meses,
-       CAST(cant_caja_unitaria_ven_3meses AS DOUBLE) AS cant_caja_unitaria_ven_3meses,
-       CAST(cant_caja_unitaria_ven_12meses AS DOUBLE) AS cant_caja_unitaria_ven_12meses,
-       CAST(cant_caja_fisica_pro_3meses AS DOUBLE) AS cant_caja_fisica_pro_3meses,
-       CAST(cant_caja_fisica_pro_12meses AS DOUBLE) AS cant_caja_fisica_pro_12meses,
-       CAST(cant_caja_unitaria_pro_3meses AS DOUBLE) AS cant_caja_unitaria_pro_3meses,
-       CAST(cant_caja_unitaria_pro_12meses AS DOUBLE) AS cant_caja_unitaria_pro_12meses,
-       CAST(imp_neto_mn_3meses AS DOUBLE) AS imp_neto_mn_3meses,
-       CAST(imp_neto_mn_12meses AS DOUBLE) AS imp_neto_mn_12meses,
-       CAST(imp_neto_me_3meses AS DOUBLE) AS imp_neto_me_3meses,
-       CAST(imp_neto_me_12meses AS DOUBLE) AS imp_neto_me_12meses,
-       CAST(imp_bruto_mn_3meses AS DOUBLE) AS imp_bruto_mn_3meses,
-       CAST(imp_bruto_mn_12meses AS DOUBLE) AS imp_bruto_mn_12meses,
-       CAST(imp_bruto_me_3meses AS DOUBLE) AS imp_bruto_me_3meses,
-       CAST(imp_bruto_me_12meses AS DOUBLE) AS imp_bruto_me_12meses,
+       CAST(CAST(cant_caja_fisica_ven_3meses AS VARCHAR) AS DOUBLE) AS cant_caja_fisica_ven_3meses,
+       CAST(CAST(cant_caja_fisica_ven_12meses AS VARCHAR) AS DOUBLE) AS cant_caja_fisica_ven_12meses,
+       CAST(CAST(cant_caja_unitaria_ven_3meses AS VARCHAR) AS DOUBLE) AS cant_caja_unitaria_ven_3meses,
+       CAST(CAST(cant_caja_unitaria_ven_12meses AS VARCHAR) AS DOUBLE) AS cant_caja_unitaria_ven_12meses,
+       CAST(CAST(cant_caja_fisica_pro_3meses AS VARCHAR) AS DOUBLE) AS cant_caja_fisica_pro_3meses,
+       CAST(CAST(cant_caja_fisica_pro_12meses AS VARCHAR) AS DOUBLE) AS cant_caja_fisica_pro_12meses,
+       CAST(CAST(cant_caja_unitaria_pro_3meses AS VARCHAR) AS DOUBLE) AS cant_caja_unitaria_pro_3meses,
+       CAST(CAST(cant_caja_unitaria_pro_12meses AS VARCHAR) AS DOUBLE) AS cant_caja_unitaria_pro_12meses,
+       CAST(CAST(imp_neto_mn_3meses AS VARCHAR) AS DOUBLE) AS imp_neto_mn_3meses,
+       CAST(CAST(imp_neto_mn_12meses AS VARCHAR) AS DOUBLE) AS imp_neto_mn_12meses,
+       CAST(CAST(imp_neto_me_3meses AS VARCHAR) AS DOUBLE) AS imp_neto_me_3meses,
+       CAST(CAST(imp_neto_me_12meses AS VARCHAR) AS DOUBLE) AS imp_neto_me_12meses,
+       CAST(CAST(imp_bruto_mn_3meses AS VARCHAR) AS DOUBLE) AS imp_bruto_mn_3meses,
+       CAST(CAST(imp_bruto_mn_12meses AS VARCHAR) AS DOUBLE) AS imp_bruto_mn_12meses,
+       CAST(CAST(imp_bruto_me_3meses AS VARCHAR) AS DOUBLE) AS imp_bruto_me_3meses,
+       CAST(CAST(imp_bruto_me_12meses AS VARCHAR) AS DOUBLE) AS imp_bruto_me_12meses,
        cant_producto,
        cant_venta,
        cant_marca,
@@ -1945,8 +1945,8 @@ job_fact_cliente_venta AS (
        ult_dia_compra_cliente,
        cant_caja_unit_venta_12meses_nn,
        cant_caja_unit_venta_3meses_nn,
-       CAST(imp_neto_mn_12meses_nn AS DOUBLE) AS imp_neto_mn_12meses_nn,
-       CAST(imp_neto_mn_3meses_nn AS DOUBLE) AS imp_neto_mn_3meses_nn,
+       CAST(CAST(imp_neto_mn_12meses_nn AS VARCHAR) AS DOUBLE) AS imp_neto_mn_12meses_nn,
+       CAST(CAST(imp_neto_mn_3meses_nn AS VARCHAR) AS DOUBLE) AS imp_neto_mn_3meses_nn,
        ult_fecha_compra_12meses_nn,
        cant_venta_nn,
        cant_marca_nn FROM job_fact_cliente_venta

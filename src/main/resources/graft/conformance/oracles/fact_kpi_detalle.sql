@@ -1993,11 +1993,11 @@ job_fact_kpi_detalle AS (
        id_cliente_visita,
        id_cliente_visita_pedido,
        id_cliente_visita_venta,
-       CAST(cant_cajafisica_vta AS DOUBLE) AS cant_cajafisica_vta,
-       CAST(cant_cajaunitaria_vta AS DOUBLE) AS cant_cajaunitaria_vta,
-       CAST(cant_cajafisica_pro AS DOUBLE) AS cant_cajafisica_pro,
-       CAST(cant_cajaunitaria_pro AS DOUBLE) AS cant_cajaunitaria_pro,
-       CAST(imp_neto_vta_mn AS DOUBLE) AS imp_neto_vta_mn,
-       CAST(imp_neto_vta_me AS DOUBLE) AS imp_neto_vta_me,
-       CAST(imp_bruto_vta_mn AS DOUBLE) AS imp_bruto_vta_mn,
-       CAST(imp_bruto_vta_me AS DOUBLE) AS imp_bruto_vta_me FROM job_fact_kpi_detalle
+       CAST(CAST(cant_cajafisica_vta AS VARCHAR) AS DOUBLE) AS cant_cajafisica_vta,
+       CAST(CAST(cant_cajaunitaria_vta AS VARCHAR) AS DOUBLE) AS cant_cajaunitaria_vta,
+       CAST(CAST(cant_cajafisica_pro AS VARCHAR) AS DOUBLE) AS cant_cajafisica_pro,
+       CAST(CAST(cant_cajaunitaria_pro AS VARCHAR) AS DOUBLE) AS cant_cajaunitaria_pro,
+       CAST(CAST(imp_neto_vta_mn AS VARCHAR) AS DOUBLE) AS imp_neto_vta_mn,
+       CAST(CAST(imp_neto_vta_me AS VARCHAR) AS DOUBLE) AS imp_neto_vta_me,
+       CAST(CAST(imp_bruto_vta_mn AS VARCHAR) AS DOUBLE) AS imp_bruto_vta_mn,
+       CAST(CAST(imp_bruto_vta_me AS VARCHAR) AS DOUBLE) AS imp_bruto_vta_me FROM job_fact_kpi_detalle

@@ -1560,21 +1560,21 @@ job_fact_reparto_detalle AS (
        fecha_almacen,
        nro_pedido,
        estado_guia,
-       CAST(cant_cajafisica_ped AS DOUBLE) AS cant_cajafisica_ped,
-       CAST(cant_cajavolumen_ped AS DOUBLE) AS cant_cajavolumen_ped,
-       CAST(cant_cajafisica_ped_pro AS DOUBLE) AS cant_cajafisica_ped_pro,
-       CAST(cant_cajavolumen_ped_pro AS DOUBLE) AS cant_cajavolumen_ped_pro,
-       CAST(cant_cajafisica_asignado_ped AS DOUBLE) AS cant_cajafisica_asignado_ped,
-       CAST(cant_cajavolumen_asignado_ped AS DOUBLE) AS cant_cajavolumen_asignado_ped,
-       CAST(cant_cajafisica_asignado_ped_pro AS DOUBLE) AS cant_cajafisica_asignado_ped_pro,
-       CAST(cant_cajavolumen_asignado_ped_pro AS DOUBLE) AS cant_cajavolumen_asignado_ped_pro,
-       CAST(cant_cajafisica_desp AS DOUBLE) AS cant_cajafisica_desp,
-       CAST(cant_cajavolumen_desp AS DOUBLE) AS cant_cajavolumen_desp,
-       CAST(cant_cajafisica_desp_pro AS DOUBLE) AS cant_cajafisica_desp_pro,
-       CAST(cant_cajavolumen_desp_pro AS DOUBLE) AS cant_cajavolumen_desp_pro,
-       CAST(cant_cajafisica_ven AS DOUBLE) AS cant_cajafisica_ven,
-       CAST(cant_cajavolumen_ven AS DOUBLE) AS cant_cajavolumen_ven,
-       CAST(cant_cajafisica_pro AS DOUBLE) AS cant_cajafisica_pro,
-       CAST(cant_cajavolumen_pro AS DOUBLE) AS cant_cajavolumen_pro,
+       CAST(CAST(cant_cajafisica_ped AS VARCHAR) AS DOUBLE) AS cant_cajafisica_ped,
+       CAST(CAST(cant_cajavolumen_ped AS VARCHAR) AS DOUBLE) AS cant_cajavolumen_ped,
+       CAST(CAST(cant_cajafisica_ped_pro AS VARCHAR) AS DOUBLE) AS cant_cajafisica_ped_pro,
+       CAST(CAST(cant_cajavolumen_ped_pro AS VARCHAR) AS DOUBLE) AS cant_cajavolumen_ped_pro,
+       CAST(CAST(cant_cajafisica_asignado_ped AS VARCHAR) AS DOUBLE) AS cant_cajafisica_asignado_ped,
+       CAST(CAST(cant_cajavolumen_asignado_ped AS VARCHAR) AS DOUBLE) AS cant_cajavolumen_asignado_ped,
+       CAST(CAST(cant_cajafisica_asignado_ped_pro AS VARCHAR) AS DOUBLE) AS cant_cajafisica_asignado_ped_pro,
+       CAST(CAST(cant_cajavolumen_asignado_ped_pro AS VARCHAR) AS DOUBLE) AS cant_cajavolumen_asignado_ped_pro,
+       CAST(CAST(cant_cajafisica_desp AS VARCHAR) AS DOUBLE) AS cant_cajafisica_desp,
+       CAST(CAST(cant_cajavolumen_desp AS VARCHAR) AS DOUBLE) AS cant_cajavolumen_desp,
+       CAST(CAST(cant_cajafisica_desp_pro AS VARCHAR) AS DOUBLE) AS cant_cajafisica_desp_pro,
+       CAST(CAST(cant_cajavolumen_desp_pro AS VARCHAR) AS DOUBLE) AS cant_cajavolumen_desp_pro,
+       CAST(CAST(cant_cajafisica_ven AS VARCHAR) AS DOUBLE) AS cant_cajafisica_ven,
+       CAST(CAST(cant_cajavolumen_ven AS VARCHAR) AS DOUBLE) AS cant_cajavolumen_ven,
+       CAST(CAST(cant_cajafisica_pro AS VARCHAR) AS DOUBLE) AS cant_cajafisica_pro,
+       CAST(CAST(cant_cajavolumen_pro AS VARCHAR) AS DOUBLE) AS cant_cajavolumen_pro,
        fecha_creacion,
        fecha_modificacion FROM job_fact_reparto_detalle

@@ -1567,37 +1567,37 @@ job_fact_venta_detalle AS (
        cod_zona,
        cod_ruta,
        cod_modulo,
-       CAST(cant_cajafisica_vta AS DOUBLE) AS cant_cajafisica_vta,
-       CAST(cant_cajaunitaria_vta AS DOUBLE) AS cant_cajaunitaria_vta,
-       CAST(cant_cajafisica_pro AS DOUBLE) AS cant_cajafisica_pro,
-       CAST(cant_cajaunitaria_pro AS DOUBLE) AS cant_cajaunitaria_pro,
-       CAST(imp_neto_vta_mn AS DOUBLE) AS imp_neto_vta_mn,
-       CAST(imp_neto_vta_me AS DOUBLE) AS imp_neto_vta_me,
-       CAST(imp_bruto_vta_mn AS DOUBLE) AS imp_bruto_vta_mn,
-       CAST(imp_bruto_vta_me AS DOUBLE) AS imp_bruto_vta_me,
-       CAST(imp_dscto_mn AS DOUBLE) AS imp_dscto_mn,
-       CAST(imp_dscto_me AS DOUBLE) AS imp_dscto_me,
-       CAST(imp_dscto_sinimpvta_mn AS DOUBLE) AS imp_dscto_sinimpvta_mn,
-       CAST(imp_dscto_sinimpvta_me AS DOUBLE) AS imp_dscto_sinimpvta_me,
-       CAST(imp_cobrar_vta_mn AS DOUBLE) AS imp_cobrar_vta_mn,
-       CAST(imp_cobrar_vta_me AS DOUBLE) AS imp_cobrar_vta_me,
-       CAST(imp_paquete_vta_mn AS DOUBLE) AS imp_paquete_vta_mn,
-       CAST(imp_paquete_vta_me AS DOUBLE) AS imp_paquete_vta_me,
-       CAST(imp_sugerido_mn AS DOUBLE) AS imp_sugerido_mn,
-       CAST(imp_sugerido_me AS DOUBLE) AS imp_sugerido_me,
-       CAST(imp_full_vta_mn AS DOUBLE) AS imp_full_vta_mn,
-       CAST(imp_full_vta_me AS DOUBLE) AS imp_full_vta_me,
-       CAST(imp_valorizado_pro_mn AS DOUBLE) AS imp_valorizado_pro_mn,
-       CAST(imp_valorizado_pro_me AS DOUBLE) AS imp_valorizado_pro_me,
-       CAST(imp_impuesto1_mn AS DOUBLE) AS imp_impuesto1_mn,
-       CAST(imp_impuesto1_me AS DOUBLE) AS imp_impuesto1_me,
-       CAST(imp_impuesto2_mn AS DOUBLE) AS imp_impuesto2_mn,
-       CAST(imp_impuesto2_me AS DOUBLE) AS imp_impuesto2_me,
-       CAST(imp_impuesto3_mn AS DOUBLE) AS imp_impuesto3_mn,
-       CAST(imp_impuesto3_me AS DOUBLE) AS imp_impuesto3_me,
-       CAST(imp_impuesto4_mn AS DOUBLE) AS imp_impuesto4_mn,
-       CAST(imp_impuesto4_me AS DOUBLE) AS imp_impuesto4_me,
-       CAST(imp_impuesto5_mn AS DOUBLE) AS imp_impuesto5_mn,
-       CAST(imp_impuesto5_me AS DOUBLE) AS imp_impuesto5_me,
-       CAST(imp_impuesto6_mn AS DOUBLE) AS imp_impuesto6_mn,
-       CAST(imp_impuesto6_me AS DOUBLE) AS imp_impuesto6_me FROM job_fact_venta_detalle
+       CAST(CAST(cant_cajafisica_vta AS VARCHAR) AS DOUBLE) AS cant_cajafisica_vta,
+       CAST(CAST(cant_cajaunitaria_vta AS VARCHAR) AS DOUBLE) AS cant_cajaunitaria_vta,
+       CAST(CAST(cant_cajafisica_pro AS VARCHAR) AS DOUBLE) AS cant_cajafisica_pro,
+       CAST(CAST(cant_cajaunitaria_pro AS VARCHAR) AS DOUBLE) AS cant_cajaunitaria_pro,
+       CAST(CAST(imp_neto_vta_mn AS VARCHAR) AS DOUBLE) AS imp_neto_vta_mn,
+       CAST(CAST(imp_neto_vta_me AS VARCHAR) AS DOUBLE) AS imp_neto_vta_me,
+       CAST(CAST(imp_bruto_vta_mn AS VARCHAR) AS DOUBLE) AS imp_bruto_vta_mn,
+       CAST(CAST(imp_bruto_vta_me AS VARCHAR) AS DOUBLE) AS imp_bruto_vta_me,
+       CAST(CAST(imp_dscto_mn AS VARCHAR) AS DOUBLE) AS imp_dscto_mn,
+       CAST(CAST(imp_dscto_me AS VARCHAR) AS DOUBLE) AS imp_dscto_me,
+       CAST(CAST(imp_dscto_sinimpvta_mn AS VARCHAR) AS DOUBLE) AS imp_dscto_sinimpvta_mn,
+       CAST(CAST(imp_dscto_sinimpvta_me AS VARCHAR) AS DOUBLE) AS imp_dscto_sinimpvta_me,
+       CAST(CAST(imp_cobrar_vta_mn AS VARCHAR) AS DOUBLE) AS imp_cobrar_vta_mn,
+       CAST(CAST(imp_cobrar_vta_me AS VARCHAR) AS DOUBLE) AS imp_cobrar_vta_me,
+       CAST(CAST(imp_paquete_vta_mn AS VARCHAR) AS DOUBLE) AS imp_paquete_vta_mn,
+       CAST(CAST(imp_paquete_vta_me AS VARCHAR) AS DOUBLE) AS imp_paquete_vta_me,
+       CAST(CAST(imp_sugerido_mn AS VARCHAR) AS DOUBLE) AS imp_sugerido_mn,
+       CAST(CAST(imp_sugerido_me AS VARCHAR) AS DOUBLE) AS imp_sugerido_me,
+       CAST(CAST(imp_full_vta_mn AS VARCHAR) AS DOUBLE) AS imp_full_vta_mn,
+       CAST(CAST(imp_full_vta_me AS VARCHAR) AS DOUBLE) AS imp_full_vta_me,
+       CAST(CAST(imp_valorizado_pro_mn AS VARCHAR) AS DOUBLE) AS imp_valorizado_pro_mn,
+       CAST(CAST(imp_valorizado_pro_me AS VARCHAR) AS DOUBLE) AS imp_valorizado_pro_me,
+       CAST(CAST(imp_impuesto1_mn AS VARCHAR) AS DOUBLE) AS imp_impuesto1_mn,
+       CAST(CAST(imp_impuesto1_me AS VARCHAR) AS DOUBLE) AS imp_impuesto1_me,
+       CAST(CAST(imp_impuesto2_mn AS VARCHAR) AS DOUBLE) AS imp_impuesto2_mn,
+       CAST(CAST(imp_impuesto2_me AS VARCHAR) AS DOUBLE) AS imp_impuesto2_me,
+       CAST(CAST(imp_impuesto3_mn AS VARCHAR) AS DOUBLE) AS imp_impuesto3_mn,
+       CAST(CAST(imp_impuesto3_me AS VARCHAR) AS DOUBLE) AS imp_impuesto3_me,
+       CAST(CAST(imp_impuesto4_mn AS VARCHAR) AS DOUBLE) AS imp_impuesto4_mn,
+       CAST(CAST(imp_impuesto4_me AS VARCHAR) AS DOUBLE) AS imp_impuesto4_me,
+       CAST(CAST(imp_impuesto5_mn AS VARCHAR) AS DOUBLE) AS imp_impuesto5_mn,
+       CAST(CAST(imp_impuesto5_me AS VARCHAR) AS DOUBLE) AS imp_impuesto5_me,
+       CAST(CAST(imp_impuesto6_mn AS VARCHAR) AS DOUBLE) AS imp_impuesto6_mn,
+       CAST(CAST(imp_impuesto6_me AS VARCHAR) AS DOUBLE) AS imp_impuesto6_me FROM job_fact_venta_detalle

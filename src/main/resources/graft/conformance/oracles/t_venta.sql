@@ -250,8 +250,8 @@ job_t_venta AS (
        fecha_emision,
        fecha_pedido,
        es_anulado,
-       CAST(tipo_cambio_mn AS DOUBLE) AS tipo_cambio_mn,
-       CAST(tipo_cambio_me AS DOUBLE) AS tipo_cambio_me,
+       CAST(CAST(tipo_cambio_mn AS VARCHAR) AS DOUBLE) AS tipo_cambio_mn,
+       CAST(CAST(tipo_cambio_me AS VARCHAR) AS DOUBLE) AS tipo_cambio_me,
        fecha_creacion,
        fecha_modificacion,
        es_eliminado FROM job_t_venta

@@ -85,7 +85,7 @@ object AnalyticsQueries {
 
   val q43Sql: String =
     """SELECT nacion, anio, count(*) AS n_pedidos,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS imp_total
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS imp_total
       |FROM (
       |  SELECT n_name AS nacion, CAST(year(o_orderdate) AS INTEGER) AS anio,
       |    o_totalprice
@@ -153,14 +153,14 @@ object AnalyticsQueries {
 
   val q45Sql: String =
     """SELECT o_custkey, c_nationkey,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS imp_total,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS imp_total,
       |  percent_rank() OVER w AS pct_rank,
       |  cume_dist() OVER w AS cume,
       |  CAST(ntile(10) OVER w AS INTEGER) AS decil
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY o_custkey, c_nationkey
       |WINDOW w AS (PARTITION BY c_nationkey
-      |  ORDER BY CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) DESC,
+      |  ORDER BY CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) DESC,
       |           o_custkey)""".stripMargin
 
   // ---------------------------------------------------------------- q48
@@ -191,7 +191,7 @@ object AnalyticsQueries {
       |    i * 15000.0 + 40000.0 AS hi
       |  FROM range(30) t(i))
       |SELECT banda, count(*) AS n_pedidos,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS imp_total
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS imp_total
       |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice <= hi
       |GROUP BY banda""".stripMargin
 
@@ -228,15 +228,15 @@ object AnalyticsQueries {
   val q50Sql: String =
     """SELECT 'ventas' AS kpi, strftime(o_orderdate, '%Y%m') AS id_periodo,
       |  count(*) AS cantidad,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS valor
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS valor
       |FROM orders GROUP BY 2
       |UNION ALL
       |SELECT 'lineas_neto', strftime(l_shipdate, '%Y%m'), count(*),
-      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
       |FROM lineitem GROUP BY 2
       |UNION ALL
       |SELECT 'eventos', strftime(ts, '%Y%m'), count(*),
-      |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
       |FROM events GROUP BY 2""".stripMargin
 
   // ---------------------------------------------------------------- q51

@@ -41,11 +41,11 @@ object CoreQueries {
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
@@ -78,7 +78,7 @@ object CoreQueries {
 
   val q2Sql: String =
     """SELECT r_name AS region_name, n_name AS nation_name,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  count(DISTINCT o_orderkey) AS n_orders
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -154,7 +154,7 @@ object CoreQueries {
   val q5Sql: String =
     """SELECT strftime(o_orderdate, '%Y%m') AS id_periodo,
       |  count(*) AS cant_pedidos,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS imp_total,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS imp_total,
       |  count(DISTINCT o_custkey) AS cant_clientes
       |FROM orders GROUP BY 1""".stripMargin
 
@@ -184,9 +184,9 @@ object CoreQueries {
       |monthly AS (
       |  SELECT *, year(mes) * 12 + month(mes) AS mes_idx FROM monthly0)
       |SELECT o_custkey, strftime(mes, '%Y%m') AS id_periodo,
-      |  CAST(imp_mes AS DOUBLE) AS imp_mes,
-      |  CAST(sum(imp_mes) OVER (PARTITION BY o_custkey ORDER BY mes_idx
-      |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS imp_3m
+      |  CAST(CAST(imp_mes AS VARCHAR) AS DOUBLE) AS imp_mes,
+      |  CAST(CAST(sum(imp_mes) OVER (PARTITION BY o_custkey ORDER BY mes_idx
+      |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS imp_3m
       |FROM monthly""".stripMargin
 
   // ---------------------------------------------------------------- q7
@@ -299,7 +299,7 @@ object CoreQueries {
       |  count(DISTINCT l_suppkey) AS cant_proveedor,
       |  count(DISTINCT o_orderkey) AS cant_venta,
       |  count(*) AS cant_lineas,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS imp_neto,
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS imp_neto,
       |  max(CAST(l_shipdate AS DATE)) AS ult_fecha_compra,
       |  CAST(date_diff('day', max(CAST(l_shipdate AS DATE)), DATE '2002-01-01') AS INTEGER) AS ult_dia_compra
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

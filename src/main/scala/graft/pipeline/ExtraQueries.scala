@@ -65,9 +65,9 @@ object ExtraQueries {
   val q28Sql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
       |  o_totalprice AS imp_pedido,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS saldo_acumulado
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS saldo_acumulado
       |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------- q29

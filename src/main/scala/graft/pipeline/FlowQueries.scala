@@ -164,7 +164,7 @@ object FlowQueries {
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
       |  CAST(min(ts) AS TIMESTAMP) AS inicio, CAST(max(ts) AS TIMESTAMP) AS fin,
       |  count(*) AS n_eventos,
-      |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS imp_valor
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS imp_valor
       |FROM sessions GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- q14
@@ -176,7 +176,7 @@ object FlowQueries {
   val q14Sql: String =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ventana, event_type,
       |  count(*) AS n_eventos,
-      |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS imp_valor
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS imp_valor
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- q37
@@ -282,7 +282,7 @@ object FlowQueries {
       |  SELECT event_type, value, unnest(range(h0 - 2, h0 + 1)) AS ventana_h
       |  FROM e)
       |SELECT event_type, count(*) AS n_eventos,
-      |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS imp_valor,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS imp_valor,
       |  make_timestamp(ventana_h * 3600000000) AS ventana
       |FROM x GROUP BY event_type, ventana_h""".stripMargin
 

@@ -235,7 +235,7 @@ object ConformanceLake {
   private val stepPersists =
     java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
 
-  private def persistShared(df: DataFrame): DataFrame = {
+  private[sources] def persistShared(df: DataFrame): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       stepPersists.add(df): Unit
@@ -337,11 +337,16 @@ object ConformanceGate {
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** DuckDB-side: the matching final select list. */
+  /** DuckDB-side: the matching final select list. Decimal -> double goes
+    * through VARCHAR: DuckDB's native decimal->double (hugeint->double
+    * then /10^s) double-rounds past 2^53 of unscaled magnitude, while
+    * string->double is correctly-rounded nearest — matching Spark's
+    * BigDecimal.doubleValue at any scale factor. */
   def finalSelect(schema: org.apache.spark.sql.types.StructType): Seq[String] =
     schema.fields.toIndexedSeq.map { f =>
       f.dataType match {
-        case _: DecimalType => s"CAST(${f.name} AS DOUBLE) AS ${f.name}"
+        case _: DecimalType =>
+          s"CAST(CAST(${f.name} AS VARCHAR) AS DOUBLE) AS ${f.name}"
         case TimestampType  => s"CAST(${f.name} AS TIMESTAMP) AS ${f.name}"
         case NullType       => s"CAST(NULL AS VARCHAR) AS ${f.name}"
         case _              => f.name

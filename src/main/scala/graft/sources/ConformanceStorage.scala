@@ -71,7 +71,11 @@ object ConformanceStorage {
           // (source layer tokens are the reference's data_paths names)
           table(clone, lakeRoot, ConformanceJobs.byName(t).layer, t).read()
       }
-      val out = ConformanceRunner.run(job, resolve, params)
+      // multiply-referenced steps persist through the shared registry
+      // (released by ConformanceLake.clearCaches), so a single job write
+      // never re-executes a shared aggregate per downstream reference
+      val out = ConformanceRunner.run(job, resolve, params,
+        persistShared = ConformanceLake.persistShared)
       write(table(clone, lakeRoot, job.layer, name), job, out): Unit
     }
     table(clone, lakeRoot, ConformanceJobs.byName(rootJob).layer, rootJob)

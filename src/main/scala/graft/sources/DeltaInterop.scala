@@ -32,12 +32,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     files do not carry partition columns;
   *   - `protocol` is enforced, not assumed: reader version ≤ 2, or ≤ 3
   *     when every `readerFeatures` entry is supported (timestampNtz,
-  *     deletionVectors, columnMapping). v2 checkpoints and id-mode column
-  *     mapping fail loudly rather than silently returning wrong rows.
-  *   - column mapping, name mode (r6): data columns scan under the
+  *     deletionVectors, columnMapping). v2 checkpoints and unknown
+  *     features fail loudly rather than silently returning wrong rows.
+  *   - column mapping (r6), both modes: data columns scan under the
   *     physical names recorded in the schema field metadata and rename
-  *     back to logical; partitionValues resolve by physical name — so
-  *     tables whose columns were RENAMEd read correctly.
+  *     back to logical; partitionValues resolve by physical name; id
+  *     mode additionally stamps `parquet.field.id` on the scan schema
+  *     and enables Spark's parquet field-id resolution, matching columns
+  *     by the ids the writer embedded — so tables whose columns were
+  *     RENAMEd (either mode) read correctly.
   *   - deletion vectors (r6): each file's DV descriptor is resolved
   *     (uuid-file / inline-z85 / absolute-path), CRC-verified, and its
   *     RoaringBitmapArray deserialized driver-side; reads drop deleted
@@ -83,7 +86,8 @@ object DeltaInterop {
 
   final case class DeltaSnapshot(version: Long, schema: StructType,
                                  partitionColumns: Seq[String],
-                                 files: Seq[DeltaAdd])
+                                 files: Seq[DeltaAdd],
+                                 columnMappingMode: String = "none")
 
   def isDeltaTable(root: String): Boolean =
     Files.isDirectory(Paths.get(root, "_delta_log"))
@@ -119,11 +123,11 @@ object DeltaInterop {
 
   private def checkMetaData(conf: Map[String, String]): Unit = {
     val mode = conf.getOrElse("delta.columnMapping.mode", "none")
-    // name-mode mapping is supported (physical names resolved from the
-    // schema metadata); id mode needs parquet field-id resolution we do
-    // not implement — keep failing loudly
-    require(mode == "none" || mode == "name",
-      s"unsupported delta.columnMapping.mode=$mode (only none/name)")
+    // name mode resolves physical names from the schema metadata; id
+    // mode rides Spark's parquet FIELD-ID resolution (the scan schema
+    // carries parquet.field.id from delta.columnMapping.id)
+    require(mode == "none" || mode == "name" || mode == "id",
+      s"unsupported delta.columnMapping.mode=$mode")
   }
 
   /** Reconstruct the table state at `version` (default: latest). */
@@ -154,12 +158,14 @@ object DeltaInterop {
     val files = scala.collection.mutable.LinkedHashMap[String, DeltaAdd]()
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
+    var cmMode: String = "none"
 
     def applyMeta(schemaString: String, parts: Seq[String],
                   conf: Map[String, String]): Unit = {
       checkMetaData(conf)
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partCols = parts
+      cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
     }
     def applyAdd(a: DeltaAdd): Unit = { files(a.path) = a; () }
     def applyRemove(path: String): Unit = { files.remove(path); () }
@@ -254,7 +260,7 @@ object DeltaInterop {
     DeltaSnapshot(target,
       schema.getOrElse(throw new IllegalStateException(
         s"$root: no metaData action in log up to version $target")),
-      partCols, files.values.toList)
+      partCols, files.values.toList, cmMode)
   }
 
   // ----------------------------------------------------- deletion vectors
@@ -410,11 +416,25 @@ object DeltaInterop {
            version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, root, version)
     // data columns scan under their PHYSICAL names (column mapping; equal
-    // to the logical name in unmapped tables), then rename back
+    // to the logical name in unmapped tables), then rename back. In id
+    // mode the scan schema also carries parquet.field.id so Spark's
+    // parquet reader matches columns by the writer-embedded field ids
+    // (names in id-mode files are not contractual).
     val dataFields = snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
-    val dataSchema = StructType(dataFields.map(f =>
-      org.apache.spark.sql.types.StructField(physicalName(f), f.dataType, f.nullable)))
+    val byFieldId = snap.columnMappingMode == "id"
+    if (byFieldId)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val dataSchema = StructType(dataFields.map { f =>
+      val meta =
+        if (byFieldId && f.metadata.contains("delta.columnMapping.id"))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id")).build()
+        else org.apache.spark.sql.types.Metadata.empty
+      org.apache.spark.sql.types.StructField(
+        physicalName(f), f.dataType, f.nullable, meta)
+    })
     val renames: Seq[(String, String)] =
       dataFields.map(f => physicalName(f) -> f.name).toSeq
     val partFields = snap.partitionColumns.map(c =>

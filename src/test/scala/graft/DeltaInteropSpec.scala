@@ -137,13 +137,53 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("v2Checkpoint") ||
       e.getMessage.contains("unsupported"))
-    // id-mode column mapping (parquet field-id resolution) is still fatal
+    // an unknown mapping mode is fatal
     val root2 = tmpDir("delta_proto2")
     writeCommit(root2, 0, Seq(protocolLine,
-      """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":1}}"""))
+      """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"hybrid"},"createdTime":1}}"""))
     intercept[IllegalArgumentException] {
       DeltaInterop.snapshot(spark, root2.toString)
     }
+  }
+
+  test("column mapping (id mode): columns resolve by parquet field id") {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+    val root = tmpDir("delta_cmid")
+    def mapped(phys: String, id: Int): Metadata =
+      new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("id", IntegerType, nullable = true, mapped("col-aaaa", 1)),
+      StructField("name", StringType, nullable = true, mapped("col-bbbb", 2))))
+    // write the data file the way an id-mode writer does: physical column
+    // names + parquet field ids embedded in the footer
+    val writeSchema = StructType(Seq(
+      StructField("col-aaaa", IntegerType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("col-bbbb", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val data = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1, "a"), org.apache.spark.sql.Row(2, "b")),
+      writeSchema)
+    val prior = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try oneFile(data, root.resolve("f1.parquet"))
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
+    val metaJson = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().writeValueAsString(logical.json)
+    writeCommit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$metaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaInterop.read(spark, root.toString)
+    assert(got.columns.toSeq == Seq("id", "name"))
+    assert(got.as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b")))
   }
 
   test("column mapping (name mode): physical names scan, logical names return") {
