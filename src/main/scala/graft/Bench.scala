@@ -96,11 +96,14 @@ object Bench {
         timings.last._3, timings.last._4)
     }
     // dev-only subset (SPARK_GRAFT_BENCH_ONLY=q75,q8): the driver sets
-    // nothing, so its runs always time the full catalog
+    // nothing, so its runs always time the full catalog. A token matches
+    // the full query name or its qNN prefix EXACTLY — 'q7' selects
+    // q7_topn_per_group only, never q70–q76.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(p => only.forall(_.exists(p._1.startsWith)))
+      .filter(p => only.forall(o =>
+        o.contains(p._1) || o.contains(p._1.takeWhile(_ != '_'))))
       .map { case (name, fn) =>
         val (walls, bytes, err, taskSec, stages) = timeQuery(spark, name, fn)
         (name, walls, bytes, err, taskSec, stages)

@@ -270,8 +270,11 @@ object DeltaInterop {
   // (1); each blob inside is <int32-BE dataSize><bitmap bytes><int32-BE
   // CRC-32 of the bitmap bytes>, the descriptor's offset pointing at the
   // size. The bitmap serialization is "portable": int32-LE magic
-  // 1681511377, int64-LE bitmap count, then standard-format 32-bit
-  // RoaringBitmaps (the library Spark already ships).
+  // 1681511377, int64-LE count of SERIALIZED bitmaps, then for each
+  // NON-EMPTY bitmap in ascending key order an int32-LE key followed by
+  // the standard-format 32-bit RoaringBitmap (the library Spark already
+  // ships). Empty bitmaps are skipped, so the logical array is sized by
+  // the largest key, not the serialized count.
 
   /** Driver-loaded, broadcast-friendly deleted-row membership test. */
   final class DvBitmap(bitmaps: Array[org.roaringbitmap.RoaringBitmap])
@@ -363,13 +366,26 @@ object DeltaInterop {
     require(magic == 1681511377, s"bad RoaringBitmapArray magic $magic")
     val n = bb.getLong
     require(n >= 0 && n <= Int.MaxValue, s"absurd DV bitmap count $n")
-    val bms = new Array[org.roaringbitmap.RoaringBitmap](n.toInt)
-    (0 until n.toInt).foreach { i =>
+    // each serialized bitmap is prefixed by its int32-LE key; only
+    // non-empty bitmaps appear, in ascending key order, so the logical
+    // array spans [0, maxKey] with gaps left null
+    val entries = new Array[(Int, org.roaringbitmap.RoaringBitmap)](n.toInt)
+    var lastKey = -1
+    var i = 0
+    while (i < n.toInt) {
+      val key = bb.getInt
+      require(key > lastKey,
+        s"DV bitmap keys must be non-negative and strictly ascending (got $key after $lastKey)")
       val bm = new org.roaringbitmap.RoaringBitmap()
       bm.deserialize(bb)
       bb.position(bb.position() + bm.serializedSizeInBytes())
-      bms(i) = bm
+      entries(i) = (key, bm)
+      lastKey = key
+      i += 1
     }
+    val bms = new Array[org.roaringbitmap.RoaringBitmap](
+      if (n == 0) 0 else lastKey + 1)
+    entries.foreach { case (k, bm) => bms(k) = bm }
     val out = new DvBitmap(bms)
     require(dv.cardinality < 0 || out.cardinality == dv.cardinality,
       s"DV cardinality ${out.cardinality} != descriptor ${dv.cardinality}")
@@ -423,8 +439,19 @@ object DeltaInterop {
     val dataFields = snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
     val byFieldId = snap.columnMappingMode == "id"
-    if (byFieldId)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // field-id resolution is a session conf the parquet reader captures at
+    // execution time, so it can't be set-and-restored around a lazy scan;
+    // instead the id-mode scan runs on a DERIVED session (same context,
+    // runtime confs copied over) with the flag on, leaving the caller's
+    // session untouched for unrelated reads
+    val scanSpark: SparkSession = if (byFieldId) {
+      val ns = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        try ns.conf.set(k, v) catch { case _: Throwable => () } // static confs
+      }
+      ns.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      ns
+    } else spark
     val dataSchema = StructType(dataFields.map { f =>
       val meta =
         if (byFieldId && f.metadata.contains("delta.columnMapping.id"))
@@ -497,7 +524,7 @@ object DeltaInterop {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
     } else if (snap.partitionColumns.isEmpty) {
       renamed(applyDvs(
-        spark.read.schema(dataSchema).parquet(snap.files.map(f => abs(f.path)): _*)))
+        scanSpark.read.schema(dataSchema).parquet(snap.files.map(f => abs(f.path)): _*)))
     } else {
       // one relation per distinct partition tuple: the tuple's values are
       // attached as typed literals (protocol: data files carry no
@@ -507,7 +534,7 @@ object DeltaInterop {
           f.partitionValues.getOrElse(partPhysical(c), None)))
       groups.map { case (tuple, fs) =>
         val base = renamed(applyDvs(
-          spark.read.schema(dataSchema).parquet(fs.map(f => abs(f.path)): _*)))
+          scanSpark.read.schema(dataSchema).parquet(fs.map(f => abs(f.path)): _*)))
         snap.partitionColumns.zip(tuple).zip(partTypes).foldLeft(base) {
           case (df, ((c, v), (_, dt))) =>
             df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(

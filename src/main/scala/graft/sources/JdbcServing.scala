@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.util.Properties
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** Warehouse serving writer: JDBC load with delete-by-partition preactions.
@@ -13,6 +14,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * Spark JDBC (batched, partitioned by the DataFrame's partitions).
   */
 object JdbcServing {
+  private val mapper = new ObjectMapper()
+
   /** SQL literal for a filter value, typed like the reference's
     * numeric/date filters (common_jobs_functions.py:511-573): numbers and
     * booleans render unquoted so an int-typed warehouse column is compared
@@ -136,8 +139,19 @@ object JdbcServing {
     * Columns are projected in a stable declared order because COPY binds
     * CSV fields positionally — the column list is emitted into the COPY
     * statement for self-description. */
+  /** The staging prefix is a LOCAL-FILESYSTEM scope by design: part
+    * discovery lists the directory directly (the warehouse-side object
+    * store upload is the caller's transport concern, reflected only in
+    * `urlPrefix`). Identifiers and paths are validated/encoded rather
+    * than trusted: the manifest is built with a JSON serializer and the
+    * table name must be a plain (optionally schema-qualified)
+    * identifier so neither can smuggle quotes into the COPY SQL. */
+  private val tableIdent = """[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?""".r
+
   def stageForCopy(df: DataFrame, table: String, stagingDir: String,
                    urlPrefix: String = ""): StagedLoad = {
+    require(tableIdent.matches(table),
+      s"stageForCopy: '$table' is not a plain [schema.]table identifier")
     df.write.mode(SaveMode.Overwrite).options(csvOptions)
       .csv(stagingDir)
     val staged = {
@@ -147,14 +161,22 @@ object JdbcServing {
         .map(_.getAbsolutePath).sorted.toSeq
     }
     require(staged.nonEmpty, s"stageForCopy: no part files under $stagingDir")
-    val entries = staged.map(p =>
-      s"""{"url": "$urlPrefix$p", "mandatory": true}""")
-    val manifest = entries.mkString("{\"entries\": [\n  ", ",\n  ", "\n]}")
+    // JSON-encode via Jackson: urls containing quotes/backslashes/etc.
+    // must produce a valid manifest, not a broken one
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("entries")
+    staged.foreach { p =>
+      val e = arr.addObject()
+      e.put("url", s"$urlPrefix$p")
+      e.put("mandatory", true)
+    }
+    val manifest = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     val manifestPath = s"$stagingDir/manifest.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(manifestPath),
       manifest.getBytes("UTF-8"))
     val cols = df.columns.mkString("(", ", ", ")")
-    val copy = s"COPY $table $cols FROM '$urlPrefix$manifestPath' " +
+    val manifestUrl = s"$urlPrefix$manifestPath".replace("'", "''")
+    val copy = s"COPY $table $cols FROM '$manifestUrl' " +
       "MANIFEST FORMAT CSV DELIMITER '|' NULL AS '\\N' GZIP " +
       "TIMEFORMAT 'auto';"
     StagedLoad(manifestPath, staged, copy)

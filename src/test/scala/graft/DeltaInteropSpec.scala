@@ -216,21 +216,23 @@ class DeltaInteropSpec extends AnyFunSuite {
   // --- deletion vectors (r6): serialize a RoaringBitmapArray exactly as
   // the protocol prescribes and read a DV'd table back correctly
 
-  /** Portable RoaringBitmapArray bytes for 64-bit row indexes. */
+  /** Portable RoaringBitmapArray bytes for 64-bit row indexes, matching
+    * real Delta writers: only NON-EMPTY bitmaps are serialized, each
+    * prefixed by its int32-LE key, in ascending key order. */
   private def dvBitmapBytes(rows: Seq[Long]): Array[Byte] = {
     val byHi = rows.groupBy(r => (r >>> 32).toInt)
-    val n = if (byHi.isEmpty) 0 else byHi.keys.max + 1
-    val bms = (0 until n).map { i =>
+    val keys = byHi.keys.toSeq.sorted
+    val bms = keys.map { k =>
       val bm = new org.roaringbitmap.RoaringBitmap()
-      byHi.getOrElse(i, Nil).foreach(r => bm.add(r.toInt))
+      byHi(k).foreach(r => bm.add(r.toInt))
       bm.runOptimize(); bm
     }
-    val size = 4 + 8 + bms.map(_.serializedSizeInBytes()).sum
+    val size = 4 + 8 + bms.map(4 + _.serializedSizeInBytes()).sum
     val bb = java.nio.ByteBuffer.allocate(size)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(1681511377)
-    bb.putLong(n.toLong)
-    bms.foreach { bm => bm.serialize(bb) }
+    bb.putLong(keys.length.toLong)
+    keys.zip(bms).foreach { case (k, bm) => bb.putInt(k); bm.serialize(bb) }
     bb.array()
   }
 
@@ -278,6 +280,24 @@ class DeltaInteropSpec extends AnyFunSuite {
     val got = DeltaInterop.read(spark, root.toString)
       .as[(Int, String)].collect().map(_._1).sorted.toSeq
     assert(got == Seq(0, 2, 4, 5, 6, 8, 9))
+  }
+
+  test("deletion vectors: sparse keys — empty bitmaps skipped, array sized by max key") {
+    val root = tmpDir("delta_dv_sparse")
+    // row indexes land in bitmaps 0 and 2; bitmap 1 is empty and must NOT
+    // be serialized — real writers skip it and key the survivors
+    val rows = Seq(5L, (2L << 32) | 7L, (2L << 32) | 9L)
+    val bytes = dvBitmapBytes(rows)
+    val uuid = java.util.UUID.fromString("b63feb9d-1b68-5747-925c-0d276499a8db")
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits)
+    ub.putLong(uuid.getLeastSignificantBits)
+    writeDvFile(root.resolve(s"deletion_vector_$uuid.bin"), bytes)
+    val dv = DeltaInterop.loadDv(root.toString,
+      DeltaInterop.DvDescriptor("u", z85enc(ub.array()), Some(1), bytes.length, 3))
+    assert(rows.forall(dv.contains))
+    assert(!dv.contains(1L << 32) && !dv.contains(6L) && !dv.contains((2L << 32) | 8L))
+    assert(dv.cardinality == 3)
   }
 
   test("deletion vectors: inline DV and later DV update via re-add") {
