@@ -25,7 +25,7 @@ def main(b01, d01, b1, d1, out):
         qs = spark["queries"]
         base = duck["queries"]
         ratios = {k: qs[k] / base[k] for k in qs if base.get(k)}
-        return {
+        block = {
             "spark_total_s": sum(qs.values()),
             "duckdb_total_s": sum(base.get(k, 0.0) for k in qs),
             "queries_spark_s": qs,
@@ -34,6 +34,15 @@ def main(b01, d01, b1, d1, out):
             "spark_errors": spark.get("errors", {}),
             "duckdb_errors": duck.get("errors", {}),
         }
+        # carry the full per-query telemetry (runs/p50/p95/task-seconds/
+        # shuffle bytes/stage counts + fresh-session cross-check) so
+        # round-over-round drift is attributable to compute vs environment
+        for k in ("runs", "p50", "p95", "task_sec", "shuffle_bytes",
+                  "stages", "fresh", "fresh_total",
+                  "shared_total_on_fresh_subset"):
+            if k in spark:
+                block[k] = spark[k]
+        return block
 
     blocks = {"sf0.1": sf_block(s01, k01), "sf1_10x_slice": sf_block(s1, k1)}
     # scaling exponent per query: log10(t_sf1/t_sf01) for a 10x size step —
@@ -47,9 +56,9 @@ def main(b01, d01, b1, d1, out):
     over2x = sorted(k for k, r in blocks["sf1_10x_slice"]["spark_vs_duckdb"].items()
                     if r > 2.0)
     doc = {
-        "round": 6,
+        "round": 7,
         "cpus": 32,
-        "runs_per_query": 2, "agg": "min", "materialization": "noop sink",
+        "runs_per_query": s01.get("runs_per_query", 3), "agg": "min", "materialization": "noop sink",
         "sf1_note": "10x ScaleData replication of sf0.1 (all tables, "
                     "FK-consistent strides)",
         "scaling_exponent_log10": exps,

@@ -3,8 +3,10 @@
 rendered DuckDB SQL over the same testdata parquet — the all-52 parity
 loop behind the sampled catalog gate.
 
-Usage: conformance_check.py <dumpDir> <sfDir>
-(dumpDir produced by `Test/runMain graft.ConformanceDump <sfDir> <dumpDir>`)
+Usage: conformance_check.py <dumpDir> <sfDir> [jsonOut]
+(dumpDir produced by `Test/runMain graft.ConformanceDump <sfDir> <dumpDir>`;
+jsonOut, when given, receives a per-job machine-readable verdict — the
+per-round CONFORMANCE_rN.json artifact.)
 """
 import json
 import os
@@ -13,6 +15,8 @@ import sys
 import duckdb
 
 dump, sf = sys.argv[1], sys.argv[2]
+json_out = sys.argv[3] if len(sys.argv) > 3 else None
+verdicts = {}
 sqls = json.load(open(os.path.join(dump, "conformance_sql.json")))
 
 con = duckdb.connect()
@@ -50,7 +54,12 @@ for name, sql in sqls.items():
             f"(SELECT * FROM {spark_rel}))").fetchone()[0]
         nrows_oracle = con.execute(
             f"SELECT count(*) FROM ({sql})").fetchone()[0]
-        if diff1 == 0 and diff2 == 0 and a[0] == nrows_oracle:
+        ok = diff1 == 0 and diff2 == 0 and a[0] == nrows_oracle
+        verdicts[name] = {"pass": ok, "spark_rows": a[0],
+                          "oracle_rows": nrows_oracle,
+                          "spark_only": diff1, "oracle_only": diff2,
+                          "err": None}
+        if ok:
             npass += 1
             print(f"OK    {name} ({a[0]} rows)")
         else:
@@ -60,7 +69,15 @@ for name, sql in sqls.items():
     except Exception as e:
         nfail += 1
         msg = str(e).split("\n")[0][:300]
+        verdicts[name] = {"pass": False, "err": msg}
         print(f"ERROR {name}: {msg}")
+
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sf": sf, "jobs_total": len(sqls), "jobs_pass": npass,
+                   "jobs_fail": nfail, "comparison": "bit-exact multiset",
+                   "jobs": verdicts}, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out}")
 
 print(f"\n{npass} pass / {nfail} fail")
 sys.exit(1 if nfail else 0)

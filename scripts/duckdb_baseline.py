@@ -6,7 +6,8 @@ Bench's spark_vs_duckdb ratios are computed against.
 Usage: python3 scripts/duckdb_baseline.py <verify_out_dir> <sf_dir> [out.json]
 
 <verify_out_dir> must contain oracle_sql.json (written by graft.Verify).
-Each query runs `runs` times (default 2) on a threads=32 connection (the
+Each query runs `runs` times (default 3, min-of-N like graft.Bench) on a
+threads=32 connection (the
 local[32] twin); the minimum wall time is recorded — same steady-state
 convention as Bench. Queries materialize fully (fetchall), mirroring the
 noop-sink materialization on the Spark side.
@@ -21,7 +22,7 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(out_dir, sf_dir, out_path="BASELINE_duckdb.json", runs=2):
+def main(out_dir, sf_dir, out_path="BASELINE_duckdb.json", runs=3):
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     for t in TABLES:

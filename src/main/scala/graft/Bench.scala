@@ -57,13 +57,15 @@ object Bench {
     catch { case _: Throwable => () }
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
-    // Each query runs twice (override: SPARK_GRAFT_BENCH_RUNS) and reports
-    // the faster run: single-JVM container timings blip by seconds under
-    // GC/JIT noise, and the steady-state time is what scales. All run
-    // times are emitted under "runs" so spread is inspectable. Shuffle
-    // bytes come from the last (warm) run.
+    // Each query runs three times (override: SPARK_GRAFT_BENCH_RUNS) and
+    // reports the fastest run: single-JVM container timings blip by
+    // seconds under GC/JIT noise (interpreted-path queries need ~2 runs
+    // for C2 to settle), and the steady-state time is what scales. All
+    // run times are emitted under "runs" so spread is inspectable; the
+    // DuckDB baseline gets the same min-of-N treatment. Shuffle bytes
+    // come from the last (warm) run.
     val runsPerQuery =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     def timeQuery(s: SparkSession, name: String,
                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Seq[Double], Long, Option[String], Double, Long) = {

@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CdcBoundariesExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
     "bottom_k_sample" -> (exprs =>
       BottomKSample(exprs(0), exprs(1), intLit(exprs(2))).toAggregateExpression()),
+    "multi_distinct_count" -> (exprs =>
+      MultiDistinctCount(exprs).toAggregateExpression()),
     "minhash_signature" -> (exprs =>
       MinHashSignatureExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
     "simhash64" -> (exprs => SimHash64Expr(exprs.head)),

@@ -58,7 +58,23 @@ object ScaleData {
             d.withColumn(c, col(c) + lit(k * strides(dom)))
           }
         }.reduce(_ unionByName _)
-      scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      // A union of k copies inherits the SOURCE's file layout — at 10x
+      // that is ~11 fat files of one parquet row group each, capping scan
+      // parallelism at 11 tasks no matter the split size (a row group is
+      // the atomic scan unit). Real lakes are many-filed; lay the slice
+      // out the same way: range-repartition on the lead key (keeps the
+      // source's key clustering, unlike a round-robin repartition) into
+      // at least one file per core, and cap row groups at 16 MB so even
+      // a fat file stays split-parallel.
+      val laidOut = shifts.headOption match {
+        case Some((k, _)) =>
+          val nFiles = math.max(spark.sparkContext.defaultParallelism, factor)
+          scaled.repartitionByRange(nFiles, col(k))
+        case None => scaled
+      }
+      laidOut.write.mode("overwrite")
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
+        .parquet(s"$out/$t.parquet")
       println(s"[scale] $t x${if (shifts.isEmpty) 1 else factor}")
     }
 

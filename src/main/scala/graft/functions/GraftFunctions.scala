@@ -12,7 +12,7 @@ object GraftFunctions {
     "minhash_signature", "simhash64", "lsh_bucket", "word_shingles",
     "max_word_freq", "minhash_bands", "simhash64_md5", "marker_count",
     "bloom_agg", "bloom_might_contain", "lsh_probe_buckets",
-    "lsh_probe_buckets_margin", "cdc_boundaries")
+    "lsh_probe_buckets_margin", "cdc_boundaries", "multi_distinct_count")
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -27,6 +27,8 @@ object GraftFunctions {
       exprs => RollingMinHashExpr(exprs.head, 16), "built-in")
     reg.createOrReplaceTempFunction("cdc_boundaries",
       exprs => CdcBoundariesExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("multi_distinct_count",
+      exprs => MultiDistinctCount(exprs).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("bottom_k_sample",
       exprs => BottomKSample(exprs(0), exprs(1),
         intLit(exprs(2))).toAggregateExpression(), "built-in")

@@ -293,6 +293,40 @@ object CoreQueries {
           max(col("l_shipdate").cast(DateType))).cast(IntegerType).as("ult_dia_compra"))
   }
 
+  /** Single-pass rewrite (r7, the catalog form): the one-exchange form's
+    * residual cost is Expand CPU — every joined row is still iterated ×4
+    * inside the partition (measured 6× DuckDB at the 10× slice). Here the
+    * three distincts run in ONE native `multi_distinct_count` aggregate
+    * (functions/MultiDistinctCount.scala: a TypedImperativeAggregate
+    * keeping one compact primitive hash set per key per group), so each
+    * joined row is touched exactly once, partials combine map-side (the
+    * exchange carries serialized sets — the deduped values, same bytes
+    * the two-level distinct plan ships, ONE exchange instead of four),
+    * and the plain aggs ride the same ObjectHashAggregate. Exchange
+    * topology at 100 TB: the two join shuffles plus one set-carrying
+    * exchange at the output grain — the minimum for this grain change. */
+  def q8CustomerMetricsOnePass(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val li  = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        call_function("multi_distinct_count",
+          col("l_partkey"), col("l_suppkey"), col("o_orderkey")).as("dc"),
+        count(lit(1)).as("cant_lineas"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("imp_neto"),
+        max(col("l_shipdate").cast(DateType)).as("ult_fecha_compra"),
+        datediff(lit("2002-01-01").cast(DateType),
+          max(col("l_shipdate").cast(DateType))).cast(IntegerType).as("ult_dia_compra"))
+      .select(col("o_custkey"),
+        col("dc").getItem(0).as("cant_producto"),
+        col("dc").getItem(1).as("cant_proveedor"),
+        col("dc").getItem(2).as("cant_venta"),
+        col("cant_lineas"), col("imp_neto"),
+        col("ult_fecha_compra"), col("ult_dia_compra"))
+  }
+
   val q8Sql: String =
     """SELECT o_custkey,
       |  count(DISTINCT l_partkey) AS cant_producto,
@@ -314,10 +348,12 @@ object CoreQueries {
     "q5_period_agg"      -> (q5PeriodAgg _),
     "q6_trailing_3m"     -> (q6Trailing3m _),
     "q7_topn_per_group"  -> (q7TopNPerGroup _),
-    // catalog runs the one-exchange rewrite (r6); q8CustomerMetrics keeps
-    // the reference-literal Expand form and q8CustomerMetricsSplit the r5
-    // branch form — the plan spec pins all three value-identical
-    "q8_customer_metrics" -> (q8CustomerMetricsOneExchange _))
+    // catalog runs the single-pass native aggregate (r7);
+    // q8CustomerMetrics keeps the reference-literal Expand form,
+    // q8CustomerMetricsSplit the r5 branch form and
+    // q8CustomerMetricsOneExchange the r6 repartition form — the plan
+    // spec pins all four value-identical
+    "q8_customer_metrics" -> (q8CustomerMetricsOnePass _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,

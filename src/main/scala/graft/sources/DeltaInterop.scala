@@ -32,8 +32,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     files do not carry partition columns;
   *   - `protocol` is enforced, not assumed: reader version ≤ 2, or ≤ 3
   *     when every `readerFeatures` entry is supported (timestampNtz,
-  *     deletionVectors, columnMapping). v2 checkpoints and unknown
-  *     features fail loudly rather than silently returning wrong rows.
+  *     deletionVectors, columnMapping, v2Checkpoint). Unknown features
+  *     fail loudly rather than silently returning wrong rows.
+  *   - v2 checkpoints (r7): UUID-named manifests (parquet or json) are
+  *     recognized alongside classic single/multi-part layouts; the
+  *     manifest's checkpointMetadata version is validated against its
+  *     file name, sidecar actions resolve under `_delta_log/_sidecars/`,
+  *     and the sidecars' add/remove actions replay like checkpoint rows.
   *   - column mapping (r6), both modes: data columns scan under the
   *     physical names recorded in the schema field metadata and rename
   *     back to logical; partitionValues resolve by physical name; id
@@ -97,7 +102,14 @@ object DeltaInterop {
   private def logDir(root: String): Path = Paths.get(root, "_delta_log")
 
   private val commitName = """(\d{20})\.json""".r
-  private val checkpointName = """(\d{20})\.checkpoint(\..*)?\.parquet""".r
+  private val checkpointName = """(\d{20})\.checkpoint(\..*)?\.(parquet|json)""".r
+  // classic layouts: single file or numbered multi-part
+  private val classicSingle = """\d{20}\.checkpoint\.parquet""".r
+  private val classicPart = """\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet""".r
+  /** V2 ("UUID-named") checkpoint manifest: n.checkpoint.<uuid>.{parquet,json}. */
+  private def isV2Manifest(name: String): Boolean =
+    checkpointName.matches(name) &&
+      !classicSingle.matches(name) && !classicPart.matches(name)
 
   private def listLog(root: String): Seq[Path] = {
     val d = logDir(root)
@@ -112,13 +124,14 @@ object DeltaInterop {
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
 
   private def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
-    val supported = Set("timestampNtz", "deletionVectors", "columnMapping")
+    val supported =
+      Set("timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint")
     val ok = minReader <= 2 ||
       (minReader <= 3 && readerFeatures.forall(supported.contains))
     require(ok, "unsupported Delta reader protocol: version " + minReader +
       (if (readerFeatures.nonEmpty)
         readerFeatures.mkString(" features [", ", ", "]") else "") +
-      " — v2 checkpoints / unknown features would read wrong")
+      " — unknown features would read wrong")
   }
 
   private def checkMetaData(conf: Map[String, String]): Unit = {
@@ -139,7 +152,7 @@ object DeltaInterop {
       case _ => None
     }).toMap
     val checkpoints = entries.flatMap(p => p.getFileName.toString match {
-      case checkpointName(v, _) => Some(v.toLong -> p)
+      case checkpointName(v, _, _) => Some(v.toLong -> p)
       case _ => None
     }).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val latest = (commits.keySet ++ checkpoints.keySet).maxOption.getOrElse(
@@ -170,91 +183,137 @@ object DeltaInterop {
     def applyAdd(a: DeltaAdd): Unit = { files(a.path) = a; () }
     def applyRemove(path: String): Unit = { files.remove(path); () }
 
-    // ---- checkpoint: distributed column-pruned scan of the action table
+    // JSON action line (commit or v2 json manifest): apply to the state
+    def applyJsonAction(n: JsonNode): Unit = {
+      if (n.has("protocol")) {
+        val p = n.get("protocol")
+        val feats = Option(p.get("readerFeatures")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText()))
+        checkProtocol(p.get("minReaderVersion").asInt(), feats)
+      }
+      if (n.has("metaData")) {
+        val m = n.get("metaData")
+        val parts = Option(m.get("partitionColumns")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText()))
+        val conf = Option(m.get("configuration")).map(c =>
+          c.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty)
+        applyMeta(m.get("schemaString").asText(), parts, conf)
+      }
+      if (n.has("remove"))
+        applyRemove(decodePath(n.get("remove").get("path").asText()))
+      if (n.has("add")) {
+        val a = n.get("add")
+        val pv = Option(a.get("partitionValues")).map(o =>
+          o.properties().asScala.map { e =>
+            e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+          }.toMap).getOrElse(Map.empty[String, Option[String]])
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+          DvDescriptor(d.get("storageType").asText(),
+            d.get("pathOrInlineDv").asText(),
+            Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+            d.get("sizeInBytes").asInt(),
+            d.get("cardinality").asLong())
+        }
+        applyAdd(DeltaAdd(decodePath(a.get("path").asText()), pv,
+          Option(a.get("size")).map(_.asLong()).getOrElse(0L), dv))
+      }
+    }
+
+    // ---- checkpoint: distributed column-pruned scan of the action table.
+    // Classic layout (single file or numbered multi-part) carries every
+    // action in the n.checkpoint*.parquet files themselves. The V2 layout
+    // (PROTOCOL.md "V2 Checkpoint Table Feature": UUID-named
+    // n.checkpoint.<uuid>.{parquet,json} manifest) carries a
+    // checkpointMetadata action, SIDECAR actions pointing at parquet files
+    // under _delta_log/_sidecars/ that hold the add/remove actions, and
+    // possibly inline add/remove in the manifest itself.
     ckptV.foreach { v =>
-      val parts = checkpoints(v).map(_.toString)
-      val df = spark.read.parquet(parts: _*)
-      val cols = df.columns.toSet
-      Seq("protocol", "metaData", "add", "remove").filter(cols).foreach { c =>
-        df.select(col(c)).filter(col(c).isNotNull).collect().foreach { r =>
-          val s = r.getStruct(0)
-          c match {
-            case "protocol" =>
-              val feats =
-                if (s.schema.fieldNames.contains("readerFeatures") &&
-                    !s.isNullAt(s.fieldIndex("readerFeatures")))
-                  s.getSeq[String](s.fieldIndex("readerFeatures"))
-                else Nil
-              checkProtocol(s.getInt(s.fieldIndex("minReaderVersion")), feats)
-            case "metaData" =>
-              val conf =
-                if (s.schema.fieldNames.contains("configuration") &&
-                    !s.isNullAt(s.fieldIndex("configuration")))
-                  s.getMap[String, String](s.fieldIndex("configuration")).toMap
-                else Map.empty[String, String]
-              applyMeta(s.getString(s.fieldIndex("schemaString")),
-                s.getSeq[String](s.fieldIndex("partitionColumns")), conf)
-            case "add" =>
-              val dv =
-                if (s.schema.fieldNames.contains("deletionVector") &&
-                    !s.isNullAt(s.fieldIndex("deletionVector"))) {
-                  val d = s.getStruct(s.fieldIndex("deletionVector"))
-                  Some(DvDescriptor(
-                    d.getString(d.fieldIndex("storageType")),
-                    d.getString(d.fieldIndex("pathOrInlineDv")),
-                    if (d.schema.fieldNames.contains("offset") &&
-                        !d.isNullAt(d.fieldIndex("offset")))
-                      Some(d.getInt(d.fieldIndex("offset"))) else None,
-                    d.getInt(d.fieldIndex("sizeInBytes")),
-                    d.getLong(d.fieldIndex("cardinality"))))
-                } else None
-              applyAdd(DeltaAdd(decodePath(s.getString(s.fieldIndex("path"))),
-                rowPartitionValues(s), s.getLong(s.fieldIndex("size")), dv))
-            case "remove" =>
-              applyRemove(decodePath(s.getString(s.fieldIndex("path"))))
+      val sidecars = scala.collection.mutable.ArrayBuffer[String]()
+      def scanActionParquet(paths: Seq[String]): Unit = {
+        val df = spark.read.parquet(paths: _*)
+        val cols = df.columns.toSet
+        Seq("protocol", "metaData", "add", "remove", "checkpointMetadata",
+            "sidecar").filter(cols).foreach { c =>
+          df.select(col(c)).filter(col(c).isNotNull).collect().foreach { r =>
+            val s = r.getStruct(0)
+            c match {
+              case "protocol" =>
+                val feats =
+                  if (s.schema.fieldNames.contains("readerFeatures") &&
+                      !s.isNullAt(s.fieldIndex("readerFeatures")))
+                    s.getSeq[String](s.fieldIndex("readerFeatures"))
+                  else Nil
+                checkProtocol(s.getInt(s.fieldIndex("minReaderVersion")), feats)
+              case "metaData" =>
+                val conf =
+                  if (s.schema.fieldNames.contains("configuration") &&
+                      !s.isNullAt(s.fieldIndex("configuration")))
+                    s.getMap[String, String](s.fieldIndex("configuration")).toMap
+                  else Map.empty[String, String]
+                applyMeta(s.getString(s.fieldIndex("schemaString")),
+                  s.getSeq[String](s.fieldIndex("partitionColumns")), conf)
+              case "add" =>
+                val dv =
+                  if (s.schema.fieldNames.contains("deletionVector") &&
+                      !s.isNullAt(s.fieldIndex("deletionVector"))) {
+                    val d = s.getStruct(s.fieldIndex("deletionVector"))
+                    Some(DvDescriptor(
+                      d.getString(d.fieldIndex("storageType")),
+                      d.getString(d.fieldIndex("pathOrInlineDv")),
+                      if (d.schema.fieldNames.contains("offset") &&
+                          !d.isNullAt(d.fieldIndex("offset")))
+                        Some(d.getInt(d.fieldIndex("offset"))) else None,
+                      d.getInt(d.fieldIndex("sizeInBytes")),
+                      d.getLong(d.fieldIndex("cardinality"))))
+                  } else None
+                applyAdd(DeltaAdd(decodePath(s.getString(s.fieldIndex("path"))),
+                  rowPartitionValues(s), s.getLong(s.fieldIndex("size")), dv))
+              case "remove" =>
+                applyRemove(decodePath(s.getString(s.fieldIndex("path"))))
+              case "checkpointMetadata" =>
+                val cv = s.getLong(s.fieldIndex("version"))
+                require(cv == v, s"v2 checkpoint manifest claims version $cv, " +
+                  s"file name says $v")
+              case "sidecar" =>
+                sidecars += s.getString(s.fieldIndex("path")); ()
+            }
           }
         }
       }
+      val (v2s, classic) =
+        checkpoints(v).partition(p => isV2Manifest(p.getFileName.toString))
+      if (v2s.nonEmpty) {
+        // any one manifest is a complete checkpoint — writers may leave
+        // several; pick deterministically
+        val manifest = v2s.minBy(_.getFileName.toString)
+        if (manifest.getFileName.toString.endsWith(".json")) {
+          Files.readAllLines(manifest).asScala.filter(_.nonEmpty).foreach { line =>
+            val n = mapper.readTree(line)
+            applyJsonAction(n)
+            if (n.has("checkpointMetadata")) {
+              val cv = n.get("checkpointMetadata").get("version").asLong()
+              require(cv == v, s"v2 checkpoint manifest claims version $cv, " +
+                s"file name says $v")
+            }
+            if (n.has("sidecar")) {
+              sidecars += n.get("sidecar").get("path").asText(); ()
+            }
+          }
+        } else scanActionParquet(Seq(manifest.toString))
+        val resolved = sidecars.toSeq.map { p =>
+          val d = decodePath(p)
+          if (d.startsWith("/") || d.contains("://")) d
+          else logDir(root).resolve("_sidecars").resolve(d).toString
+        }
+        if (resolved.nonEmpty) scanActionParquet(resolved)
+      } else scanActionParquet(classic.map(_.toString))
     }
 
     // ---- JSON commits after the checkpoint, in version order
     (replayFrom to target).foreach { v =>
-      Files.readAllLines(commits(v)).asScala.filter(_.nonEmpty).foreach { line =>
-        val n = mapper.readTree(line)
-        if (n.has("protocol")) {
-          val p = n.get("protocol")
-          val feats = Option(p.get("readerFeatures")).toSeq
-            .flatMap(_.elements().asScala.map(_.asText()))
-          checkProtocol(p.get("minReaderVersion").asInt(), feats)
-        }
-        if (n.has("metaData")) {
-          val m = n.get("metaData")
-          val parts = Option(m.get("partitionColumns")).toSeq
-            .flatMap(_.elements().asScala.map(_.asText()))
-          val conf = Option(m.get("configuration")).map(c =>
-            c.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
-            .getOrElse(Map.empty)
-          applyMeta(m.get("schemaString").asText(), parts, conf)
-        }
-        if (n.has("remove"))
-          applyRemove(decodePath(n.get("remove").get("path").asText()))
-        if (n.has("add")) {
-          val a = n.get("add")
-          val pv = Option(a.get("partitionValues")).map(o =>
-            o.properties().asScala.map { e =>
-              e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
-            }.toMap).getOrElse(Map.empty[String, Option[String]])
-          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
-            DvDescriptor(d.get("storageType").asText(),
-              d.get("pathOrInlineDv").asText(),
-              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
-              d.get("sizeInBytes").asInt(),
-              d.get("cardinality").asLong())
-          }
-          applyAdd(DeltaAdd(decodePath(a.get("path").asText()), pv,
-            Option(a.get("size")).map(_.asLong()).getOrElse(0L), dv))
-        }
-      }
+      Files.readAllLines(commits(v)).asScala.filter(_.nonEmpty)
+        .foreach(line => applyJsonAction(mapper.readTree(line)))
     }
 
     DeltaSnapshot(target,

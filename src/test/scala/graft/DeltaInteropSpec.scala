@@ -20,6 +20,18 @@ case class CkAdd(path: String, partitionValues: Map[String, String],
                  size: Long, modificationTime: Long, dataChange: Boolean)
 case class CkRow(protocol: Option[CkProtocol], metaData: Option[CkMeta],
                  add: Option[CkAdd])
+// v2 (UUID-named) checkpoint actions
+case class CkProtocolV2(minReaderVersion: Int, minWriterVersion: Int,
+                        readerFeatures: Seq[String], writerFeatures: Seq[String])
+case class CkCkptMeta(version: Long)
+case class CkSidecar(path: String, sizeInBytes: Long, modificationTime: Long)
+case class CkRemove(path: String, deletionTimestamp: Long, dataChange: Boolean)
+case class V2ManifestRow(protocol: Option[CkProtocolV2],
+                         metaData: Option[CkMeta],
+                         checkpointMetadata: Option[CkCkptMeta],
+                         sidecar: Option[CkSidecar],
+                         add: Option[CkAdd])
+case class SidecarRow(add: Option[CkAdd], remove: Option[CkRemove])
 
 /** Delta-log interop: reading hand-crafted tables shaped exactly like a
   * delta-spark writer's output (JSON commits, parquet checkpoint,
@@ -130,12 +142,12 @@ class DeltaInteropSpec extends AnyFunSuite {
   test("unsupported reader protocol fails loudly, not wrong") {
     val root = tmpDir("delta_proto")
     writeCommit(root, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["someFutureFeature"]}}""",
       metaLine(dataSchema, Nil)))
     val e = intercept[IllegalArgumentException] {
       DeltaInterop.snapshot(spark, root.toString)
     }
-    assert(e.getMessage.contains("v2Checkpoint") ||
+    assert(e.getMessage.contains("someFutureFeature") ||
       e.getMessage.contains("unsupported"))
     // an unknown mapping mode is fatal
     val root2 = tmpDir("delta_proto2")
@@ -259,6 +271,70 @@ class DeltaInteropSpec extends AnyFunSuite {
       (4 to 0 by -1).foreach { i => out(i) = alpha((v % 85).toInt); v /= 85 }
       new String(out)
     }.mkString
+  }
+
+  test("v2 checkpoint: parquet manifest + sidecar files reconstruct the state") {
+    val root = tmpDir("delta_v2ckpt")
+    oneFile(Seq((1, "a")).toDF("id", "name"), root.resolve("c1.parquet"))
+    oneFile(Seq((2, "b")).toDF("id", "name"), root.resolve("c2.parquet"))
+    oneFile(Seq((3, "c")).toDF("id", "name"), root.resolve("c3.parquet"))
+    // the file actions live in a sidecar under _delta_log/_sidecars/
+    val sc = Seq(
+      SidecarRow(Some(CkAdd("c1.parquet", Map.empty, 1L, 1L, true)), None),
+      SidecarRow(Some(CkAdd("c2.parquet", Map.empty, 1L, 1L, true)), None),
+      SidecarRow(None, Some(CkRemove("gone.parquet", 1L, true))))
+    oneFile(sc.toDF(),
+      root.resolve(Paths.get("_delta_log", "_sidecars", "sc-1.parquet")))
+    // UUID-named manifest: checkpointMetadata + sidecar pointer + the
+    // non-file actions (protocol with the v2Checkpoint feature, metaData)
+    val manifest = Seq(
+      V2ManifestRow(Some(CkProtocolV2(3, 7, Seq("v2Checkpoint"),
+        Seq("v2Checkpoint"))), None, None, None, None),
+      V2ManifestRow(None, Some(CkMeta("00000000-0000-0000-0000-000000000003",
+        dataSchema.json, Nil, Map.empty, CkFormat("parquet"))), None, None, None),
+      V2ManifestRow(None, None, Some(CkCkptMeta(1L)), None, None),
+      V2ManifestRow(None, None, None,
+        Some(CkSidecar("sc-1.parquet", 1L, 1L)), None))
+    oneFile(manifest.toDF(), root.resolve(Paths.get("_delta_log",
+      f"${1L}%020d.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet")))
+    // post-checkpoint commit still replays on top
+    writeCommit(root, 2, Seq(
+      """{"add":{"path":"c3.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true}}"""))
+    val df = DeltaInterop.read(spark, root.toString)
+    assert(df.as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(DeltaInterop.snapshot(spark, root.toString).version == 2L)
+  }
+
+  test("v2 checkpoint: json manifest variant, and version mismatch refuses") {
+    val root = tmpDir("delta_v2ckpt_json")
+    oneFile(Seq((1, "a")).toDF("id", "name"), root.resolve("c1.parquet"))
+    val sc = Seq(
+      SidecarRow(Some(CkAdd("c1.parquet", Map.empty, 1L, 1L, true)), None))
+    oneFile(sc.toDF(),
+      root.resolve(Paths.get("_delta_log", "_sidecars", "sc-9.parquet")))
+    val dir = root.resolve("_delta_log")
+    val metaJson = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().writeValueAsString(dataSchema.json)
+    Files.write(dir.resolve(
+      f"${0L}%020d.checkpoint.1b194bc9-10a4-4a37-962c-a0e39f3c2c32.json"), Seq(
+      """{"checkpointMetadata":{"version":0}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$metaJson,"partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      """{"sidecar":{"path":"sc-9.parquet","sizeInBytes":1,"modificationTime":1}}""").asJava)
+    assert(DeltaInterop.read(spark, root.toString)
+      .as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    // a manifest whose checkpointMetadata disagrees with its file name
+    // must refuse, not silently read the wrong snapshot
+    val root2 = tmpDir("delta_v2ckpt_bad")
+    oneFile(Seq((1, "a")).toDF("id", "name"), root2.resolve("c1.parquet"))
+    Files.createDirectories(root2.resolve("_delta_log"))
+    Files.write(root2.resolve("_delta_log").resolve(
+      f"${0L}%020d.checkpoint.1b194bc9-10a4-4a37-962c-a0e39f3c2c33.json"), Seq(
+      """{"checkpointMetadata":{"version":7}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$metaJson,"partitionColumns":[],"configuration":{},"createdTime":1}}""").asJava)
+    val e = intercept[Exception](DeltaInterop.snapshot(spark, root2.toString))
+    assert(e.getMessage.contains("claims version"))
   }
 
   test("deletion vectors: uuid-file DV drops exactly the flagged rows") {

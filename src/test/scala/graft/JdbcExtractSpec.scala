@@ -186,8 +186,17 @@ class JdbcExtractSpec extends AnyFunSuite {
     // a stale file in the staging prefix can never leak into the load
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(staged.manifestPath)), "UTF-8")
+    val mNode = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().readTree(manifest)
+    val entries = mNode.get("entries").elements()
+    var nMand = 0
+    while (entries.hasNext) {
+      val e = entries.next()
+      assert(e.get("mandatory").asBoolean(), "every entry must be mandatory")
+      nMand += 1
+    }
+    assert(nMand == staged.files.size)
     staged.files.foreach(f => assert(manifest.contains(f)))
-    assert(manifest.split("\"mandatory\": true").length - 1 == staged.files.size)
     assert(staged.files.nonEmpty && staged.files.forall(_.contains("part-")))
     // round-trip: the staged CSV re-reads bit-equal under the declared
     // conventions (delimiter in data, quotes, nulls, decimals)

@@ -27,9 +27,9 @@ class PlanAuditSpec extends AnyFunSuite {
   private val shuffleBudget = Map(
     "q1_pricing_summary" -> 1, "q2_star_join" -> 2, "q3_dim_conform" -> 0,
     "q4_dedup_latest" -> 1, "q5_period_agg" -> 2, "q6_trailing_3m" -> 2,
-    // q8 (r6) runs the one-exchange rewrite: two join-side exchanges +
-    // the o_custkey repartition; the multi-distinct Expand stays inside
-    // partitions (variant test below pins the shape and value identity)
+    // q8 (r7) runs the single-pass multi_distinct_count aggregate: two
+    // join-side exchanges + the set-carrying groupBy exchange; no Expand
+    // at all (variant test below pins the shape and value identity)
     "q7_topn_per_group" -> 1, "q8_customer_metrics" -> 3, "q9_magic_date" -> 0,
     "q10_asof_rate" -> 1, "q11_merge_upsert" -> 1, "q12_union_instances" -> 0,
     "q13_sessionize" -> 1, "q14_stream_tumbling" -> 0, "q15_dedup_exact" -> 1,
@@ -200,6 +200,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val nEx = "Exchange (hash|range|Single)".r.findAllIn(onePlan).length
     assert(nEx == 3, // two join sides + the custkey repartition, no more
       s"one-exchange form must plan exactly 3 exchanges, found $nEx:\n$onePlan")
+    // the r7 catalog form: ONE ObjectHashAggregate pass carrying all
+    // three distinct sets — no Expand, no row replication, partials
+    // map-side, still three exchanges (two join sides + groupBy)
+    val onePass = CoreQueries.q8CustomerMetricsOnePass(spark, sf)
+    assert(onePass.exceptAll(expand).isEmpty && expand.exceptAll(onePass).isEmpty,
+      "single-pass rewrite must be value-identical to the Expand form")
+    val opPlan = onePass.queryExecution.executedPlan.toString
+    assert(!opPlan.contains("Expand"),
+      "the single-pass form must not plan an Expand")
+    assert(opPlan.contains("partial_multi_distinct_count"),
+      s"the single-pass form must partial-aggregate map-side:\n$opPlan")
+    // 1 exchange when orders broadcasts (tiny SF), at most 3 when the
+    // join sort-merges (two join sides + the set-carrying groupBy)
+    val nExOp = "Exchange (hash|range|Single)".r.findAllIn(opPlan).length
+    assert(nExOp >= 1 && nExOp <= 3,
+      s"single-pass form must plan 1..3 exchanges, found $nExOp:\n$opPlan")
   }
 
   test("scans prune columns and push filters down to parquet") {

@@ -173,6 +173,47 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("CompactLongSet matches Set[Long] under add/merge/serialize round-trips") {
+    import graft.functions.CompactLongSet
+    // keys biased toward collisions (small range + 0 sentinel + extremes)
+    val key = Gen.frequency(
+      6 -> Gen.chooseNum(-50L, 50L), 2 -> Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      1 -> Gen.const(0L), 1 -> Gen.const(Long.MinValue))
+    check(Prop.forAll(Gen.listOf(key), Gen.listOf(key)) { (a, b) =>
+      val sa = new CompactLongSet(); a.foreach(sa.add)
+      val sb = new CompactLongSet(); b.foreach(sb.add)
+      sb.foreachKey(sa.add) // merge
+      var got = Set.empty[Long]
+      sa.foreachKey(v => got += v)
+      got == (a.toSet ++ b.toSet) && sa.size == got.size
+    })
+  }
+
+  test("multi_distinct_count eval equals per-column distinct counts") {
+    import graft.functions.MultiDistinctCount
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val rowGen = Gen.listOf(Gen.zip(
+      Gen.chooseNum(-20L, 20L), Gen.chooseNum(-5L, 5L)))
+    check(Prop.forAll(rowGen, rowGen) { (part1, part2) =>
+      val agg = MultiDistinctCount(Seq(
+        BoundReference(0, LongType, nullable = false),
+        BoundReference(1, LongType, nullable = false)))
+      def partial(rows: Seq[(Long, Long)]) = {
+        val buf = agg.createAggregationBuffer()
+        rows.foreach { case (x, y) => agg.update(buf, InternalRow(x, y)) }
+        // partial buffers cross the wire serialized — exercise that path
+        agg.deserialize(agg.serialize(buf))
+      }
+      val merged = agg.merge(partial(part1), partial(part2))
+      val counts = agg.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+      val all = part1 ++ part2
+      counts == Seq(all.map(_._1).distinct.size.toLong, all.map(_._2).distinct.size.toLong)
+    })
+  }
+
   test("magic hora: integer round-trip for every second of the day") {
     // pure-scala replay of the Periods column formula (h*10000 + m*100 + s
     // and its seconds-of-day inverse) — total and bijective over [0, 86400);
