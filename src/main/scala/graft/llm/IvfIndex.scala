@@ -67,13 +67,30 @@ object IvfIndex {
     * and persist model + inverted file under `root`. Returns the frozen
     * model. One corpus count job (bounded answer), one training pass per
     * Lloyd iteration, one assignment pass — no step holds more than
-    * nCells × dim on any single node. */
+    * nCells × dim on any single node.
+    *
+    * Two-level coarse quantizer (r7): when `cells` exceeds
+    * [[MaxModelCells]] (or `coarseCells > 0` forces it), the fine
+    * centroids are themselves k-means'd into ~√cells COARSE cells and
+    * BOTH levels persist in the one centroids table (coarse rows
+    * level=0, fine rows level=1 with their coarse parent) — so the pin
+    * semantics are unchanged and the driver's serve-time residency drops
+    * from O(√N) to O(√√N + probedCoarse·√N/√√N): it collects the coarse
+    * model plus only the fine centroids under the probed coarse cells,
+    * never the full fine model. */
   def buildAndSave(corpus: DataFrame, idCol: String, vecCol: String,
-                   root: String, nCells: Int = 0, refineIters: Int = 0): Model = {
+                   root: String, nCells: Int = 0, refineIters: Int = 0,
+                   coarseCells: Int = 0): Model = {
     val spark = corpus.sparkSession
     val cells = if (nCells > 0) nCells else sqrtCells(corpus.count())
     val model = Similarity.ivfModel(corpus, idCol, vecCol, cells, refineIters)
-    saveModel(spark, root, model)
+    if (coarseCells > 0 || cells > MaxModelCells) {
+      import spark.implicits._
+      val cc = if (coarseCells > 0) coarseCells else sqrtCells(cells.toLong)
+      val fineDf = model.toSeq.toDF("cell", "centroid", "cnorm")
+      val coarse = Similarity.ivfModel(fineDf, "cell", "centroid", cc)
+      saveTwoLevel(spark, root, model, coarse)
+    } else saveModel(spark, root, model)
     // cluster by cell before the partitioned write: each cell then lands
     // in exactly one task, so the inverted file holds ~nCells files
     // instead of tasks × nCells fragments (at √N cells the difference is
@@ -90,6 +107,31 @@ object IvfIndex {
     import spark.implicits._
     centroidTable(spark, root).overwrite(
       model.toSeq.toDF("cell", "centroid", "cnorm")): Unit
+  }
+
+  /** Persist fine + coarse levels in the ONE centroids table: coarse
+    * rows (level 0, coarse = -1), fine rows (level 1, coarse = parent).
+    * The fine→coarse mapping is the same frozen-model assignment law the
+    * inverted file uses, applied to the centroids themselves. */
+  def saveTwoLevel(spark: SparkSession, root: String,
+                   fine: Model, coarse: Model): Unit = {
+    import spark.implicits._
+    // fine→coarse via the same frozen-model assignment law the inverted
+    // file uses (ivfAssignTo emits (idCol, vecCol, "cell"); the fine cell
+    // id rides as "fine_cell" so the names cannot collide)
+    val fineDf = fine.toSeq.toDF("fine_cell", "centroid", "cnorm")
+    val fineRows = Similarity
+      .ivfAssignTo(fineDf.select(col("fine_cell"), col("centroid")),
+        "fine_cell", "centroid", coarse)
+      .withColumnRenamed("cell", "coarse")
+      .join(fineDf.select(col("fine_cell").cast("long").as("fine_cell"),
+        col("cnorm")), Seq("fine_cell"))
+      .select(lit(1).as("level"), col("fine_cell").cast("int").as("cell"),
+        col("centroid"), col("cnorm"), col("coarse").cast("int").as("coarse"))
+    val coarseRows = coarse.toSeq.toDF("cell", "centroid", "cnorm")
+      .select(lit(0).as("level"), col("cell"), col("centroid"),
+        col("cnorm"), lit(-1).as("coarse"))
+    centroidTable(spark, root).overwrite(coarseRows.unionByName(fineRows)): Unit
   }
 
   // ------------------------------------------------------- version pin
@@ -130,27 +172,71 @@ object IvfIndex {
   def loadModel(spark: SparkSession, root: String): Model =
     loadModelAt(spark, root, readPin(spark, root)._1)
 
-  /** Driver-memory budget for the collected model. [[sqrtCells]] caps
-    * cells at 65536 by default (≈ 200 MB at 768-dim float — a broadcast
-    * dim, not a corpus), but an index built with an explicit oversized
-    * nCells must fail loudly here rather than OOM the driver mid-collect.
-    * Past this size the right design is a two-level coarse quantizer
-    * (IVF over the centroids), not a bigger driver heap. */
+  /** Driver-memory budget for any single collected model or submodel.
+    * [[sqrtCells]] caps cells at 65536 by default (≈ 200 MB at 768-dim
+    * float — a broadcast dim, not a corpus). Past this size
+    * [[buildAndSave]] switches to the TWO-LEVEL layout automatically and
+    * the serve resolves through the coarse quantizer, so the budget
+    * bounds each collect (coarse model / probed fine subset), never the
+    * whole fine model. An explicit oversized FLAT model still fails
+    * loudly here rather than OOM the driver mid-collect. */
   val MaxModelCells: Int = 1 << 18
 
   def loadModelAt(spark: SparkSession, root: String, version: Long): Model = {
     import spark.implicits._
+    val df = centroidTable(spark, root).readVersion(version)
+    // two-level tables: the "model" in the flat sense is the FINE level
+    val flat =
+      if (df.columns.contains("level")) df.filter(col("level") === 1) else df
     // one pass: LIMIT bounds what the driver ever holds, and one row past
     // the cap proves the overflow without a separate count job on the
     // serving path
-    val capped = centroidTable(spark, root).readVersion(version)
+    val capped = flat
       .select(col("cell").cast("int"), col("centroid"), col("cnorm"))
       .as[(Int, Array[Float], Double)].limit(MaxModelCells + 1).collect()
     require(capped.length <= MaxModelCells,
       s"IVF model at $root exceeds MaxModelCells=$MaxModelCells — " +
-        "the collected-model budget; rebuild with fewer cells (sqrtCells) " +
-        "or introduce a two-level coarse quantizer before serving")
+        "the collected-model budget; serve through the two-level path " +
+        "(topK resolves it automatically for level-tagged tables)")
     capped.sortBy(_._1)
+  }
+
+  // --------------------------------------------- two-level serve helpers
+
+  private def collectModel(df: DataFrame, what: String): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val capped = df.select(col("cell").cast("int"), col("centroid"), col("cnorm"))
+      .as[(Int, Array[Float], Double)].limit(MaxModelCells + 1).collect()
+    require(capped.length <= MaxModelCells,
+      s"$what exceeds MaxModelCells=$MaxModelCells")
+    capped.sortBy(_._1)
+  }
+
+  /** Coarse-route an increment to fine cells WITHOUT driver-resident fine
+    * centroids: coarse-assign each row (broadcast coarse model, O(√√N)),
+    * then score only the fine centroids of its coarse cell through a
+    * shuffle join on the coarse key — ~√N/√√N candidates per row, no
+    * node ever holds the full fine model. Deterministic argmax (score
+    * desc, cell asc). */
+  private def assignViaCoarse(increment: DataFrame, idCol: String,
+                              vecCol: String, coarse: Model,
+                              fine: DataFrame): DataFrame = {
+    val co = Similarity.ivfAssignTo(increment, idCol, vecCol, coarse)
+      .withColumnRenamed("cell", "__coarse")
+      .withColumn("__nv", Similarity.norm(col(vecCol)))
+    val fineC = fine.select(col("coarse").as("__coarse"),
+      col("cell").as("__fcell"), col("centroid").as("__fc"),
+      col("cnorm").as("__fn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("__fcell").asc)
+    co.join(fineC, Seq("__coarse"))
+      .withColumn("__score",
+        Similarity.dot(col(vecCol), col("__fc")) / (col("__fn") * col("__nv")))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("__fcell").cast("int").as("cell"))
   }
 
   /** Incremental maintenance: assign ONLY `increment` against the frozen
@@ -164,11 +250,20 @@ object IvfIndex {
              root: String): Long = {
     val spark = increment.sparkSession
     val (cv, _) = readPin(spark, root)
-    val model = loadModelAt(spark, root, cv)
+    val ct = centroidTable(spark, root).readVersion(cv)
+    val assigned =
+      if (ct.columns.contains("level")) {
+        // two-level: route via the coarse quantizer — the fine model
+        // never lands on the driver
+        val coarse = collectModel(ct.filter(col("level") === 0),
+          s"coarse IVF model at $root")
+        assignViaCoarse(increment, idCol, vecCol, coarse,
+          ct.filter(col("level") === 1))
+      } else
+        Similarity.ivfAssignTo(increment, idCol, vecCol,
+          loadModelAt(spark, root, cv))
     val av = assignmentTable(spark, root).append(
-      Similarity.ivfAssignTo(increment, idCol, vecCol, model)
-        .repartition(col("cell")),
-      partitionBy = Seq("cell"))
+      assigned.repartition(col("cell")), partitionBy = Seq("cell"))
     writePin(root, cv, av)
     av
   }
@@ -203,13 +298,32 @@ object IvfIndex {
     * that keeps a 100 TB serve out of full-scan territory. `pruned =
     * false` reads the whole inverted file (same result, spec-pinned). */
   def topK(queries: DataFrame, root: String, idCol: String, vecCol: String,
-           k: Int, probes: Int = 4, pruned: Boolean = true): DataFrame = {
+           k: Int, probes: Int = 4, pruned: Boolean = true,
+           coarseProbes: Int = 8): DataFrame = {
     val spark = queries.sparkSession
     // one pin read resolves BOTH tables: the served inverted file always
     // pairs with the centroids that produced it, even while a rebuild is
     // publishing a new pair (the pin replace is atomic)
     val (cv, av) = readPin(spark, root)
-    val model = loadModelAt(spark, root, cv)
+    val ct = centroidTable(spark, root).readVersion(cv)
+    val model: Model =
+      if (ct.columns.contains("level")) {
+        // two-level resolve: collect the coarse model (O(√√N)), probe it
+        // with the query batch, then collect ONLY the fine centroids
+        // under the probed coarse cells — the driver never holds the
+        // full fine model. Fine cells outside the probed coarse cells
+        // are unreachable for this batch by construction (that is the
+        // recall trade a coarse quantizer makes; raise coarseProbes to
+        // buy it back).
+        val coarse = collectModel(ct.filter(col("level") === 0),
+          s"coarse IVF model at $root")
+        val probedCoarse =
+          probedCells(queries, vecCol, coarse, coarseProbes)
+        collectModel(
+          ct.filter(col("level") === 1 &&
+            col("coarse").isin(probedCoarse.toSeq: _*)),
+          s"probed fine-centroid subset at $root")
+      } else loadModelAt(spark, root, cv)
     val at = assignmentTable(spark, root)
     val assigned =
       if (!pruned) at.readVersion(av)

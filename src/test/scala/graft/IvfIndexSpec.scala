@@ -85,6 +85,108 @@ class IvfIndexSpec extends AnyFunSuite {
       "incremental append must equal a full rebuild against the frozen model")
   }
 
+  test("two-level coarse quantizer: both levels persist; full-coarse-probe serve == flat") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_2l").toString
+    val model = IvfIndex.buildAndSave(emb, "vec_id", "embedding", root,
+      nCells = 23, coarseCells = 5)
+    val ct = IvfIndex.centroidTable(spark, root).read()
+    assert(ct.filter(col("level") === 0).count() == 5)
+    assert(ct.filter(col("level") === 1).count() == 23)
+    val parents = ct.filter(col("level") === 1).select("coarse")
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(parents.subsetOf((0 until 5).toSet),
+      s"fine rows must point at coarse cells, got $parents")
+    // with EVERY coarse cell probed the resolved fine submodel is the
+    // whole fine model, so the serve must equal the flat in-memory serve
+    // bit for bit — the coarse level is pure routing, never scoring
+    val inMem = Similarity.ivfTopKWith(
+        queries, Similarity.ivfAssignTo(emb, "vec_id", "embedding", model),
+        model, "vec_id", "embedding", k = 10, probes = 4)
+      .collect().map(_.toSeq).toSet
+    val served = IvfIndex.topK(queries, root, "vec_id", "embedding",
+      k = 10, probes = 4, coarseProbes = 5).collect().map(_.toSeq).toSet
+    assert(served == inMem, "full-coarse-probe serve diverged from flat")
+    // the pruned partition read still applies beneath the coarse routing
+    val servedNarrow = IvfIndex.topK(queries, root, "vec_id", "embedding",
+      k = 10, probes = 4, coarseProbes = 2)
+    assert(servedNarrow.count() > 0)
+  }
+
+  test("two-level append: increments route to their coarse cell's best fine centroid") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_2li").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val increment = emb.filter(col("vec_id") % 5 === 0)
+    IvfIndex.buildAndSave(base, "vec_id", "embedding", root,
+      nCells = 20, coarseCells = 4): Unit
+    IvfIndex.append(increment, "vec_id", "embedding", root): Unit
+    // recompute the two-level assignment law driver-side and compare
+    val ct = IvfIndex.centroidTable(spark, root).read()
+    val coarse = ct.filter(col("level") === 0)
+      .select("cell", "centroid", "cnorm").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val fine = ct.filter(col("level") === 1)
+      .select("cell", "centroid", "cnorm", "coarse").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2), r.getInt(3)))
+    def bestCoarse(v: Array[Float]): Int = {
+      val nv = Similarity.VectorNorms.norm(v)
+      coarse.maxBy { case (_, cv, cn) =>
+        Similarity.VectorNorms.dot(cv, v) / (cn * nv) }._1
+    }
+    def bestFineIn(v: Array[Float], c: Int): Int = {
+      val nv = Similarity.VectorNorms.norm(v)
+      fine.filter(_._4 == c)
+        .map { case (cell, cv, cn, _) =>
+          (cell, Similarity.VectorNorms.dot(cv, v) / (cn * nv)) }
+        .sortBy { case (cell, s) => (-s, cell) }.head._1
+    }
+    val got = IvfIndex.assignmentTable(spark, root).read()
+      .select("vec_id", "embedding", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .filter(_._1 % 5 == 0)
+    assert(got.nonEmpty)
+    got.foreach { case (id, v, cell) =>
+      assert(cell == bestFineIn(v, bestCoarse(v)),
+        s"vec $id routed to $cell, law says ${bestFineIn(v, bestCoarse(v))}")
+    }
+  }
+
+  test("two-level recall: clustered corpus serves near-exact through coarse routing") {
+    import spark.implicits._
+    val dim = 16
+    def gaussians(seed: Long, n: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(n)(r.nextGaussian().toFloat)
+    }
+    def unit(seed: Long): Array[Float] = {
+      val v = gaussians(seed, dim)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = (0 until 20).map(c => unit(1000L + c))
+    val rows = (0L until 1000L).map { i =>
+      val noise = gaussians(2000L + i, dim)
+      val v = centers((i % 20).toInt).zip(noise)
+        .map { case (a, b) => a + 0.15f * b }
+      (i, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 20)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_2lr").toString
+    IvfIndex.buildAndSave(corpus, "vec_id", "embedding", root,
+      nCells = 32, refineIters = 2, coarseCells = 6): Unit
+    val exact = Similarity.bruteForceTopK(qs, corpus, "vec_id", "embedding",
+      k = 10)
+    val r3 = Similarity.recallAtK(exact,
+      IvfIndex.topK(qs, root, "vec_id", "embedding", k = 10, probes = 4,
+        coarseProbes = 3))
+    val r6 = Similarity.recallAtK(exact,
+      IvfIndex.topK(qs, root, "vec_id", "embedding", k = 10, probes = 4,
+        coarseProbes = 6))
+    assert(r3 >= 0.7, s"two-level recall@10 (3/6 coarse probes) = $r3")
+    assert(r6 >= r3, s"recall must be monotone in coarse probes: $r6 < $r3")
+  }
+
   test("recall@k: full-probe IVF is exact; default probes clear a floor") {
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding",
       k = 10)
