@@ -162,6 +162,34 @@ object CorpusPipeline {
     graft.llm.IncrementalDedup.flag(inc, corpus, minJ = minJ)
   }
 
+  /** The combined per-ingest maintenance loop (r7): ONE TxnTable CDC
+    * read drives BOTH standing jobs a training corpus runs per batch —
+    * churn-bounded near-dup flagging against the standing corpus
+    * ([[dedupIncrement]]) and ANN index maintenance for the survivors
+    * (graft.llm.IvfIndex.append against the FROZEN pinned model;
+    * two-level indexes route through the coarse quantizer). Duplicates
+    * never enter the index — curation feeds serving, in that order.
+    * Whole loop is O(churn · √N), the standing corpus is never
+    * rescanned. Returns the dedup flags and the published assignment
+    * version (unchanged when every increment row was a dup). */
+  def corpusIncrement(docs: graft.sources.TxnTable, fromV: Long, toV: Long,
+                      embeddings: org.apache.spark.sql.DataFrame,
+                      ivfRoot: String,
+                      embIdCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      minJ: Double = 0.8): (org.apache.spark.sql.DataFrame, Long) = {
+    val flags = dedupIncrement(docs, fromV, toV, minJ)
+    val survivors = flags.filter(col("n_matches") === 0)
+      .select(col("doc_id").as(embIdCol))
+    val vecs = embeddings.join(survivors, Seq(embIdCol), "left_semi")
+      .select(col(embIdCol), col(vecCol))
+    val av =
+      if (vecs.isEmpty)
+        graft.llm.IvfIndex.readPin(docs.spark, ivfRoot)._2
+      else graft.llm.IvfIndex.append(vecs, embIdCol, vecCol, ivfRoot)
+    (flags, av)
+  }
+
   /** Full run; idempotent (overwrite semantics per layer). */
   def run(spark: SparkSession, sfDir: String, lakeRoot: String,
           budget: Long = 2000L): LakeIO = {

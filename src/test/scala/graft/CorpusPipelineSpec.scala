@@ -120,4 +120,40 @@ class CorpusPipelineSpec extends AnyFunSuite {
       && viaSlices.except(viaCdc).count() == 0,
       "changes()-fed dedup must reproduce the catalog q60 exactly")
   }
+
+  test("corpusIncrement: one CDC read drives dedup flags AND the index append") {
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val txn = graft.sources.TxnTable(spark,
+      Files.createTempDirectory("graft_corpus_inc").toString)
+    val base = docs.filter(col("doc_id") % 10 =!= 3)
+    val v1 = txn.append(base)
+    val v2 = txn.append(docs.filter(col("doc_id") % 10 === 3))
+    // index built on the standing corpus's embeddings only
+    val ivfRoot = Files.createTempDirectory("graft_corpus_ivf").toString
+    graft.llm.IvfIndex.buildAndSave(
+      emb.join(base.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+      "vec_id", "embedding", ivfRoot): Unit
+    val (cv0, av0) = graft.llm.IvfIndex.readPin(spark, ivfRoot)
+    val (flags, av) = CorpusPipeline.corpusIncrement(
+      txn, v1, v2, emb, ivfRoot)
+    // flags cover exactly the increment
+    val incIds = docs.filter(col("doc_id") % 10 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flags.select("doc_id").collect().map(_.getLong(0)).toSet == incIds)
+    // the appended index rows are exactly the non-dup survivors, assigned
+    // with the SAME frozen centroids (pin: cv unchanged, av advanced)
+    val survivors = flags.filter(col("n_matches") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (cv1, av1) = graft.llm.IvfIndex.readPin(spark, ivfRoot)
+    assert(cv1 == cv0, "append must not move the centroid version")
+    assert(av1 == av && av1 > av0)
+    val indexed = graft.llm.IvfIndex.assignmentTable(spark, ivfRoot).read()
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val baseIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == baseIds ++ survivors,
+      "index must hold the standing corpus plus exactly the survivors")
+    assert((survivors.nonEmpty || incIds.isEmpty) && incIds.nonEmpty)
+  }
 }
