@@ -222,6 +222,19 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"runs_per_query":$runsPerQuery,"agg":"min","runs":$runs,"p50":${pctMap(0.5)},"p95":${pctMap(0.95)},"task_sec":$tasks,"stages":$stages,"fresh":$freshJson,"fresh_total":$freshTotal,"shared_total_on_fresh_subset":$sharedOnFresh,"spark_vs_duckdb":$ratioJson,"spark_vs_duckdb_total":$ratioTotal,"ratio_note":"per-query ratios at sf0.1 include ~0.3s fixed Spark scheduling overhead per query; aggregate + heavy-query ratios are the signal","sf":"$sfDir"}"""
     println(line)
+    // The driver's log capture keeps only a short stdout tail, and the
+    // full-telemetry line above has outgrown it (BENCH_rN.json has carried
+    // parsed:null since round 1). Repeat the REQUIRED fields as a compact
+    // line LAST — 2-decimal wall seconds keep all 76 queries under 2000
+    // chars — so a tail-bounded parser still gets a complete JSON object.
+    // The full line (and the file below) stays the precise record.
+    def r2(d: Double): String = {
+      val v = math.rint(d * 100) / 100
+      if (v == v.toLong) v.toLong + ".0" else v.toString
+    }
+    val qs2 = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + r2(v.min) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs2,"sf":"$sfDir"}""")
     // stdout can be truncated by log-capture tooling; the file is the
     // durable copy of the full JSON line
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
