@@ -213,23 +213,65 @@ object IvfIndex {
     capped.sortBy(_._1)
   }
 
+  /** The coarse cells that actually HAVE fine children. K-means can
+    * leave a coarse centroid with zero assigned fine centroids; a row
+    * routed there would find no fine candidates, so the routing law
+    * considers only populated coarse cells (nearest NON-EMPTY coarse,
+    * lowest cell id on ties — IvfIndexSpec pins it). One bounded job:
+    * output ≤ coarse-cell count. */
+  private def populatedCoarse(fine: DataFrame, coarse: Model): Model = {
+    val spark = fine.sparkSession
+    import spark.implicits._
+    val populated = fine.select(col("coarse").cast("int")).distinct()
+      .as[Int].collect().toSet
+    val routable = coarse.filter { case (cell, _, _) => populated(cell) }
+    require(routable.nonEmpty,
+      "two-level IVF model has no coarse cell with fine children")
+    routable
+  }
+
   /** Coarse-route an increment to fine cells WITHOUT driver-resident fine
     * centroids: coarse-assign each row (broadcast coarse model, O(√√N)),
     * then score only the fine centroids of its coarse cell through a
     * shuffle join on the coarse key — ~√N/√√N candidates per row, no
     * node ever holds the full fine model. Deterministic argmax (score
-    * desc, cell asc). */
+    * desc, cell asc). Every input row is assigned, like the flat path:
+    * a per-row surrogate minted inside the assignment pass keeps
+    * duplicate-id rows distinct through the fine argmax (no join-back
+    * on a non-deterministic id), and routing only to populated coarse
+    * cells ([[populatedCoarse]]) makes the fine join total. */
   private def assignViaCoarse(increment: DataFrame, idCol: String,
                               vecCol: String, coarse: Model,
                               fine: DataFrame): DataFrame = {
-    val co = Similarity.ivfAssignTo(increment, idCol, vecCol, coarse)
-      .withColumnRenamed("cell", "__coarse")
-      .withColumn("__nv", Similarity.norm(col(vecCol)))
-    val fineC = fine.select(col("coarse").as("__coarse"),
+    val spark = increment.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(populatedCoarse(fine, coarse))
+    val co = increment
+      .select(col(idCol).cast("long").as(idCol), col(vecCol).as(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        val base = org.apache.spark.TaskContext.getPartitionId().toLong << 40
+        var n = 0L
+        rows.map { case (id, v) =>
+          val nv = Similarity.VectorNorms.norm(v)
+          var best = cs(0)._1
+          var bestCos = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val c = Similarity.VectorNorms.dot(cs(i)._2, v) / (cs(i)._3 * nv)
+            if (c > bestCos) { bestCos = c; best = cs(i)._1 }
+            i += 1
+          }
+          val rid = base | n; n += 1
+          (rid, id, v, best, nv)
+        }
+      }.toDF("__rid", idCol, vecCol, "__coarse", "__nv")
+    val fineC = fine.select(col("coarse").cast("int").as("__coarse"),
       col("cell").as("__fcell"), col("centroid").as("__fc"),
       col("cnorm").as("__fn"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
+      .partitionBy(col("__rid"))
       .orderBy(col("__score").desc, col("__fcell").asc)
     co.join(fineC, Seq("__coarse"))
       .withColumn("__score",
@@ -240,11 +282,16 @@ object IvfIndex {
   }
 
   /** Incremental maintenance: assign ONLY `increment` against the frozen
-    * persisted model and append to the inverted file. Equals a rebuild
-    * against the same model bit-for-bit (per-row assignment depends on
-    * nothing but the row and the centroids — [[Similarity.ivfAssignTo]]'s
-    * law, re-pinned through the persisted table in IvfIndexSpec). The
-    * published pin carries the centroid version the increment was
+    * persisted model and append to the inverted file. For FLAT models
+    * this equals a rebuild against the same model bit-for-bit (per-row
+    * assignment depends on nothing but the row and the centroids —
+    * [[Similarity.ivfAssignTo]]'s law, re-pinned through the persisted
+    * table in IvfIndexSpec). For TWO-LEVEL models the law is top-1
+    * populated-coarse routing then fine argmax within that coarse cell
+    * ([[assignViaCoarse]], spec-pinned) — a coarse-boundary vector can
+    * land in a different fine cell than the global fine argmax would
+    * pick, so bit-for-bit rebuild equality applies only to flat models.
+    * The published pin carries the centroid version the increment was
     * actually assigned with. */
   def append(increment: DataFrame, idCol: String, vecCol: String,
              root: String): Long = {
@@ -315,8 +362,12 @@ object IvfIndex {
         // are unreachable for this batch by construction (that is the
         // recall trade a coarse quantizer makes; raise coarseProbes to
         // buy it back).
-        val coarse = collectModel(ct.filter(col("level") === 0),
-          s"coarse IVF model at $root")
+        // probe only populated coarse cells — a childless coarse cell
+        // contributes no fine candidates, so spending a probe slot on it
+        // would silently cost recall
+        val coarse = populatedCoarse(ct.filter(col("level") === 1),
+          collectModel(ct.filter(col("level") === 0),
+            s"coarse IVF model at $root"))
         val probedCoarse =
           probedCells(queries, vecCol, coarse, coarseProbes)
         collectModel(

@@ -230,13 +230,31 @@ object DeltaInterop {
     // possibly inline add/remove in the manifest itself.
     ckptV.foreach { v =>
       val sidecars = scala.collection.mutable.ArrayBuffer[String]()
+      // the replay consumes a FIXED subset of each action's fields —
+      // prune the scan to those before anything reaches the driver, and
+      // stream the rows (toLocalIterator) instead of collecting one
+      // array, so a million-add checkpoint costs the driver one row of
+      // pruned fields at a time, not the full action structs at once
+      val consumedFields: Map[String, Seq[String]] = Map(
+        "protocol" -> Seq("minReaderVersion", "readerFeatures"),
+        "metaData" -> Seq("schemaString", "partitionColumns", "configuration"),
+        "add" -> Seq("path", "partitionValues", "size", "deletionVector"),
+        "remove" -> Seq("path"),
+        "checkpointMetadata" -> Seq("version"),
+        "sidecar" -> Seq("path"))
       def scanActionParquet(paths: Seq[String]): Unit = {
         val df = spark.read.parquet(paths: _*)
         val cols = df.columns.toSet
         Seq("protocol", "metaData", "add", "remove", "checkpointMetadata",
             "sidecar").filter(cols).foreach { c =>
-          df.select(col(c)).filter(col(c).isNotNull).collect().foreach { r =>
-            val s = r.getStruct(0)
+          val avail = df.schema(c).dataType
+            .asInstanceOf[StructType].fieldNames.toSet
+          val fields = consumedFields(c).filter(avail)
+          val it = df.filter(col(c).isNotNull)
+            .select(struct(fields.map(f => col(s"$c.$f").as(f)): _*).as(c))
+            .toLocalIterator()
+          while (it.hasNext) {
+            val s = it.next().getStruct(0)
             c match {
               case "protocol" =>
                 val feats =
@@ -425,6 +443,7 @@ object DeltaInterop {
     require(magic == 1681511377, s"bad RoaringBitmapArray magic $magic")
     val n = bb.getLong
     require(n >= 0 && n <= Int.MaxValue, s"absurd DV bitmap count $n")
+    val MaxDvKey = 1 << 21
     // each serialized bitmap is prefixed by its int32-LE key; only
     // non-empty bitmaps appear, in ascending key order, so the logical
     // array spans [0, maxKey] with gaps left null
@@ -435,6 +454,12 @@ object DeltaInterop {
       val key = bb.getInt
       require(key > lastKey,
         s"DV bitmap keys must be non-negative and strictly ascending (got $key after $lastKey)")
+      // the key is the high-32 of a 64-bit row index; 2^21 keys covers
+      // 2^53 rows per data file, so anything larger is a corrupt or
+      // hostile blob — fail loudly instead of allocating a multi-GB
+      // logical array below (mirrors the "absurd DV bitmap count" guard)
+      require(key <= MaxDvKey,
+        s"absurd DV bitmap key $key (cap $MaxDvKey) — corrupt deletion vector")
       val bm = new org.roaringbitmap.RoaringBitmap()
       bm.deserialize(bb)
       bb.position(bb.position() + bm.serializedSizeInBytes())
@@ -486,7 +511,20 @@ object DeltaInterop {
       Option(u.getPath).filter(_.nonEmpty).getOrElse(p)
     } catch { case _: Throwable => p }
 
-  /** Read the table as a DataFrame at `version` (default: latest). */
+  /** Read the table as a DataFrame at `version` (default: latest).
+    *
+    * Id-mode column-mapping caveat: the field-id parquet resolution rides
+    * a session conf that the parquet reader resolves from the ACTIVE
+    * session at planning time. The returned DataFrame is built on a
+    * derived session with the flag on, so it plans correctly when
+    * executed as returned (actions on this df, joins where it is the
+    * driver side). Composing it under a DIFFERENT session that has
+    * `spark.sql.parquet.fieldId.read.enabled=false` (e.g. as the right
+    * side of a join planned by the caller's session) can silently
+    * mis-resolve id-mapped columns by name — if you need that, set the
+    * flag in the composing session, or materialize this df first. Only
+    * id-mode tables are affected; name-mode and unmapped tables carry no
+    * session state. */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, root, version)

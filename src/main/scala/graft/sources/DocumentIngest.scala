@@ -34,6 +34,14 @@ object DocumentIngest {
   /** Max bytes any single zip entry may inflate to (zip-bomb guard). */
   val MaxEntryBytes: Int = 64 * 1024 * 1024
 
+  /** Max TOTAL inflated bytes across kept entries — a many-entry archive
+    * must not exhaust executor memory even if each entry clears the
+    * per-entry cap. */
+  val MaxTotalBytes: Long = 256L * 1024 * 1024
+
+  /** Max kept-entry count (same many-small-entries bomb, by count). */
+  val MaxEntries: Int = 4096
+
   def extension(path: String): String = {
     val name = path.substring(path.lastIndexOf('/') + 1)
     val i = name.lastIndexOf('.')
@@ -42,27 +50,54 @@ object DocumentIngest {
 
   // ------------------------------------------------------------- zip/xml
 
-  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+  /** Inflate the archive's entries, materializing ONLY those `keep`
+    * admits (each format reads a fixed handful of XML parts — embedded
+    * media and foreign entries are never buffered), under three bomb
+    * guards: per-entry bytes, total kept bytes, kept-entry count.
+    * Skipped entries cost only the stream skip, not an allocation. */
+  private def zipEntries(bytes: Array[Byte],
+                         keep: String => Boolean): Map[String, Array[Byte]] = {
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = mutable.LinkedHashMap[String, Array[Byte]]()
     val buf = new Array[Byte](64 * 1024)
+    var total = 0L
     var e = zis.getNextEntry
     while (e != null) {
-      if (!e.isDirectory) {
+      if (!e.isDirectory && keep(e.getName)) {
+        require(out.size < MaxEntries,
+          s"archive holds more than $MaxEntries kept entries")
         val bos = new java.io.ByteArrayOutputStream()
         var n = zis.read(buf)
         while (n >= 0) {
           bos.write(buf, 0, n)
           require(bos.size() <= MaxEntryBytes,
             s"zip entry ${e.getName} exceeds $MaxEntryBytes bytes")
+          require(total + bos.size() <= MaxTotalBytes,
+            s"archive inflates past $MaxTotalBytes total bytes")
           n = zis.read(buf)
         }
+        total += bos.size()
         out(e.getName) = bos.toByteArray
       }
       e = zis.getNextEntry
     }
     out.toMap
   }
+
+  /** xlsx keeps the workbook, its rels, shared strings, and any XML part
+    * under xl/ a sheet relationship may point at — never xl/media. */
+  private val keepXlsx: String => Boolean = name =>
+    name == "xl/workbook.xml" || name == "xl/_rels/workbook.xml.rels" ||
+      name == "xl/sharedStrings.xml" ||
+      (name.startsWith("xl/") && !name.startsWith("xl/media/") &&
+        name.endsWith(".xml"))
+
+  private val keepDocx: String => Boolean = _ == "word/document.xml"
+
+  private val SlideName = """ppt/slides/slide(\d+)\.xml""".r
+
+  private val keepPptx: String => Boolean = name =>
+    SlideName.pattern.matcher(name).matches()
 
   private def xmlReader(bytes: Array[Byte]) = {
     val f = javax.xml.stream.XMLInputFactory.newInstance()
@@ -241,7 +276,7 @@ object DocumentIngest {
 
   /** All sheets of an xlsx: (sheetName, rows). */
   def xlsxSheets(bytes: Array[Byte]): Seq[(String, Seq[Seq[String]])] = {
-    val entries = zipEntries(bytes)
+    val entries = zipEntries(bytes, keepXlsx)
     val shared = entries.get("xl/sharedStrings.xml")
       .map(sharedStrings).getOrElse(IndexedSeq.empty)
     sheetTargets(entries).map { case (name, target) =>
@@ -267,7 +302,7 @@ object DocumentIngest {
 
   /** docx body text: w:t runs concatenated, paragraph breaks as \n. */
   def docxText(bytes: Array[Byte]): String = {
-    val entries = zipEntries(bytes)
+    val entries = zipEntries(bytes, keepDocx)
     val doc = entries.getOrElse("word/document.xml",
       throw new IllegalArgumentException("not a docx: no word/document.xml"))
     collectText(doc, "t", "p", "\n").trim
@@ -276,10 +311,9 @@ object DocumentIngest {
   /** pptx slide text in slide order: a:t runs, paragraph breaks as \n,
     * blank line between slides. */
   def pptxText(bytes: Array[Byte]): String = {
-    val entries = zipEntries(bytes)
-    val slideName = """ppt/slides/slide(\d+)\.xml""".r
+    val entries = zipEntries(bytes, keepPptx)
     val slides = entries.keys.flatMap {
-      case k @ slideName(n) => Some(n.toInt -> k)
+      case k @ SlideName(n) => Some(n.toInt -> k)
       case _ => None
     }.toSeq.sortBy(_._1)
     slides.map { case (_, k) => collectText(entries(k), "t", "p", "\n").trim }
