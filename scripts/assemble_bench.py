@@ -9,6 +9,7 @@ Usage: assemble_bench.py <bench_sf01.json> <baseline_sf01.json>
 (bench files = the Bench stdout JSON line, possibly log-prefixed)
 """
 import json
+import os
 import sys
 
 
@@ -56,7 +57,7 @@ def main(b01, d01, b1, d1, out):
     over2x = sorted(k for k, r in blocks["sf1_10x_slice"]["spark_vs_duckdb"].items()
                     if r > 2.0)
     doc = {
-        "round": 7,
+        "round": int(os.environ.get("GRAFT_ROUND", "8")),
         "cpus": 32,
         "runs_per_query": s01.get("runs_per_query", 3), "agg": "min", "materialization": "noop sink",
         "sf1_note": "10x ScaleData replication of sf0.1 (all tables, "

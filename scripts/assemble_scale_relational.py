@@ -8,6 +8,7 @@ Usage: assemble_scale_relational.py <bench_10x.json> <bench_100x.json> <out.json
 (bench files = the Bench stdout JSON line, possibly log-prefixed)
 """
 import json
+import os
 import math
 import sys
 
@@ -27,7 +28,7 @@ def main(b10, b100, out):
             for k in common if q10[k] > 0 and q100[k] > 0}
     superlinear = sorted(k for k, e in exps.items() if e > 1.05)
     doc = {
-        "round": 7,
+        "round": int(os.environ.get("GRAFT_ROUND", "8")),
         "cpus": s100.get("sf") and 32,
         "slices": {"10x": s10.get("sf"), "100x": s100.get("sf")},
         "runs_per_query": s10.get("runs_per_query"),

@@ -104,7 +104,8 @@ object ScaleSweep {
       "q57_temperature_mix" -> Set("documents"), "q64_collocations" -> Set("documents"),
       "q67_tfidf" -> Set("documents"),
       "q55_ann_ivf" -> Set("embeddings"), "q24_embedding_dedup" -> Set("embeddings"),
-      "q63_ann_quantized" -> Set("embeddings"), "ivf_index_serve" -> Set("embeddings"))
+      "q63_ann_quantized" -> Set("embeddings"), "ivf_index_serve" -> Set("embeddings"),
+      "ivf_two_level_serve" -> Set("embeddings"))
     locally {
       val enabled = only.getOrElse(tableDeps.keySet)
       val starved = enabled.filter(q =>
@@ -347,6 +348,50 @@ object ScaleSweep {
         near1 >= 50 * copies,
         s"cells=${model.length}, recall@10=$recall, pruned==full: ${pSet == fSet}, " +
           s"rows=${pSet.size}, cos~1: $near1 (exp >= ${50 * copies})")
+    }
+    runCustom("ivf_two_level_serve") {
+      // r8 (round-7 verdict item 4): the TWO-LEVEL coarse quantizer at
+      // sweep scale. coarseCells forces the two-level layout at this
+      // volume (production engages it automatically past MaxModelCells);
+      // the metamorphic floor is the same as the flat entry — every
+      // query's true neighbors are exact copies in its own fine cell, so
+      // any coarse-routing loss shows up as recall < copies/10. Measured:
+      // the fixed-width recall/latency curve (the documented trade) and
+      // the default autoWiden serve, which must clear the flat-class
+      // floor; append-at-width re-checks the every-row-assigned law.
+      import graft.llm.{IvfIndex, Similarity}
+      val emb = spark.read.parquet(s"$dataDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 50)
+      val root = s"$outDir/ivf_two_level_f$factor"
+      val n = emb.count()
+      val cells = IvfIndex.sqrtCells(n)
+      IvfIndex.buildAndSave(emb, "vec_id", "embedding", root,
+        nCells = cells, coarseCells = IvfIndex.sqrtCells(cells.toLong)): Unit
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 10)
+      def serveAt(cp: Int, widen: Boolean): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val served = IvfIndex.topK(queries, root, "vec_id", "embedding",
+          k = 10, probes = 4, coarseProbes = cp, autoWiden = widen)
+        val r = Similarity.recallAtK(exact, served)
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val curve = Seq(1, 2, 4, 8).map(cp => cp -> serveAt(cp, widen = false))
+      val (rAuto, tAuto) = serveAt(2, widen = true)
+      // append-at-width: every increment row lands (the r8 row-drop fix)
+      val before = IvfIndex.assignmentTable(spark, root).read().count()
+      val inc = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(10_000_000_000L))
+      IvfIndex.append(inc, "vec_id", "embedding", root): Unit
+      val appended =
+        IvfIndex.assignmentTable(spark, root).read().count() - before
+      val copies = math.min(10, factor - 1)
+      val monotone = curve.map(_._2._1).sliding(2)
+        .forall(p => p.length < 2 || p(1) >= p(0) - 1e-9)
+      (rAuto >= copies / 10.0 && monotone && appended == 20,
+        s"cells=$cells, curve=" +
+          curve.map { case (cp, (r, t)) => f"$cp:$r%.3f@$t%.1fs" }.mkString(",") +
+          f", autoWiden: $rAuto%.3f@$tAuto%.1fs, appended=$appended/20")
     }
 
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -20,6 +20,19 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // ObjectHashAggregate falls back to SORT-BASED aggregation after only
+    // 128 map keys — tuned for aggregates whose per-group object buffers
+    // can be huge, but graft's TypedImperativeAggregates
+    // (multi_distinct_count's CompactLongSets) hold state bounded by the
+    // PARTITION's row count, so the fallback buys nothing and costs a
+    // whole-fact sort: measured at the 100x relational slice, q8 went
+    // super-linear (scaling exponent 1.30, 945 task-seconds) purely from
+    // sorting + spilling 60M rows that a 47k-key hash map handled in
+    // seconds. 2^19 keys keeps worst-case simultaneous map state around
+    // ~100 MB/task (all-distinct adversarial partition) so the fallback
+    // still protects the heap where it actually can matter.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 19).toString)
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             shufflePartitions: Int = 32): SparkSession = {

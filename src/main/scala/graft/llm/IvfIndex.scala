@@ -343,43 +343,72 @@ object IvfIndex {
     * reads only the probed cells' partitions — at √N cells and P probes
     * that is P/√N of the corpus files per query batch, the access pattern
     * that keeps a 100 TB serve out of full-scan territory. `pruned =
-    * false` reads the whole inverted file (same result, spec-pinned). */
+    * false` reads the whole inverted file (same result, spec-pinned).
+    *
+    * Two-level indexes: `coarseProbes` seeds how many coarse cells the
+    * batch opens; with `autoWiden` (default) the probe width then DOUBLES
+    * until the batch's probed-fine-cell set stops changing — i.e. until
+    * the fine cells this batch would scan are the same ones a wider
+    * coarse view would pick, the point where coarse routing has stopped
+    * costing candidates (r8; recovers flat-class recall on clustered
+    * corpora, spec-pinned ≥ 0.85). Each widening step is one bounded
+    * probe job; widening stops at the full (populated) coarse set, so
+    * the WORST case equals probing every coarse cell — which is
+    * spec-pinned bit-identical to the flat serve. Set `autoWiden =
+    * false` to pay exactly `coarseProbes` and take the recall trade. */
   def topK(queries: DataFrame, root: String, idCol: String, vecCol: String,
            k: Int, probes: Int = 4, pruned: Boolean = true,
-           coarseProbes: Int = 8): DataFrame = {
+           coarseProbes: Int = 8, autoWiden: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     // one pin read resolves BOTH tables: the served inverted file always
     // pairs with the centroids that produced it, even while a rebuild is
     // publishing a new pair (the pin replace is atomic)
     val (cv, av) = readPin(spark, root)
     val ct = centroidTable(spark, root).readVersion(cv)
+    // the widening loop already resolves the batch's probed fine cells;
+    // carried here so the pruned read below doesn't re-run the probe job
+    var resolvedProbe: Option[Set[Int]] = None
     val model: Model =
       if (ct.columns.contains("level")) {
         // two-level resolve: collect the coarse model (O(√√N)), probe it
         // with the query batch, then collect ONLY the fine centroids
         // under the probed coarse cells — the driver never holds the
-        // full fine model. Fine cells outside the probed coarse cells
-        // are unreachable for this batch by construction (that is the
-        // recall trade a coarse quantizer makes; raise coarseProbes to
-        // buy it back).
-        // probe only populated coarse cells — a childless coarse cell
-        // contributes no fine candidates, so spending a probe slot on it
-        // would silently cost recall
-        val coarse = populatedCoarse(ct.filter(col("level") === 1),
+        // full fine model. Only populated coarse cells are probed — a
+        // childless coarse cell contributes no fine candidates, so a
+        // probe slot spent there would silently cost recall.
+        val fineDf = ct.filter(col("level") === 1)
+        val coarse = populatedCoarse(fineDf,
           collectModel(ct.filter(col("level") === 0),
             s"coarse IVF model at $root"))
-        val probedCoarse =
-          probedCells(queries, vecCol, coarse, coarseProbes)
-        collectModel(
-          ct.filter(col("level") === 1 &&
-            col("coarse").isin(probedCoarse.toSeq: _*)),
+        def fineUnder(probedCoarse: Set[Int]): Model = collectModel(
+          fineDf.filter(col("coarse").isin(probedCoarse.toSeq: _*)),
           s"probed fine-centroid subset at $root")
+        var c = math.min(math.max(1, coarseProbes), coarse.length)
+        var probedCoarse = probedCells(queries, vecCol, coarse, c)
+        var sub = fineUnder(probedCoarse)
+        var probedFine = probedCells(queries, vecCol, sub, probes)
+        var stable = !autoWiden || c >= coarse.length
+        while (!stable) {
+          val c2 = math.min(c * 2, coarse.length)
+          val probedCoarse2 = probedCells(queries, vecCol, coarse, c2)
+          val sub2 = fineUnder(probedCoarse2)
+          val probedFine2 = probedCells(queries, vecCol, sub2, probes)
+          if (probedFine2 == probedFine) stable = true
+          else {
+            c = c2; probedCoarse = probedCoarse2
+            sub = sub2; probedFine = probedFine2
+            stable = c >= coarse.length
+          }
+        }
+        resolvedProbe = Some(probedFine)
+        sub
       } else loadModelAt(spark, root, cv)
     val at = assignmentTable(spark, root)
     val assigned =
       if (!pruned) at.readVersion(av)
       else {
-        val cells = probedCells(queries, vecCol, model, probes)
+        val cells = resolvedProbe
+          .getOrElse(probedCells(queries, vecCol, model, probes))
         // entries with an unparseable/absent part path stay in the scan
         // (pruning must never drop data it cannot prove irrelevant)
         at.readParts(av)(p => cellOf(p).forall(cells.contains))

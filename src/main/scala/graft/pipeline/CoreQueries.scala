@@ -304,7 +304,14 @@ object CoreQueries {
     * the two-level distinct plan ships, ONE exchange instead of four),
     * and the plain aggs ride the same ObjectHashAggregate. Exchange
     * topology at 100 TB: the two join shuffles plus one set-carrying
-    * exchange at the output grain — the minimum for this grain change. */
+    * exchange at the output grain — the minimum for this grain change.
+    *
+    * r8: the aggregate needs the raised
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (GraftSession.tuned) — at the default 128-key fallback the whole
+    * fact gets SORT-aggregated and the query goes super-linear at the
+    * 100x slice (measured exponent 1.30 → 0.5-class with the hash map
+    * retained; state is partition-bounded so the map is safe). */
   def q8CustomerMetricsOnePass(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val li  = Tables.lineitem(spark, dir)

@@ -190,6 +190,37 @@ object CorpusPipeline {
     (flags, av)
   }
 
+  /** Land a raw mixed-format document directory in the stage layer — the
+    * reference's extract_data flow (documents decoded where they are
+    * listed, extracted text + per-document errors into the lake):
+    *
+    *  - `documentos_raw`: one row per file — path, ext, text (null for
+    *    unsupported/refused formats), error (null unless the decode
+    *    threw) — so failed documents stay visible for reprocessing
+    *    instead of vanishing from the batch;
+    *  - `documentos_chunks`: the q40 chunk grain (path, idx_chunk,
+    *    n_palabras_chunk, texto_chunk) over every decoded text, chunked
+    *    by the reference's word-accumulating law
+    *    ([[graft.sources.DocumentIngest.chunkWords]]).
+    *
+    * Decode runs on the executors (binaryFile + mapPartitions); nothing
+    * document-sized ever reaches the driver. */
+  def ingestStage(lake: LakeIO, docsDir: String, chunkSize: Int = 1000): Unit = {
+    val spark = lake.spark
+    import spark.implicits._
+    val raw = graft.sources.DocumentIngest.ingest(spark, docsDir)
+    lake.write(raw, lake.layers.Stage, "documentos_raw")
+    val chunks = lake.read(lake.layers.Stage, "documentos_raw")
+      .filter(col("text").isNotNull)
+      .select(col("path"), col("text")).as[(String, String)]
+      .flatMap { case (p, t) =>
+        graft.sources.DocumentIngest.chunkWords(t, chunkSize).zipWithIndex.map {
+          case (c, i) => (p, i, c.split(" ").length, c)
+        }
+      }.toDF("path", "idx_chunk", "n_palabras_chunk", "texto_chunk")
+    lake.write(chunks, lake.layers.Stage, "documentos_chunks")
+  }
+
   /** Full run; idempotent (overwrite semantics per layer). */
   def run(spark: SparkSession, sfDir: String, lakeRoot: String,
           budget: Long = 2000L): LakeIO = {

@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * the JDK's ZipInputStream + StAX decode them with ZERO added
   * dependencies, inside a `binaryFile`-source mapPartitions — each
   * executor parses its own files, the driver never touches bytes, and a
-  * million-document corpus is just a bigger file listing. PDF needs a
-  * real binary decoder this container does not carry, so `.pdf` returns
-  * null text — the same "unsupported → None" contract the reference's
-  * dispatcher applies to unknown extensions — rather than a fake decode.
+  * million-document corpus is just a bigger file listing. PDF decodes
+  * through [[PdfText]] (public ISO 32000 subset: Flate content streams +
+  * text-show operators); encrypted and image-only PDFs refuse to None —
+  * the dispatcher's "unsupported → None" contract, never a fake decode.
   *
   * Parsing is defensive, not trusting: entity resolution is disabled
   * (no XXE), entry sizes are capped (no zip bombs), and junk bytes
@@ -328,8 +328,11 @@ object DocumentIngest {
       case "docx" => Some(docxText(bytes))
       case "pptx" => Some(pptxText(bytes))
       case "txt" | "md" => Some(new String(bytes, "UTF-8"))
-      // pdf (and legacy xls/doc/ppt binaries) need decoders this
-      // container does not carry — unsupported → None, never a fake
+      // minimal public-spec reader: Flate content streams + text-show
+      // operators; encrypted/scanned refuse to None (PdfText doc)
+      case "pdf" => PdfText.extract(bytes)
+      // legacy binary formats (xls/doc/ppt) need decoders this container
+      // does not carry — unsupported → None, never a fake
       case _ => None
     }
 

@@ -156,4 +156,59 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "index must hold the standing corpus plus exactly the survivors")
     assert((survivors.nonEmpty || incIds.isEmpty) && incIds.nonEmpty)
   }
+
+  test("ingestStage lands a mixed-format corpus: errors preserved, q40 chunk grain") {
+    // synthesized mixed corpus: decodable docx + txt + pdf, one
+    // unsupported binary, one corrupt office file
+    def zip(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (n, c) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(c.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    val docx = zip("word/document.xml" ->
+      """<w:document xmlns:w="x"><w:body><w:p><w:r><w:t>texto del informe anual</w:t></w:r></w:p></w:body></w:document>""")
+    val pdf = ("%PDF-1.4\n1 0 obj << /Length 28 >>\nstream\n" +
+      "BT (parrafo del pdf) Tj ET\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    val dir = Files.createTempDirectory("graft_ing_docs")
+    Files.write(dir.resolve("a.docx"), docx)
+    Files.write(dir.resolve("b.txt"),
+      ("palabra " * 30).trim.getBytes("UTF-8"))
+    Files.write(dir.resolve("c.pdf"), pdf)
+    Files.write(dir.resolve("d.bin"), Array[Byte](0, 1, 2))
+    Files.write(dir.resolve("e.docx"), Array[Byte](9, 9, 9))
+
+    val root = Files.createTempDirectory("graft_ing_lake").toString
+    val lake = graft.sources.LakeIO(spark, root)
+    CorpusPipeline.ingestStage(lake, dir.toString, chunkSize = 40)
+
+    val raw = lake.read(lake.layers.Stage, "documentos_raw")
+    assert(raw.count() == 5, "every listed file lands, decodable or not")
+    val byName = raw.collect().map(r => r.getString(0).split('/').last ->
+      (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(byName("a.docx")._1.contains("texto del informe anual"))
+    assert(byName("c.pdf")._1.contains("parrafo del pdf"))
+    assert(byName("d.bin") == (None, None), "unsupported: null text, null error")
+    assert(byName("e.docx")._1.isEmpty && byName("e.docx")._2.nonEmpty,
+      "corrupt files keep their error row")
+
+    // chunk grain: one row per (path, idx_chunk), q40's column shape
+    val chunks = lake.read(lake.layers.Stage, "documentos_chunks")
+    assert(chunks.columns.toSeq ==
+      Seq("path", "idx_chunk", "n_palabras_chunk", "texto_chunk"))
+    // b.txt: 30 words of 8 chars vs chunkSize 40 → multiple chunks,
+    // idx dense from 0, word counts consistent with the text
+    val b = chunks.filter(col("path").endsWith("b.txt"))
+      .orderBy("idx_chunk").collect()
+    assert(b.length > 1)
+    assert(b.map(_.getInt(1)).toSeq == b.indices)
+    assert(b.map(_.getInt(2)).sum == 30)
+    // only decoded documents chunk — no rows for the refused/corrupt ones
+    assert(chunks.filter(col("path").endsWith(".bin")).isEmpty)
+    assert(chunks.filter(col("path").endsWith("e.docx")).isEmpty)
+  }
 }

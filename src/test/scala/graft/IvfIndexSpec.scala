@@ -182,14 +182,23 @@ class IvfIndexSpec extends AnyFunSuite {
       nCells = 32, refineIters = 2, coarseCells = 6): Unit
     val exact = Similarity.bruteForceTopK(qs, corpus, "vec_id", "embedding",
       k = 10)
+    // fixed-width probing (autoWiden off): the documented recall trade
     val r3 = Similarity.recallAtK(exact,
       IvfIndex.topK(qs, root, "vec_id", "embedding", k = 10, probes = 4,
-        coarseProbes = 3))
+        coarseProbes = 3, autoWiden = false))
     val r6 = Similarity.recallAtK(exact,
       IvfIndex.topK(qs, root, "vec_id", "embedding", k = 10, probes = 4,
-        coarseProbes = 6))
+        coarseProbes = 6, autoWiden = false))
     assert(r3 >= 0.7, s"two-level recall@10 (3/6 coarse probes) = $r3")
     assert(r6 >= r3, s"recall must be monotone in coarse probes: $r6 < $r3")
+    // the default autoWiden serve recovers flat-class recall: widening
+    // stops only when the probed-fine-cell set is stable, so a narrow
+    // seed must not cost candidates the wider view would scan
+    val rAuto = Similarity.recallAtK(exact,
+      IvfIndex.topK(qs, root, "vec_id", "embedding", k = 10, probes = 4,
+        coarseProbes = 1))
+    assert(rAuto >= 0.85, s"auto-widened two-level recall@10 = $rAuto")
+    assert(rAuto >= r3, s"auto-widen regressed below its fixed seed: $rAuto < $r3")
   }
 
   test("two-level append assigns EVERY input row — duplicate ids included") {
