@@ -40,9 +40,12 @@ object Bench {
       // streaming state stores commit per partition per batch; size them
       // to stateful-key cardinality, not batch scan width (StreamConf)
       .config("spark.graft.stream.statePartitions", "8")
-      // partition-bounded typed-aggregate state: see GraftSession.tuned
+      // partition-bounded typed-aggregate state + executor-sized
+      // broadcast cap: see GraftSession.tuned
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 19).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

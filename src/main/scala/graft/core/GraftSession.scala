@@ -33,6 +33,17 @@ object GraftSession {
     // still protects the heap where it actually can matter.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       (1 << 19).toString)
+    // 64 MB broadcast threshold (the 10 MB default predates multi-GB
+    // executors). The knob is inherently scale-adaptive: a side only
+    // broadcasts when its MEASURED size is under the cap, so a fact that
+    // outgrows it shuffles exactly as before — raising it just stops a
+    // 26 MB join side from dragging a two-stage plan into four stages of
+    // shuffle machinery (q8 at the 10x relational slice: the orders side
+    // crossed 10 MB and the wall doubled on stage serialization alone).
+    // Executor sizing note: a 64 MB broadcast deserializes to a few
+    // hundred MB of build map at worst, the standard budget for >= 4 GB
+    // executors, which GraftSession targets.
+    .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             shufflePartitions: Int = 32): SparkSession = {

@@ -302,21 +302,59 @@ object CoreQueries {
     * joined row is touched exactly once, partials combine map-side (the
     * exchange carries serialized sets — the deduped values, same bytes
     * the two-level distinct plan ships, ONE exchange instead of four),
-    * and the plain aggs ride the same ObjectHashAggregate. Exchange
-    * topology at 100 TB: the two join shuffles plus one set-carrying
-    * exchange at the output grain — the minimum for this grain change.
+    * and the plain aggs ride the same ObjectHashAggregate.
     *
-    * r8: the aggregate needs the raised
-    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
-    * (GraftSession.tuned) — at the default 128-key fallback the whole
-    * fact gets SORT-aggregated and the query goes super-linear at the
-    * 100x slice (measured exponent 1.30 → 0.5-class with the hash map
-    * retained; state is partition-bounded so the map is safe). */
+    * r8, two load-bearing scale decisions:
+    *
+    * 1. The orders join became a [[graft.operators.DimLookup]] probe:
+    *    its only contribution is o_custkey (the o_orderkey the distincts
+    *    use IS l_orderkey), so a broadcast primitive long→long map
+    *    resolves it inside the lineitem scan stage — no join operator,
+    *    no HashedRelation build (the serial driver cost that put a
+    *    1.5M-row orders broadcast at ~1 s of the 10x wall), no join
+    *    shuffle. Whole query: scan → custkey exchange → aggregate,
+    *    2 stages. Past the dim cap (2^24 entries) forParquet answers
+    *    None and the shuffle-join fallback below takes over — the path
+    *    a 100 TB orders table exercises. Measured: 1.65 s → 0.90 s at
+    *    the 10x slice (1.46x DuckDB), 7.6 s at 100x.
+    *
+    * 2. The explicit `repartition(o_custkey)` BEFORE the groupBy.
+    *    Without it Spark runs the partial aggregate on the scan/join
+    *    output partitioning, where customer keys are scattered — each
+    *    map partition accumulates a per-key set map approaching the
+    *    FULL customer cardinality with near-zero reduction, so past the
+    *    sortBased.fallbackThreshold the whole fact degrades to
+    *    sort-based aggregation: measured 35-105 s and super-linear
+    *    (exp 1.09-1.30) at the 100x slice. Repartitioned by the
+    *    grouping key first, BOTH aggregate passes run partition-local
+    *    (the exchange need is already satisfied, so partial+final share
+    *    the post-shuffle stage) and group state per partition is
+    *    customers/shufflePartitions — 10x→100x exponent 0.93. The
+    *    raised fallbackThreshold (GraftSession.tuned) remains only as a
+    *    guard band. */
   def q8CustomerMetricsOnePass(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val li  = Tables.lineitem(spark, dir)
-    val ord = Tables.orders(spark, dir)
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val li = Tables.lineitem(spark, dir)
+    // The orders join contributes exactly ONE column (o_custkey; the
+    // o_orderkey the distinct counts — and the join predicate — use IS
+    // l_orderkey). That is DimLookup's case: resolve the FK through a
+    // broadcast primitive probe inside the lineitem scan stage instead
+    // of a join operator, and the whole query is scan → custkey
+    // exchange → aggregate. Unmatched FKs drop via isNotNull (inner
+    // semantics); past the dim cap forParquet answers None and the
+    // shuffle-join form below takes over (the 100 TB path).
+    val joined = graft.operators.DimLookup.forParquet(
+        spark, s"$dir/orders.parquet", "o_orderkey", "o_custkey") match {
+      case Some(lookup) =>
+        li.withColumn("o_custkey", lookup(col("l_orderkey")))
+          .filter(col("o_custkey").isNotNull)
+          .withColumn("o_orderkey", col("l_orderkey"))
+      case None =>
+        li.join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+    }
+    joined
+      .repartition(col("o_custkey"))
       .groupBy(col("o_custkey"))
       .agg(
         call_function("multi_distinct_count",

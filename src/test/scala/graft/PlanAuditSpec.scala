@@ -200,9 +200,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val nEx = "Exchange (hash|range|Single)".r.findAllIn(onePlan).length
     assert(nEx == 3, // two join sides + the custkey repartition, no more
       s"one-exchange form must plan exactly 3 exchanges, found $nEx:\n$onePlan")
-    // the r7 catalog form: ONE ObjectHashAggregate pass carrying all
-    // three distinct sets — no Expand, no row replication, partials
-    // map-side, still three exchanges (two join sides + groupBy)
+    // the r7 catalog form (r8: repartition(custkey) first): ONE
+    // ObjectHashAggregate pass carrying all three distinct sets — no
+    // Expand, no row replication; both aggregate passes run
+    // partition-local after the custkey exchange (scattered-key partial
+    // aggregation went sort-based past the fallback threshold at 100x)
     val onePass = CoreQueries.q8CustomerMetricsOnePass(spark, sf)
     assert(onePass.exceptAll(expand).isEmpty && expand.exceptAll(onePass).isEmpty,
       "single-pass rewrite must be value-identical to the Expand form")
@@ -210,9 +212,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!opPlan.contains("Expand"),
       "the single-pass form must not plan an Expand")
     assert(opPlan.contains("partial_multi_distinct_count"),
-      s"the single-pass form must partial-aggregate map-side:\n$opPlan")
+      s"the single-pass form must keep the partial/final aggregate split:\n$opPlan")
     // 1 exchange when orders broadcasts (tiny SF), at most 3 when the
-    // join sort-merges (two join sides + the set-carrying groupBy)
+    // join shuffles (two join sides + the custkey repartition)
     val nExOp = "Exchange (hash|range|Single)".r.findAllIn(opPlan).length
     assert(nExOp >= 1 && nExOp <= 3,
       s"single-pass form must plan 1..3 exchanges, found $nExOp:\n$opPlan")
