@@ -905,8 +905,162 @@ object LLMQueries {
       |LEFT JOIN b1 ON b1.id_i = d.doc_id
       |WHERE d.doc_id % 10 = 3""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Product-quantization ANN (ADC scoring) as a VALUE-CHECKED catalog
+    * query — the memory side of the 100 TB embedding story that IVF
+    * (q55) alone doesn't cover: a 64-float vector (256 B) encodes to
+    * `m` sub-space codes (here 4 codes into 16-entry codebooks = 4 B,
+    * 64× smaller), and queries score candidates WITHOUT touching the
+    * original vectors — per query, one `m × k` table of sub-distances
+    * to every codeword, then each candidate's approximate distance is
+    * `m` table lookups summed in fixed order (Asymmetric Distance
+    * Computation, Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011).
+    *
+    * Everything is a deterministic function of the data so DuckDB
+    * verifies the PQ semantics end to end (the q55 convention):
+    * codebooks are NOT Lloyd-trained — codeword `j` of sub-space `i` is
+    * the `i`-th slice of the `j`-th anchor, anchors being the `k`
+    * vectors with the smallest (md5(vec_id), vec_id) — a portable
+    * fixed-size sample; encoding is the per-sub-space argmin of squared
+    * L2 distance (ties to the smallest code, all arithmetic DOUBLE,
+    * element order fixed); the reported neighbor minimizes (adc,
+    * neighbor_id).
+    *
+    * Scale shape: the codebooks are `m·k` fixed-size literals (bounded
+    * TakeOrdered collect, corpus-size-independent); ENCODING IS A PURE
+    * PROJECTION fused into the scan — no explode, no join, each row
+    * evaluates m·k codeword distances and keeps m bytes; the ≤5-row
+    * query table is driver-built (bounded by the predicate) and shipped
+    * as one literal, so ADC scoring is also scan-fused and the ONLY
+    * exchange is the final per-query argmin (map-side partial min,
+    * shuffle = partitions × queries rows). At production scale the
+    * encode writes a codes column 64× smaller than the embeddings, the
+    * codebook is a broadcast artifact, and cell routing composes with
+    * [[graft.llm.IvfIndex]] (IVF-PQ: route by coarse cell, ADC-score
+    * only probed cells' codes). */
+  def q77AnnPq(spark: SparkSession, dir: String, m: Int = 4,
+               k: Int = 16): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // anchors: bounded deterministic sample (the q55 centroid pattern) —
+    // exactly k rows cross the driver regardless of corpus size
+    val anchors: Seq[(Int, Seq[Float])] = emb
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .select(col("embedding"))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, j) => (j, r.getSeq[Float](0)) }
+    val dim = anchors.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val sub = dim / m
+    // codebook of sub-space i: (code j, anchor j's i-th slice as DOUBLE)
+    def cb(i: Int): Seq[(Int, Seq[Double])] =
+      anchors.map { case (j, v) =>
+        (j, v.slice(i * sub, (i + 1) * sub).map(_.toDouble)) }
+    // squared L2 between a float sub-vector column and a double codeword,
+    // summed left-to-right (the q55 list_sum-compatible fold)
+    def d2(xs: Column, cw: Column): Column =
+      aggregate(zip_with(xs, cw, (x, y) => {
+        val d = x.cast(DoubleType) - y; d * d
+      }), lit(0.0), (acc, z) => acc + z)
+    // per-sub-space code: argmin over the codebook literal, ties to the
+    // smallest j (struct ordering), evaluated as a plain projection
+    def codeFor(i: Int): Column =
+      array_min(transform(typedLit(cb(i)), c =>
+        struct(d2(slice(col("embedding"), i * sub + 1, sub), c("_2")).as("d"),
+          c("_1").as("j")))).getField("j")
+    val encoded = emb.select(
+      col("vec_id") +: (0 until m).map(i => codeFor(i).as(s"c$i")): _*)
+    // per-query ADC tables (query_id, m → j → d2), driver-built with the
+    // SAME double arithmetic and element order as the SQL side; bounded
+    // by the query predicate (≤5 rows)
+    val qTab: Seq[(Long, Seq[Seq[Double]])] = emb
+      .filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+      .map { case (qid, qv) =>
+        (qid, (0 until m).map { i =>
+          anchors.map { case (_, av) =>
+            var s = 0.0
+            var t = i * sub
+            while (t < (i + 1) * sub) {
+              val d = qv(t).toDouble - av(t).toDouble
+              s += d * d
+              t += 1
+            }
+            s
+          }
+        })
+      }
+    val withQ = encoded.select(
+      col("vec_id") +: (0 until m).map(i => col(s"c$i")) :+
+        explode(typedLit(qTab)).as("q"): _*)
+    // table lookup for sub-space i, then the fixed-order ((t0+t1)+t2)+t3
+    // sum the SQL oracle mirrors verbatim (double addition isn't
+    // associative — the order is part of the contract)
+    def tl(i: Int): Column =
+      element_at(element_at(col("q")("_2"), i + 1), col(s"c$i") + 1)
+    val adc = (1 until m).foldLeft(tl(0))((acc, i) => acc + tl(i))
+    withQ
+      .filter(col("vec_id") =!= col("q")("_1"))
+      .select(col("q")("_1").as("query_id"),
+        struct(adc.as("adc"), col("vec_id").as("nid")).as("cand"))
+      .groupBy(col("query_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("query_id"), col("best")("nid").as("neighbor_id"),
+        col("best")("adc").as("adc"))
+  }
+
+  val q77Sql: String = {
+    // sub-space slice of a list column, cast to DOUBLE (sub = 64/4 = 16,
+    // 1-based inclusive slicing)
+    def sl(x: String, mExpr: String) = s"$x[$mExpr*16+1 : $mExpr*16+16]"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |anch AS (
+      |  SELECT row_number() OVER (
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+      |    embedding AS av
+      |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |mm AS (SELECT unnest(range(4)) AS m),
+      |cb AS (
+      |  SELECT mm.m, anch.j,
+      |    list_transform(${sl("anch.av", "mm.m")}, x -> CAST(x AS DOUBLE)) AS cw
+      |  FROM anch CROSS JOIN mm),
+      |enc0 AS (
+      |  SELECT e.vec_id, cb.m, cb.j,
+      |    list_sum(list_transform(list_zip(${sl("e.embedding", "cb.m")}, cb.cw),
+      |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))
+      |      AS d2
+      |  FROM e, cb),
+      |enc AS (
+      |  SELECT vec_id, m, j AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY d2 ASC, j ASC) AS rn FROM enc0)
+      |  WHERE rn = 1),
+      |qt AS (SELECT vec_id AS query_id, m, j, d2 FROM enc0 WHERE vec_id < 5),
+      |pairs AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, c.m, q.d2
+      |  FROM enc c JOIN qt q ON q.m = c.m AND q.j = c.code
+      |  WHERE c.vec_id <> q.query_id),
+      |agg AS (
+      |  SELECT query_id, neighbor_id,
+      |    max(CASE WHEN m = 0 THEN d2 END) AS t0,
+      |    max(CASE WHEN m = 1 THEN d2 END) AS t1,
+      |    max(CASE WHEN m = 2 THEN d2 END) AS t2,
+      |    max(CASE WHEN m = 3 THEN d2 END) AS t3
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, ((t0 + t1) + t2) + t3 AS adc FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY ((t0 + t1) + t2) + t3 ASC, neighbor_id ASC) AS rn
+      |  FROM agg)
+      |WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_ivf"          -> ((s, d) => q55AnnIvf(s, d)),
+    "q77_ann_pq"           -> ((s, d) => q77AnnPq(s, d)),
     "q60_incremental_dedup" -> ((s, d) => q60IncrementalDedup(s, d)),
     "q63_ann_quantized"    -> (q63AnnQuantized _),
     "q38_dedup_components" -> (q38DedupComponents _),
@@ -930,6 +1084,7 @@ object LLMQueries {
 
   val oracles: Map[String, String] = Map(
     "q55_ann_ivf"          -> q55Sql,
+    "q77_ann_pq"           -> q77Sql,
     "q60_incremental_dedup" -> q60Sql,
     "q63_ann_quantized"    -> q63Sql,
     "q38_dedup_components" -> q38Sql,

@@ -100,6 +100,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q68_cdc_chunks" -> 0,
     // q69 = pipelined assignment argmax + one cell-keyed cluster agg
     "q69_cluster_medoids" -> 2,
+    // q77 = PQ encode + ADC are scan-fused projections over codebook /
+    // query-table literals; the only exchange is the per-query argmin
+    "q77_ann_pq" -> 1,
     // q70–q73 run whole reference jobs (multi-step dedup-latest chains,
     // distinct-heavy master conforms) — their budgets are the measured
     // whole-job exchange counts, pinned so a runner change that loses
