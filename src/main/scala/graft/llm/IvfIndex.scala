@@ -315,7 +315,7 @@ object IvfIndex {
     av
   }
 
-  private def cellOf(part: String): Option[Int] =
+  private[llm] def cellOf(part: String): Option[Int] =
     part.split('=') match {
       case Array("cell", v) => scala.util.Try(v.toInt).toOption
       case _ => None
@@ -360,6 +360,38 @@ object IvfIndex {
            k: Int, probes: Int = 4, pruned: Boolean = true,
            coarseProbes: Int = 8, autoWiden: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
+    val sv = resolveServe(queries, root, vecCol, probes, coarseProbes,
+      autoWiden)
+    val at = assignmentTable(spark, root)
+    val assigned =
+      if (!pruned) at.readVersion(sv.av)
+      else
+        // entries with an unparseable/absent part path stay in the scan
+        // (pruning must never drop data it cannot prove irrelevant)
+        at.readParts(sv.av)(p => cellOf(p).forall(sv.probed.contains))
+    Similarity.ivfTopKWith(queries, assigned, sv.model, idCol, vecCol, k,
+      probes)
+  }
+
+  /** The resolved serving view for one query batch: the driver-resident
+    * model (the flat model, or the probed fine SUBSET of a two-level
+    * one), the fine cells the batch probes, and the pinned
+    * (centroidVersion, assignmentVersion) both serve paths must read
+    * at. Shared by [[topK]] (full-vector serve) and [[PqIndex.topK]]
+    * (ADC serve over codes) so the routing/widening law cannot drift
+    * between them. */
+  final case class ServeView(model: Model, probed: Set[Int],
+                             cv: Long, av: Long)
+
+  /** Resolve the model and the batch's probed fine cells at the current
+    * pin — the first half of [[topK]], factored out so alternative
+    * candidate-scoring layers (PQ codes) reuse the exact same coarse
+    * routing, auto-widening, and version-pin semantics. Runs bounded
+    * jobs only (coarse/fine-subset collects + probe resolutions). */
+  def resolveServe(queries: DataFrame, root: String, vecCol: String,
+                   probes: Int, coarseProbes: Int = 8,
+                   autoWiden: Boolean = true): ServeView = {
+    val spark = queries.sparkSession
     // one pin read resolves BOTH tables: the served inverted file always
     // pairs with the centroids that produced it, even while a rebuild is
     // publishing a new pair (the pin replace is atomic)
@@ -403,16 +435,8 @@ object IvfIndex {
         resolvedProbe = Some(probedFine)
         sub
       } else loadModelAt(spark, root, cv)
-    val at = assignmentTable(spark, root)
-    val assigned =
-      if (!pruned) at.readVersion(av)
-      else {
-        val cells = resolvedProbe
-          .getOrElse(probedCells(queries, vecCol, model, probes))
-        // entries with an unparseable/absent part path stay in the scan
-        // (pruning must never drop data it cannot prove irrelevant)
-        at.readParts(av)(p => cellOf(p).forall(cells.contains))
-      }
-    Similarity.ivfTopKWith(queries, assigned, model, idCol, vecCol, k, probes)
+    val probed = resolvedProbe
+      .getOrElse(probedCells(queries, vecCol, model, probes))
+    ServeView(model, probed, cv, av)
   }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.llm.{IvfIndex, PqIndex, Similarity}
+
+/** Pins the IVF-PQ layer: PQ must be a pure shortlist mechanism (exact
+  * rescore ⇒ with a wide-enough shortlist it EQUALS the full-vector
+  * serve bit-for-bit), the codec must round-trip its persistence, the
+  * recall trade must be measured on clustered corpora (not asserted),
+  * and stale codes (index moved past the PQ pin) must refuse rather
+  * than silently under-serve. */
+class PqIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf01 = "/root/testdata/sf0.01"
+  private def emb = Tables.embeddings(spark, sf01)
+  private def queries = emb.filter(col("vec_id") < 10)
+
+  test("codec round-trips persistence and encodes deterministically") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val codec = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 32,
+      sampleN = 200, iters = 3)
+    assert(codec.dim == 64 && codec.m == 8 && codec.sub == 8)
+    val v = PqIndex.saveCodec(spark, root, codec)
+    val back = PqIndex.loadCodecAt(spark, root, v)
+    assert(back.dim == codec.dim && back.m == codec.m)
+    (0 until codec.m).foreach { i =>
+      assert(back.codebooks(i).length == codec.codebooks(i).length)
+      codec.codebooks(i).zip(back.codebooks(i)).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b), s"codebook $i drifted")
+      }
+    }
+    // deterministic encode: same vector, same codes, twice
+    val sample = emb.select(col("embedding")).head.getSeq[Float](0).toArray
+    assert(java.util.Arrays.equals(codec.encode(sample), codec.encode(sample)))
+  }
+
+  test("wide shortlist: PQ serve equals the full-vector serve exactly") {
+    // refine wide enough to shortlist every probed candidate ⇒ stage 2
+    // rescores the same candidate set the full-vector serve scores, and
+    // the exact rescore makes the results identical — PQ only chooses
+    // WHO gets exact treatment, never what a score is worth.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    IvfIndex.buildAndSave(emb, "vec_id", "embedding", root)
+    val codec = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 32,
+      sampleN = 200, iters = 3)
+    PqIndex.buildCodes(spark, root, "vec_id", "embedding", codec)
+    val full = IvfIndex.topK(queries, root, "vec_id", "embedding",
+        k = 10, probes = 4)
+      .collect().map(_.toSeq).toSet
+    val pq = PqIndex.topK(queries, root, "vec_id", "embedding",
+        k = 10, probes = 4, refine = 1000)
+      .collect().map(_.toSeq).toSet
+    assert(pq == full,
+      "wide-shortlist PQ serve must equal the full-vector serve bit-for-bit")
+  }
+
+  test("clustered corpus: production-width PQ recall clears the floor") {
+    import spark.implicits._
+    val dim = 16
+    def gaussians(seed: Long, n: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(n)(r.nextGaussian().toFloat)
+    }
+    def unit(seed: Long): Array[Float] = {
+      val v = gaussians(seed, dim)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = (0 until 20).map(c => unit(1000L + c))
+    val rows = (0L until 1000L).map { i =>
+      val noise = gaussians(2000L + i, dim)
+      val v = centers((i % 20).toInt).zip(noise)
+        .map { case (a, b) => a + 0.15f * b }
+      (i, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 20)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    IvfIndex.buildAndSave(corpus, "vec_id", "embedding", root,
+      refineIters = 2)
+    val codec = PqIndex.train(corpus, "vec_id", "embedding", m = 4, k = 32,
+      sampleN = 1000, iters = 5)
+    PqIndex.buildCodes(spark, root, "vec_id", "embedding", codec)
+    val exact = Similarity.bruteForceTopK(qs, corpus, "vec_id", "embedding",
+      k = 10)
+    val r4 = Similarity.recallAtK(exact,
+      PqIndex.topK(qs, root, "vec_id", "embedding", k = 10, probes = 4,
+        refine = 4))
+    assert(r4 >= 0.85, s"clustered PQ recall@10 (probes=4, refine=4) = $r4")
+    // the shortlist law: more refine can only widen the candidate set
+    // stage 2 rescored, so recall is monotone in refine
+    val r8 = Similarity.recallAtK(exact,
+      PqIndex.topK(qs, root, "vec_id", "embedding", k = 10, probes = 4,
+        refine = 8))
+    assert(r8 >= r4, s"recall must be monotone in refine: $r8 < $r4")
+  }
+
+  test("stale codes refuse: an index rebuild past the PQ pin is loud") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    IvfIndex.buildAndSave(emb, "vec_id", "embedding", root)
+    val codec = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 32,
+      sampleN = 200, iters = 1)
+    PqIndex.buildCodes(spark, root, "vec_id", "embedding", codec)
+    // the serve works at the matching pin…
+    assert(PqIndex.topK(queries, root, "vec_id", "embedding", k = 5,
+      probes = 4).count() > 0)
+    // …then the index moves (an append re-pins assignments) and the
+    // stale codes must refuse rather than silently drop the new rows
+    IvfIndex.append(emb.filter(col("vec_id") >= 490), "vec_id", "embedding",
+      root): Unit
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.topK(queries, root, "vec_id", "embedding", k = 5, probes = 4)
+    }
+    assert(e.getMessage.contains("buildCodes"),
+      s"stale-pin refusal must name the fix: ${e.getMessage}")
+    // rebuilding the codes heals the serve
+    PqIndex.buildCodes(spark, root, "vec_id", "embedding", codec)
+    assert(PqIndex.topK(queries, root, "vec_id", "embedding", k = 5,
+      probes = 4).count() > 0)
+  }
+}
