@@ -244,11 +244,55 @@ object PqIndex {
     * it. Re-run after every index rebuild or append. */
   def buildCodes(spark: SparkSession, root: String, idCol: String,
                  vecCol: String, codec: PqCodec): Long = {
-    import spark.implicits._
     val (cv, av) = IvfIndex.readPin(spark, root)
     val assigned = IvfIndex.assignmentTable(spark, root).readVersion(av)
+    val codecV = saveCodec(spark, root, codec)
+    val codesV = codesTable(spark, root).overwrite(
+      encodeRows(assigned, idCol, vecCol, codec).repartition(col("cell")),
+      partitionBy = Seq("cell"))
+    writePin(root, cv, av, codesV, codecV)
+    codesV
+  }
+
+  /** O(churn) code maintenance after [[IvfIndex.append]]: encode ONLY
+    * the assignment rows added since the codes' pinned version — the
+    * txn log's version diff scans just the appended files, never the
+    * standing corpus — append them to the codes table, and re-pin.
+    * Without this, every index append would force [[buildCodes]]'s
+    * full O(N) re-encode, breaking the O(churn) increment loop the
+    * index itself keeps. Refuses after a REBUILD (new centroid
+    * version) or any diff that removes rows (compaction overwrites,
+    * partition rewrites) — those invalidate the standing codes, and
+    * patching over them would serve wrong; buildCodes is the heal. */
+  def appendCodes(spark: SparkSession, root: String, idCol: String,
+                  vecCol: String): Long = {
+    val (pcv, pav, pCodesV, codecV) = readPin(root)
+    val (cv, av) = IvfIndex.readPin(spark, root)
+    require(cv == pcv,
+      s"index at $root was rebuilt (centroids $pcv -> $cv) — incremental " +
+        "codes cannot follow a rebuild; run buildCodes")
+    if (av == pav) return pCodesV
+    val delta = IvfIndex.assignmentTable(spark, root).changes(pav, av)
+    require(delta.filter(col("_change_type") === "delete").isEmpty,
+      s"assignment diff $pav -> $av at $root removes rows — the standing " +
+        "codes are invalid; run buildCodes")
+    val added = delta.filter(col("_change_type") === "insert")
+    val codec = loadCodecAt(spark, root, codecV)
+    val codesV = codesTable(spark, root).append(
+      encodeRows(added, idCol, vecCol, codec).repartition(col("cell")),
+      partitionBy = Seq("cell"))
+    writePin(root, cv, av, codesV, codecV)
+    codesV
+  }
+
+  /** The encode pass: (id, codes, vnorm, cell) rows via the dense
+    * per-partition kernel (broadcast codec, no boxing in the loop). */
+  private def encodeRows(assigned: DataFrame, idCol: String,
+                         vecCol: String, codec: PqCodec): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(codec)
-    val codes = assigned
+    assigned
       .select(col(idCol).cast("long"), col(vecCol), col("cell").cast("int"))
       .as[(Long, Array[Float], Int)]
       .mapPartitions { rows =>
@@ -258,11 +302,6 @@ object PqIndex {
         }
       }
       .toDF(idCol, "codes", "vnorm", "cell")
-    val codecV = saveCodec(spark, root, codec)
-    val codesV = codesTable(spark, root).overwrite(
-      codes.repartition(col("cell")), partitionBy = Seq("cell"))
-    writePin(root, cv, av, codesV, codecV)
-    codesV
   }
 
   /** Serve top-k through ADC + exact rescore. Stage 1 streams the

@@ -99,6 +99,39 @@ class PqIndexSpec extends AnyFunSuite {
     assert(r8 >= r4, s"recall must be monotone in refine: $r8 < $r4")
   }
 
+  test("appendCodes: incremental codes serve identically to a re-encode") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    IvfIndex.buildAndSave(emb, "vec_id", "embedding", root)
+    val codec = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 32,
+      sampleN = 200, iters = 2)
+    PqIndex.buildCodes(spark, root, "vec_id", "embedding", codec)
+    // an increment of NEW ids appends to the index, then appendCodes
+    // patches the codes from the assignment CDC — O(churn), the
+    // standing corpus is never re-encoded
+    val inc = emb.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    IvfIndex.append(inc, "vec_id", "embedding", root): Unit
+    PqIndex.appendCodes(spark, root, "vec_id", "embedding"): Unit
+    def serve() = PqIndex.topK(queries, root, "vec_id", "embedding",
+        k = 10, probes = 4, refine = 4)
+      .collect().map(_.toSeq).toSet
+    val incremental = serve()
+    // …and must serve exactly what a full re-encode at the same pin does
+    PqIndex.buildCodes(spark, root, "vec_id", "embedding", codec)
+    assert(serve() == incremental,
+      "incrementally-maintained codes must serve identically to a rebuild")
+    // idempotent when nothing moved
+    PqIndex.appendCodes(spark, root, "vec_id", "embedding"): Unit
+    assert(serve() == incremental)
+    // a REBUILD (new centroid version) invalidates incremental patching
+    IvfIndex.buildAndSave(emb, "vec_id", "embedding", root)
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.appendCodes(spark, root, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("buildCodes"),
+      s"rebuild refusal must name the heal: ${e.getMessage}")
+  }
+
   test("stale codes refuse: an index rebuild past the PQ pin is loud") {
     val root = java.nio.file.Files.createTempDirectory("graft_pq").toString
     IvfIndex.buildAndSave(emb, "vec_id", "embedding", root)
