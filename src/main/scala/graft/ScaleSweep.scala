@@ -105,7 +105,8 @@ object ScaleSweep {
       "q67_tfidf" -> Set("documents"),
       "q55_ann_ivf" -> Set("embeddings"), "q24_embedding_dedup" -> Set("embeddings"),
       "q63_ann_quantized" -> Set("embeddings"), "ivf_index_serve" -> Set("embeddings"),
-      "ivf_two_level_serve" -> Set("embeddings"))
+      "ivf_two_level_serve" -> Set("embeddings"),
+      "pq_index_serve" -> Set("embeddings"))
     locally {
       val enabled = only.getOrElse(tableDeps.keySet)
       val starved = enabled.filter(q =>
@@ -392,6 +393,78 @@ object ScaleSweep {
         s"cells=$cells, curve=" +
           curve.map { case (cp, (r, t)) => f"$cp:$r%.3f@$t%.1fs" }.mkString(",") +
           f", autoWiden: $rAuto%.3f@$tAuto%.1fs, appended=$appended/20")
+    }
+
+    runCustom("pq_index_serve") {
+      // r8: IVF-PQ at sweep scale — the BYTES side measured. Build the
+      // persisted index + PQ codes on the scaled embeddings, serve
+      // through ADC + exact rescore, and hold three invariants: (a) the
+      // metamorphic recall floor — every query's true top-10 are exact
+      // copies, which encode to the query's own codes, top any ADC
+      // shortlist, and survive the exact rescore; (b) the compression
+      // claim — the codes table's on-disk bytes must be well under the
+      // full-vector inverted file's; (c) the O(churn) loop at width —
+      // an index append + appendCodes leaves codes covering every
+      // assignment row, and the serve stays consistent.
+      import graft.llm.{IvfIndex, PqIndex, Similarity}
+      val emb = spark.read.parquet(s"$dataDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 50)
+      val root = s"$outDir/pq_index_f$factor"
+      IvfIndex.buildAndSave(emb, "vec_id", "embedding", root): Unit
+      val codec = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 256)
+      PqIndex.buildCodes(spark, root, "vec_id", "embedding", codec): Unit
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 10)
+      val t0 = System.nanoTime()
+      val recall = Similarity.recallAtK(exact,
+        PqIndex.topK(queries, root, "vec_id", "embedding", k = 10,
+          probes = 4, refine = 4))
+      val tServe = (System.nanoTime() - t0) / 1e9
+      // the compression claim measured where it matters: UNCOMPRESSED
+      // parquet column bytes — what a scan streams after page decode.
+      // (On-disk sizes lie here: ×factor replication makes the float
+      // vectors dictionary-compress absurdly well, which real distinct
+      // embeddings never do.)
+      def columnBytes(sub: String, want: String => Boolean): Long = {
+        val conf = spark.sessionState.newHadoopConf()
+        val p = java.nio.file.Paths.get(root, sub)
+        if (!java.nio.file.Files.exists(p)) 0L
+        else {
+          val s = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(f => java.nio.file.Files.isRegularFile(f)
+                && f.toString.endsWith(".parquet"))
+              .map { f =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+                  .filter(c => want(c.getPath.toDotString))
+                  .map(_.getTotalUncompressedSize).sum
+                finally r.close()
+              }.sum
+          } finally s.close()
+        }
+      }
+      val codeBytes = columnBytes("pqcodes",
+        p => p.startsWith("codes") || p.startsWith("vnorm"))
+      val vecBytes = columnBytes("assignments", _.startsWith("embedding"))
+      val ratio = codeBytes.toDouble / math.max(1L, vecBytes).toDouble
+      // the O(churn) loop at width: append + appendCodes, codes cover
+      // every assignment row
+      val inc = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(10_000_000_000L))
+      IvfIndex.append(inc, "vec_id", "embedding", root): Unit
+      PqIndex.appendCodes(spark, root, "vec_id", "embedding"): Unit
+      val nAssign = IvfIndex.assignmentTable(spark, root).read().count()
+      val nCodes = PqIndex.codesTable(spark, root).read().count()
+      val copies = math.min(10, factor - 1)
+      (recall >= copies / 10.0 && ratio < 0.25 && nCodes == nAssign,
+        f"recall@10=$recall%.3f@$tServe%.1fs, " +
+          f"codes/vectors scan bytes=$ratio%.3f (uncompressed columns), " +
+          s"codes=$nCodes cover assignments=$nAssign")
     }
 
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -225,6 +225,12 @@ object PqIndex {
       StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
+  /** Whether PQ serving artifacts have been published under `root` —
+    * maintenance loops use it to keep codes riding index appends only
+    * where a PQ serve actually exists. */
+  def hasCodes(root: String): Boolean =
+    java.nio.file.Files.exists(pinPath(root))
+
   /** (centroidVersion, assignmentVersion, codesVersion, codecVersion)
     * the codes were published against. */
   def readPin(root: String): (Long, Long, Long, Long) = {

@@ -187,6 +187,13 @@ object CorpusPipeline {
       if (vecs.isEmpty)
         graft.llm.IvfIndex.readPin(docs.spark, ivfRoot)._2
       else graft.llm.IvfIndex.append(vecs, embIdCol, vecCol, ivfRoot)
+    // PQ serving artifacts (when published) ride the same loop: encode
+    // only the appended assignment rows (the CDC the append just wrote),
+    // so the ADC serve never refuses on an index this increment moved —
+    // still O(churn), the standing codes are untouched
+    if (graft.llm.PqIndex.hasCodes(ivfRoot))
+      graft.llm.PqIndex.appendCodes(docs.spark, ivfRoot, embIdCol,
+        vecCol): Unit
     (flags, av)
   }
 

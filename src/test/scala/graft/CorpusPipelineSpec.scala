@@ -132,9 +132,15 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val v2 = txn.append(docs.filter(col("doc_id") % 10 === 3))
     // index built on the standing corpus's embeddings only
     val ivfRoot = Files.createTempDirectory("graft_corpus_ivf").toString
+    val standing = emb.join(base.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
     graft.llm.IvfIndex.buildAndSave(
-      emb.join(base.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
-      "vec_id", "embedding", ivfRoot): Unit
+      standing, "vec_id", "embedding", ivfRoot): Unit
+    // PQ serving artifacts published on the standing index: the
+    // increment loop must keep them riding the append (r8)
+    graft.llm.PqIndex.buildCodes(spark, ivfRoot, "vec_id", "embedding",
+      graft.llm.PqIndex.train(standing, "vec_id", "embedding", m = 8,
+        k = 32, sampleN = 200, iters = 1)): Unit
     val (cv0, av0) = graft.llm.IvfIndex.readPin(spark, ivfRoot)
     val (flags, av) = CorpusPipeline.corpusIncrement(
       txn, v1, v2, emb, ivfRoot)
@@ -155,6 +161,14 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(indexed == baseIds ++ survivors,
       "index must hold the standing corpus plus exactly the survivors")
     assert((survivors.nonEmpty || incIds.isEmpty) && incIds.nonEmpty)
+    // the PQ codes rode the same loop: they cover every assignment row
+    // and the ADC serve resolves at the moved pin instead of refusing
+    val nCodes = graft.llm.PqIndex.codesTable(spark, ivfRoot).read().count()
+    assert(nCodes == indexed.size.toLong,
+      s"codes ($nCodes) must cover the appended index (${indexed.size})")
+    assert(graft.llm.PqIndex.topK(
+      emb.filter(col("vec_id") < 5), ivfRoot, "vec_id", "embedding",
+      k = 5, probes = 4).count() > 0)
   }
 
   test("ingestStage lands a mixed-format corpus: errors preserved, q40 chunk grain") {
