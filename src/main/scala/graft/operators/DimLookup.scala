@@ -88,6 +88,52 @@ object LongLongMap {
   }
 }
 
+/** Long→string sibling of [[LongLongMap]]: the open-addressing index
+  * maps the key to a value ordinal, and all values live in ONE shared
+  * UTF-8 blob sliced by an offsets array — probes return a zero-copy
+  * [[UTF8String]] view, and the broadcast payload stays three flat
+  * arrays (no per-entry objects). */
+final class LongStringMap private (index: LongLongMap, offs: Array[Int],
+                                   blob: Array[Byte]) extends Serializable {
+  /** The value under `k`, or null when absent (inner-join miss). */
+  def probe(k: Long): org.apache.spark.unsafe.types.UTF8String = {
+    val i = index.probe(k)
+    if (i == LongLongMap.Miss) null
+    else org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      blob, offs(i.toInt), offs(i.toInt + 1) - offs(i.toInt))
+  }
+  def sizeBytes: Long = index.sizeBytes + offs.length.toLong * 4 + blob.length
+}
+
+object LongStringMap {
+  /** Build from parallel packed partition arrays (keys / value lengths /
+    * concatenated value bytes) — the no-boxing collect shape. */
+  def fromPacked(parts: Array[(Array[Long], Array[Int], Array[Byte])]): LongStringMap = {
+    val n = parts.iterator.map(_._1.length.toLong).sum
+    require(n <= Int.MaxValue / 4, s"LongStringMap: $n entries exceed addressing")
+    val index = LongLongMap.create(n.toInt)
+    val offs = new Array[Int](n.toInt + 1)
+    val totalBytes = parts.iterator.map(_._3.length.toLong).sum
+    require(totalBytes <= Int.MaxValue - 16,
+      s"LongStringMap: $totalBytes value bytes exceed one blob")
+    val blob = new Array[Byte](totalBytes.toInt)
+    var ord = 0
+    var off = 0
+    parts.foreach { case (keys, lens, bytes) =>
+      var i = 0
+      var src = 0
+      while (i < keys.length) {
+        index.insert(keys(i), ord.toLong)
+        System.arraycopy(bytes, src, blob, off, lens(i))
+        offs(ord) = off
+        off += lens(i); src += lens(i); ord += 1; i += 1
+      }
+    }
+    offs(ord) = off
+    new LongStringMap(index, offs, blob)
+  }
+}
+
 /** `dim_lookup(fk)`: the broadcast probe as a codegen-friendly scalar.
   * NULL input → NULL; missing key → NULL (so `.filter(isNotNull)` on the
   * result reproduces an inner join's unmatched-row drop exactly). The
@@ -124,6 +170,42 @@ case class DimLookupExpr(child: Expression, bc: Broadcast[LongLongMap],
   }
 
   override protected def withNewChildInternal(newChild: Expression): DimLookupExpr =
+    copy(child = newChild)
+}
+
+/** `dim_lookup_str(fk)`: the string-valued probe — same NULL contract
+  * as [[DimLookupExpr]], returning a zero-copy UTF8String view into the
+  * broadcast blob. */
+case class DimLookupStrExpr(child: Expression, bc: Broadcast[LongStringMap],
+                            dimDesc: String) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dim_lookup_str"
+
+  override protected def nullSafeEval(input: Any): Any =
+    bc.value.probe(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("dimLookupStrBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    val mapVar = ctx.addMutableState("graft.operators.LongStringMap",
+      "dimLookupStrMap",
+      v => s"$v = (graft.operators.LongStringMap) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => {
+      val probed = ctx.freshName("probedStr")
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String $probed = $mapVar.probe($c);
+         |if ($probed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $probed;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DimLookupStrExpr =
     copy(child = newChild)
 }
 
@@ -234,6 +316,69 @@ object DimLookup {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
       exprs => DimLookupExpr(exprs.head, bc, dimDesc), "built-in")
     probe => call_function(fn, probe.cast(LongType))
+  }
+
+  def columnStr(spark: SparkSession, bc: Broadcast[LongStringMap],
+                dimDesc: String): Column => Column = {
+    val fn = s"__dim_lookup_str_${idGen.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+      exprs => DimLookupStrExpr(exprs.head, bc, dimDesc), "built-in")
+    probe => call_function(fn, probe.cast(LongType))
+  }
+
+  /** Lookup builder over an arbitrary uniquely-keyed DataFrame (e.g. a
+    * FILTERED dim projection — the inner-join-with-filtered-dim case:
+    * rows whose key misses the filtered map drop via NULL, exactly the
+    * join's behavior). Answers None when the frame exceeds the entry
+    * cap OR cannot be lookup-mapped (duplicate keys, NULL values,
+    * reserved sentinels) — the caller keeps its join on None, so the
+    * refusal is always safe. No caching: frames have no stable identity
+    * to fingerprint; cache at the call site if the frame does. */
+  def forFrame(df: DataFrame, keyCol: String,
+               valCol: String): Option[Column => Column] = {
+    val spark = df.sparkSession
+    if (df.count() > maxEntries(spark)) None
+    else scala.util.Try(build(df, keyCol, valCol)).toOption
+      .map(b => column(spark, b, s"frame:$keyCol->$valCol"))
+  }
+
+  /** String-valued [[forFrame]]. */
+  def forFrameString(df: DataFrame, keyCol: String,
+                     valCol: String): Option[Column => Column] = {
+    val spark = df.sparkSession
+    if (df.count() > maxEntries(spark)) None
+    else scala.util.Try(buildString(df, keyCol, valCol)).toOption
+      .map(b => columnStr(spark, b, s"frame:$keyCol->$valCol"))
+  }
+
+  /** Build the broadcast string map: per-partition packed (keys,
+    * lengths, concatenated UTF-8) arrays — no per-row boxing on the
+    * collect. NULL keys skip (never equi-match); NULL values under a
+    * live key refuse loudly (same law as the long build). */
+  def buildString(dim: DataFrame, keyCol: String,
+                  valCol: String): Broadcast[LongStringMap] = {
+    val spark = dim.sparkSession
+    val proj = dim.select(col(keyCol).cast(LongType),
+      col(valCol).cast(org.apache.spark.sql.types.StringType))
+    val parts: Array[(Array[Long], Array[Int], Array[Byte])] =
+      proj.queryExecution.toRdd.mapPartitions { it =>
+        val ks = new scala.collection.mutable.ArrayBuilder.ofLong
+        val ls = new scala.collection.mutable.ArrayBuilder.ofInt
+        val bs = new scala.collection.mutable.ArrayBuilder.ofByte
+        while (it.hasNext) {
+          val r = it.next()
+          if (!r.isNullAt(0)) {
+            if (r.isNullAt(1))
+              throw new IllegalStateException(
+                s"DimLookup: NULL $valCol under live key ${r.getLong(0)} — " +
+                  "a packed lookup cannot represent it")
+            val b = r.getUTF8String(1).getBytes
+            ks += r.getLong(0); ls += b.length; bs ++= b
+          }
+        }
+        Iterator.single((ks.result(), ls.result(), bs.result()))
+      }.collect()
+    spark.sparkContext.broadcast(LongStringMap.fromPacked(parts))
   }
 
   /** Cheap data fingerprint (file names/mtimes/sizes) — the

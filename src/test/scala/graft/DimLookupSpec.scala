@@ -58,6 +58,37 @@ class DimLookupSpec extends AnyFunSuite {
     assert(viaLookup == Set(1L -> 100L, 2L -> 200L, 4L -> 400L))
   }
 
+  test("string lookup == inner join on a name dim; refusals fall back") {
+    import spark.implicits._
+    // multi-byte UTF-8 survives the blob round-trip; key 3 misses
+    val dim = Seq((1L, "añejo"), (2L, "crudo"), (4L, "寿司"))
+      .toDF("k", "nombre")
+    val fact = Seq(Some(1L), Some(2L), Some(3L), Some(4L), None)
+      .toDF("fk")
+    val viaJoin = fact.join(dim, col("fk") === col("k"))
+      .select(col("fk"), col("nombre"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val lookup = DimLookup.forFrameString(dim, "k", "nombre").get
+    val viaLookup = fact.withColumn("nombre", lookup(col("fk")))
+      .filter(col("nombre").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaLookup == viaJoin)
+    assert(viaLookup == Set(1L -> "añejo", 2L -> "crudo", 4L -> "寿司"))
+    // un-mappable frames answer None (the caller keeps its join):
+    // duplicate keys fan out, NULL values can't be represented
+    assert(DimLookup.forFrameString(
+      Seq((1L, "a"), (1L, "b")).toDF("k", "nombre"), "k", "nombre").isEmpty)
+    assert(DimLookup.forFrameString(
+      Seq((1L, "a"), (2L, null)).toDF("k", "nombre"), "k", "nombre").isEmpty)
+    // and the cap governs frames like parquet dims
+    try {
+      spark.conf.set("spark.graft.dimLookup.maxEntries", "1")
+      assert(DimLookup.forFrameString(dim, "k", "nombre").isEmpty)
+      assert(DimLookup.forFrame(dim.select(col("k"), lit(7L).as("v")),
+        "k", "v").isEmpty)
+    } finally spark.conf.unset("spark.graft.dimLookup.maxEntries")
+  }
+
   test("cache reuses by fingerprint and invalidates on rewrite") {
     import spark.implicits._
     val dir = tmp()
