@@ -332,23 +332,75 @@ object DimLookup {
     * join's behavior). Answers None when the frame exceeds the entry
     * cap OR cannot be lookup-mapped (duplicate keys, NULL values,
     * reserved sentinels) — the caller keeps its join on None, so the
-    * refusal is always safe. No caching: frames have no stable identity
-    * to fingerprint; cache at the call site if the frame does. */
+    * refusal is always safe.
+    *
+    * Caching: a frame whose leaves are ALL file-backed caches under
+    * (canonicalized-plan hash, cols) and invalidates on the source
+    * files' fingerprints — the same steady-state-serving argument as
+    * [[forParquet]], extended through the transformation (the filtered
+    * orders probe must not re-collect per query invocation). Frames
+    * with non-file leaves (literal test data, views over streams)
+    * rebuild per call. */
   def forFrame(df: DataFrame, keyCol: String,
-               valCol: String): Option[Column => Column] = {
-    val spark = df.sparkSession
-    if (df.count() > maxEntries(spark)) None
-    else scala.util.Try(build(df, keyCol, valCol)).toOption
-      .map(b => column(spark, b, s"frame:$keyCol->$valCol"))
-  }
+               valCol: String): Option[Column => Column] =
+    framed(df, keyCol, valCol, str = false) { b =>
+      column(df.sparkSession, b.asInstanceOf[Broadcast[LongLongMap]],
+        s"frame:$keyCol->$valCol")
+    }(build(df, keyCol, valCol))
 
   /** String-valued [[forFrame]]. */
   def forFrameString(df: DataFrame, keyCol: String,
-                     valCol: String): Option[Column => Column] = {
-    val spark = df.sparkSession
-    if (df.count() > maxEntries(spark)) None
-    else scala.util.Try(buildString(df, keyCol, valCol)).toOption
-      .map(b => columnStr(spark, b, s"frame:$keyCol->$valCol"))
+                     valCol: String): Option[Column => Column] =
+    framed(df, keyCol, valCol, str = true) { b =>
+      columnStr(df.sparkSession, b.asInstanceOf[Broadcast[LongStringMap]],
+        s"frame:$keyCol->$valCol")
+    }(buildString(df, keyCol, valCol))
+
+  private[graft] final case class FrameEntry(fp: String, n: Long, bc: AnyRef)
+  private[graft] val frameCache =
+    new ConcurrentHashMap[(Int, String, String, Boolean), FrameEntry]()
+
+  /** Cache identity of a file-backed frame: (canonicalized plan hash,
+    * cols, variant) + a fingerprint over every leaf's source files.
+    * None when any leaf is not a file relation — no stable identity. */
+  private def frameIdentity(df: DataFrame, keyCol: String, valCol: String,
+                            str: Boolean)
+      : Option[((Int, String, String, Boolean), String)] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.analyzed
+    val roots = plan.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          Some(fs.location.rootPaths.map(_.toUri.getPath).sorted)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (roots.isEmpty || roots.exists(_.isEmpty)) None
+    else {
+      val fp = roots.flatMap(_.get).sorted.map(fingerprint).mkString("|")
+      Some(((plan.canonicalized.hashCode, keyCol, valCol, str), fp))
+    }
+  }
+
+  private def framed(df: DataFrame, keyCol: String, valCol: String,
+                     str: Boolean)(wrap: AnyRef => Column => Column)(
+      mk: => AnyRef): Option[Column => Column] = {
+    val cap = maxEntries(df.sparkSession)
+    val id = frameIdentity(df, keyCol, valCol, str)
+    val hit = id.flatMap { case (k, fp) =>
+      Option(frameCache.get(k)).filter(e => e.fp == fp && e.n <= cap)
+    }
+    hit.map(e => wrap(e.bc)).orElse {
+      val n = df.count()
+      if (n > cap) None
+      else scala.util.Try(mk).toOption.map { b =>
+        id.foreach { case (k, fp) =>
+          frameCache.put(k, FrameEntry(fp, n, b)): Unit
+        }
+        wrap(b)
+      }
+    }
   }
 
   /** Build the broadcast string map: per-partition packed (keys,

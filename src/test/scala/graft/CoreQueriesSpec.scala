@@ -61,35 +61,20 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(df.filter("imp_3m < imp_mes").count() == 0)
   }
 
-  test("q2 flattens to dictionary probes; the join fallback keeps its hints") {
-    // r8 catalog form: the star resolves as chained DimLookup probes —
-    // no join operator anywhere in the plan
+  test("q2 plan broadcasts fixed-size dims but never hints customer") {
     val df = CoreQueries.q2StarJoin(spark, sf)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("dim_lookup"), "expected the probe-chain form")
-    assert(!plan.contains("Join"),
-      s"probe form must plan no join operator:\n$plan")
-    // past the cap every probe answers None and the classic broadcast
-    // star returns — with hints covering nation/region only: customer
-    // grows with scale factor, its join strategy belongs to AQE. Hints
-    // survive into the analyzed plan as ResolvedHint nodes.
-    val key = "spark.graft.dimLookup.maxEntries"
-    try {
-      spark.conf.set(key, "0")
-      val jf = CoreQueries.q2StarJoin(spark, sf)
-      assert(jf.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
-        "expected broadcast joins for dims in the fallback")
-      val hinted = jf.queryExecution.analyzed.collect {
-        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
-          h.child.toString
-      }
-      assert(hinted.length == 2, s"expected exactly 2 broadcast hints, got: $hinted")
-      assert(hinted.forall(t => t.contains("nation") || t.contains("region")),
-        s"hints must target nation/region only: $hinted")
-      // the two forms are the same query
-      assert(df.exceptAll(jf).isEmpty && jf.exceptAll(df).isEmpty,
-        "probe-chain form must be value-identical to the star join")
-    } finally spark.conf.unset(key)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "expected broadcast joins for dims")
+    // the explicit hints must cover nation/region only: customer grows with
+    // scale factor, its join strategy belongs to AQE. Hints survive into the
+    // analyzed plan as ResolvedHint nodes over their relation subtree.
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child.toString
+    }
+    assert(hinted.length == 2, s"expected exactly 2 broadcast hints, got: $hinted")
+    assert(hinted.forall(t => t.contains("nation") || t.contains("region")),
+      s"hints must target nation/region only: $hinted")
   }
 
   test("q1 filter is pushed to the parquet scan") {

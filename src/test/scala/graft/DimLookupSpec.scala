@@ -89,6 +89,76 @@ class DimLookupSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dimLookup.maxEntries")
   }
 
+  test("chained star probes == the broadcast star join, end to end") {
+    // the full q2-shaped flatten (filtered orders + customer + nation
+    // name/region + region name, long AND string probes chained) must be
+    // value-identical to the join form. Pinned here as the operator law;
+    // the q2 CATALOG form keeps its joins — measured faster for small
+    // dims (see CoreQueries.q2StarJoin's scaladoc for the A/B numbers).
+    val dir = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val li = t("lineitem")
+    val ord = t("orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val viaJoin = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(t("nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t("region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("n_name"),
+        col("r_name"))
+    val probed = (for {
+      ordCust <- DimLookup.forFrame(ord, "o_orderkey", "o_custkey")
+      custNat <- DimLookup.forFrame(t("customer"), "c_custkey", "c_nationkey")
+      natName <- DimLookup.forFrameString(t("nation"), "n_nationkey", "n_name")
+      natReg  <- DimLookup.forFrame(t("nation"), "n_nationkey", "n_regionkey")
+      regName <- DimLookup.forFrameString(t("region"), "r_regionkey", "r_name")
+    } yield li
+      .withColumn("o_custkey", ordCust(col("l_orderkey")))
+      .filter(col("o_custkey").isNotNull)
+      .withColumn("c_nationkey", custNat(col("o_custkey")))
+      .filter(col("c_nationkey").isNotNull)
+      .withColumn("n_name", natName(col("c_nationkey")))
+      .withColumn("r_name", regName(natReg(col("c_nationkey"))))
+      .filter(col("n_name").isNotNull && col("r_name").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("n_name"),
+        col("r_name"))).get
+    assert(probed.exceptAll(viaJoin).isEmpty &&
+      viaJoin.exceptAll(probed).isEmpty,
+      "star probe chain must equal the star join row-for-row")
+    assert(!probed.queryExecution.executedPlan.toString.contains("Join"),
+      "the probe chain must plan no join operator")
+  }
+
+  test("file-backed frames cache by plan + fingerprint; rewrites invalidate") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")).toDF("k", "v", "s")
+      .write.parquet(s"$dir/dim.parquet")
+    def filtered = spark.read.parquet(s"$dir/dim.parquet")
+      .filter(col("v") >= 20L)
+    DimLookup.frameCache.clear()
+    assert(DimLookup.forFrame(filtered, "k", "v").isDefined)
+    assert(DimLookup.frameCache.size == 1, "file-backed frame must cache")
+    val entry1 = DimLookup.frameCache.values.iterator.next()
+    // a semantically-identical frame reuses the SAME broadcast build
+    assert(DimLookup.forFrame(filtered, "k", "v").isDefined)
+    assert(DimLookup.frameCache.size == 1 &&
+      (DimLookup.frameCache.values.iterator.next().bc eq entry1.bc),
+      "second build of the same frame must hit the cache")
+    // a rewrite of the source files invalidates via the fingerprint
+    Seq((2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d")).toDF("k", "v", "s")
+      .write.mode("overwrite").parquet(s"$dir/dim.parquet")
+    val after = DimLookup.forFrame(filtered, "k", "v").get
+    val probed = spark.range(1).select(after(lit(4L)).as("v"))
+      .head.getLong(0)
+    assert(probed == 40L, "rewritten dim must rebuild, not serve stale")
+    // literal (non-file) frames don't cache — no stable identity
+    DimLookup.frameCache.clear()
+    assert(DimLookup.forFrame(Seq((1L, 1L)).toDF("k", "v"), "k", "v").isDefined)
+    assert(DimLookup.frameCache.isEmpty, "LocalRelation frames must not cache")
+  }
+
   test("cache reuses by fingerprint and invalidates on rewrite") {
     import spark.implicits._
     val dir = tmp()

@@ -232,18 +232,11 @@ class PlanAuditSpec extends AnyFunSuite {
       .exists(_.contains("ReadSchema: struct<doc_id:bigint,text:string>")),
       "q17 must scan only doc_id+text")
     // filter pushdown: q2's date-range predicate must reach the orders
-    // scan. The r8 probe-chain form has no orders scan in the MAIN plan
-    // (the filtered dim is scanned once by the lookup build, where the
-    // same pushdown applies) — pin the pushdown on the join fallback,
-    // which is the form that scans orders at 100 TB.
-    val dlKey = "spark.graft.dimLookup.maxEntries"
-    try {
-      spark.conf.set(dlKey, "0")
-      assert(scans("q2_star_join").exists(l =>
-        l.contains("orders.parquet") &&
-          l.contains("GreaterThanOrEqual(o_orderdate")),
-        "q2's date range must appear in the orders scan's PushedFilters")
-    } finally spark.conf.unset(dlKey)
+    // scan (the orders side stays a real join in the r8 probe form)
+    assert(scans("q2_star_join").exists(l =>
+      l.contains("orders.parquet") &&
+        l.contains("GreaterThanOrEqual(o_orderdate")),
+      "q2's date range must appear in the orders scan's PushedFilters")
     // the SCD2 build must not drag unused orders columns into its window
     assert(scans("q42_scd2_history").exists(_.contains(
       "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
