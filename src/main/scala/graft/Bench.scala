@@ -34,19 +34,16 @@ object Bench {
   }
 
   private def buildSession(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    // the engine knobs come from GraftSession.tuned — the bench must
+    // measure the SAME configuration production sessions run, not a
+    // hand-copied subset that drifts when tuned() changes
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // streaming state stores commit per partition per batch; size them
       // to stateful-key cardinality, not batch scan width (StreamConf)
       .config("spark.graft.stream.statePartitions", "8")
-      // partition-bounded typed-aggregate state + executor-sized
-      // broadcast cap: see GraftSession.tuned
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 19).toString)
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        (64 * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -361,7 +361,7 @@ object IvfIndex {
            coarseProbes: Int = 8, autoWiden: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     val sv = resolveServe(queries, root, vecCol, probes, coarseProbes,
-      autoWiden)
+      autoWiden, needProbed = pruned)
     val at = assignmentTable(spark, root)
     val assigned =
       if (!pruned) at.readVersion(sv.av)
@@ -387,10 +387,16 @@ object IvfIndex {
     * pin — the first half of [[topK]], factored out so alternative
     * candidate-scoring layers (PQ codes) reuse the exact same coarse
     * routing, auto-widening, and version-pin semantics. Runs bounded
-    * jobs only (coarse/fine-subset collects + probe resolutions). */
+    * jobs only (coarse/fine-subset collects + probe resolutions).
+    * `needProbed = false` skips the flat path's probe-resolution job
+    * and leaves `probed` empty — for callers that read the whole
+    * inverted file anyway (unpruned serves); the two-level path always
+    * resolves probes because the widening loop IS the model
+    * resolution. */
   def resolveServe(queries: DataFrame, root: String, vecCol: String,
                    probes: Int, coarseProbes: Int = 8,
-                   autoWiden: Boolean = true): ServeView = {
+                   autoWiden: Boolean = true,
+                   needProbed: Boolean = true): ServeView = {
     val spark = queries.sparkSession
     // one pin read resolves BOTH tables: the served inverted file always
     // pairs with the centroids that produced it, even while a rebuild is
@@ -435,8 +441,10 @@ object IvfIndex {
         resolvedProbe = Some(probedFine)
         sub
       } else loadModelAt(spark, root, cv)
-    val probed = resolvedProbe
-      .getOrElse(probedCells(queries, vecCol, model, probes))
+    val probed = resolvedProbe.getOrElse {
+      if (needProbed) probedCells(queries, vecCol, model, probes)
+      else Set.empty[Int]
+    }
     ServeView(model, probed, cv, av)
   }
 }

@@ -432,6 +432,13 @@ object PqIndex {
       .join(qv, Seq("query_id"))
       .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv"),
         Similarity.norm(col("__qv")), Similarity.norm(col("__cv"))))
+      // a neighbor id can reach the shortlist through SEVERAL codes rows
+      // (duplicate-id appends are legal — the inverted file keeps every
+      // row) and the rescore join fans out across them; collapse to one
+      // row per (query, neighbor) exactly like ivfTopKWith does, or the
+      // same neighbor occupies several ranks and pushes true results out
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
     TopN.perGroup(scored, Seq("query_id"),
         Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rango")
       .select(col("query_id"), col("rango"), col("neighbor_id"),

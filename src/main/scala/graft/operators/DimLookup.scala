@@ -77,7 +77,15 @@ object LongLongMap {
     (z ^ (z >>> 31)).toInt
   }
 
+  /** Hard addressing bound: capacity = next pow2 ≥ 2n and the table is
+    * one Array[Long] of 2·capacity slots, so n past 2^28 overflows the
+    * array length — refuse before allocating, the caller's None/Try
+    * contract turns it into a clean join fallback. */
+  val MaxMapEntries: Int = 1 << 28
+
   def create(n: Int): LongLongMap = {
+    require(n >= 0 && n <= MaxMapEntries,
+      s"LongLongMap: $n entries exceed the 2^28 addressing bound")
     // capacity = next pow2 ≥ 2n → load factor ≤ 0.5, short probe chains
     var cap = 1
     while (cap < math.max(2, n * 2)) cap <<= 1
@@ -110,7 +118,8 @@ object LongStringMap {
     * concatenated value bytes) — the no-boxing collect shape. */
   def fromPacked(parts: Array[(Array[Long], Array[Int], Array[Byte])]): LongStringMap = {
     val n = parts.iterator.map(_._1.length.toLong).sum
-    require(n <= Int.MaxValue / 4, s"LongStringMap: $n entries exceed addressing")
+    require(n <= LongLongMap.MaxMapEntries,
+      s"LongStringMap: $n entries exceed addressing (2^28)")
     val index = LongLongMap.create(n.toInt)
     val offs = new Array[Int](n.toInt + 1)
     val totalBytes = parts.iterator.map(_._3.length.toLong).sum
@@ -237,39 +246,74 @@ case class DimLookupStrExpr(child: Expression, bc: Broadcast[LongStringMap],
   */
 object DimLookup {
   private val idGen = new AtomicLong(0L)
-  private final case class Entry(fp: String, n: Long, bc: Broadcast[LongLongMap])
-  private val cache = new ConcurrentHashMap[(String, String, String), Entry]()
+  private final case class Entry(fp: String, n: Long, bc: AnyRef, fn: String)
+  // keyed by applicationId too: a cache hit must never hand out a
+  // broadcast registered with a stopped SparkContext (session restarts)
+  private val cache =
+    new ConcurrentHashMap[(String, String, String, String), Entry]()
 
   def maxEntries(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.dimLookup.maxEntries")
       .map(_.toLong).getOrElse(1L << 24)
 
+  /** Register the probe function under `fn` in THIS session's registry
+    * (createOrReplace — idempotent for cache hits from other sessions
+    * of the same context) and return the reusable column builder. One
+    * registration per cache entry, not per call: the registry stays
+    * bounded, and displacing a cache entry drops its function so the
+    * old broadcast becomes collectable. */
+  private def register(spark: SparkSession, fn: String, bc: AnyRef,
+                       str: Boolean, desc: String): Column => Column = {
+    if (str) {
+      val b = bc.asInstanceOf[Broadcast[LongStringMap]]
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+        exprs => DimLookupStrExpr(exprs.head, b, desc), "built-in")
+    } else {
+      val b = bc.asInstanceOf[Broadcast[LongLongMap]]
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+        exprs => DimLookupExpr(exprs.head, b, desc), "built-in")
+    }
+    probe => call_function(fn, probe.cast(LongType))
+  }
+
+  private def dropFn(spark: SparkSession, fn: String): Unit = {
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fn)): Unit
+  }
+
   /** Lookup column builder for a parquet-backed dim, or None when the
-    * dim exceeds the entry cap (caller keeps its join). The row count
-    * comes from parquet footer metadata — no data scan on the reject
-    * path. */
+    * dim exceeds the entry cap OR cannot be lookup-mapped (duplicate
+    * keys, NULL values, reserved sentinels, addressing overflow) — the
+    * caller keeps its join on None, so the refusal is always safe.
+    * Caching requires a LOCAL path (file-stat fingerprints); non-local
+    * dims (hdfs/s3) build per call rather than risk a fingerprint that
+    * can never invalidate. */
   def forParquet(spark: SparkSession, path: String, keyCol: String,
                  valCol: String): Option[Column => Column] = {
-    val cacheKey = (path, keyCol, valCol)
-    val fp = fingerprint(path)
+    val cacheKey = (spark.sparkContext.applicationId, path, keyCol, valCol)
+    val fpOpt = fingerprint(path)
     val cap = maxEntries(spark)
     // the cap governs USE, not just build: a cached map over the
     // session's current cap is skipped, not served
-    val hit = Option(cache.get(cacheKey)).filter(e => e.fp == fp && e.n <= cap)
-    val bc = hit.map(_.bc).orElse {
-      val dim = spark.read.parquet(path)
-      val n = dim.count()
-      if (n > cap) None
-      else {
-        val built = build(dim, keyCol, valCol)
-        // the displaced entry is NOT destroyed here: DataFrames built
-        // against it stay valid, and the ContextCleaner reclaims the
-        // broadcast once the last plan referencing it is collected
-        cache.put(cacheKey, Entry(fp, n, built)): Unit
-        Some(built)
-      }
+    val hit = fpOpt.flatMap(fp =>
+      Option(cache.get(cacheKey)).filter(e => e.fp == fp && e.n <= cap))
+    hit match {
+      case Some(e) =>
+        Some(register(spark, e.fn, e.bc, str = false,
+          s"$path:$keyCol->$valCol"))
+      case None =>
+        val dim = spark.read.parquet(path)
+        val n = dim.count()
+        if (n > cap) None
+        else scala.util.Try(build(dim, keyCol, valCol)).toOption.map { b =>
+          val fn = s"__dim_lookup_${idGen.incrementAndGet()}"
+          fpOpt.foreach { fp =>
+            val old = cache.put(cacheKey, Entry(fp, n, b, fn))
+            if (old != null) dropFn(spark, old.fn)
+          }
+          register(spark, fn, b, str = false, s"$path:$keyCol->$valCol")
+        }
     }
-    bc.map(b => column(spark, b, s"$path:$keyCol->$valCol"))
   }
 
   /** Build the broadcast map from any uniquely-keyed DataFrame. Rows
@@ -298,7 +342,8 @@ object DimLookup {
       Iterator.single(b.result())
     }.collect()
     val n = parts.iterator.map(_.length.toLong).sum / 2
-    require(n <= Int.MaxValue / 4, s"DimLookup: $n entries exceed map addressing")
+    require(n <= LongLongMap.MaxMapEntries,
+      s"DimLookup: $n entries exceed map addressing (2^28)")
     val map = LongLongMap.create(n.toInt)
     parts.foreach { arr =>
       var i = 0
@@ -343,29 +388,27 @@ object DimLookup {
     * rebuild per call. */
   def forFrame(df: DataFrame, keyCol: String,
                valCol: String): Option[Column => Column] =
-    framed(df, keyCol, valCol, str = false) { b =>
-      column(df.sparkSession, b.asInstanceOf[Broadcast[LongLongMap]],
-        s"frame:$keyCol->$valCol")
-    }(build(df, keyCol, valCol))
+    framed(df, keyCol, valCol, str = false)(build(df, keyCol, valCol))
 
   /** String-valued [[forFrame]]. */
   def forFrameString(df: DataFrame, keyCol: String,
                      valCol: String): Option[Column => Column] =
-    framed(df, keyCol, valCol, str = true) { b =>
-      columnStr(df.sparkSession, b.asInstanceOf[Broadcast[LongStringMap]],
-        s"frame:$keyCol->$valCol")
-    }(buildString(df, keyCol, valCol))
+    framed(df, keyCol, valCol, str = true)(buildString(df, keyCol, valCol))
 
-  private[graft] final case class FrameEntry(fp: String, n: Long, bc: AnyRef)
+  private[graft] final case class FrameEntry(planCanonical: String,
+      fp: String, n: Long, bc: AnyRef, fn: String)
   private[graft] val frameCache =
-    new ConcurrentHashMap[(Int, String, String, Boolean), FrameEntry]()
+    new ConcurrentHashMap[(String, Int, String, String, Boolean), FrameEntry]()
 
-  /** Cache identity of a file-backed frame: (canonicalized plan hash,
-    * cols, variant) + a fingerprint over every leaf's source files.
-    * None when any leaf is not a file relation — no stable identity. */
+  /** Cache identity of a file-backed frame: (applicationId,
+    * canonicalized plan hash, cols, variant) as the key, plus the FULL
+    * canonicalized plan text (compared on hit — a 32-bit hash collision
+    * must never serve another frame's map) and a fingerprint over every
+    * leaf's source files. None when any leaf is not a LOCAL file
+    * relation — no stable identity to invalidate on. */
   private def frameIdentity(df: DataFrame, keyCol: String, valCol: String,
                             str: Boolean)
-      : Option[((Int, String, String, Boolean), String)] = {
+      : Option[((String, Int, String, String, Boolean), String, String)] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val plan = df.queryExecution.analyzed
     val roots = plan.collectLeaves().map {
@@ -378,27 +421,37 @@ object DimLookup {
     }
     if (roots.isEmpty || roots.exists(_.isEmpty)) None
     else {
-      val fp = roots.flatMap(_.get).sorted.map(fingerprint).mkString("|")
-      Some(((plan.canonicalized.hashCode, keyCol, valCol, str), fp))
+      val fps = roots.flatMap(_.get).sorted.map(fingerprint)
+      if (fps.exists(_.isEmpty)) None
+      else {
+        val canonical = plan.canonicalized.toString
+        Some(((df.sparkSession.sparkContext.applicationId,
+          canonical.hashCode, keyCol, valCol, str),
+          canonical, fps.map(_.get).mkString("|")))
+      }
     }
   }
 
   private def framed(df: DataFrame, keyCol: String, valCol: String,
-                     str: Boolean)(wrap: AnyRef => Column => Column)(
-      mk: => AnyRef): Option[Column => Column] = {
-    val cap = maxEntries(df.sparkSession)
+                     str: Boolean)(mk: => AnyRef): Option[Column => Column] = {
+    val spark = df.sparkSession
+    val cap = maxEntries(spark)
+    val desc = s"frame:$keyCol->$valCol"
     val id = frameIdentity(df, keyCol, valCol, str)
-    val hit = id.flatMap { case (k, fp) =>
-      Option(frameCache.get(k)).filter(e => e.fp == fp && e.n <= cap)
+    val hit = id.flatMap { case (k, canonical, fp) =>
+      Option(frameCache.get(k)).filter(e =>
+        e.planCanonical == canonical && e.fp == fp && e.n <= cap)
     }
-    hit.map(e => wrap(e.bc)).orElse {
+    hit.map(e => register(spark, e.fn, e.bc, str, desc)).orElse {
       val n = df.count()
       if (n > cap) None
       else scala.util.Try(mk).toOption.map { b =>
-        id.foreach { case (k, fp) =>
-          frameCache.put(k, FrameEntry(fp, n, b)): Unit
+        val fn = s"__dim_lookup_${idGen.incrementAndGet()}"
+        id.foreach { case (k, canonical, fp) =>
+          val old = frameCache.put(k, FrameEntry(canonical, fp, n, b, fn))
+          if (old != null) dropFn(spark, old.fn)
         }
-        wrap(b)
+        register(spark, fn, b, str, desc)
       }
     }
   }
@@ -434,16 +487,21 @@ object DimLookup {
   }
 
   /** Cheap data fingerprint (file names/mtimes/sizes) — the
-    * ConformanceRunner convention, shared invalidation semantics. */
-  private def fingerprint(dir: String): String = {
+    * ConformanceRunner convention, shared invalidation semantics.
+    * None for paths that are not local files/dirs (hdfs://, s3a://):
+    * a java.io fingerprint there would be a CONSTANT, so the cache
+    * could never invalidate on a dim rewrite — those paths skip
+    * caching instead of risking stale serves. */
+  private def fingerprint(dir: String): Option[String] = {
     def stamp(f: java.io.File): String =
       s"${f.getName}:${f.lastModified}:${f.length}"
     val root = new java.io.File(dir)
     // single-file parquet (driver testdata) stamps itself; a directory
     // stamps its parts
-    val top =
-      if (root.isFile) Array(root)
-      else Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-    top.map(stamp).sorted.mkString("|").hashCode.toString
+    if (root.isFile) Some(stamp(root))
+    else if (root.isDirectory)
+      Some(Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(stamp).sorted.mkString("|").hashCode.toString)
+    else None
   }
 }

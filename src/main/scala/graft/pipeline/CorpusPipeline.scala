@@ -214,17 +214,14 @@ object CorpusPipeline {
     * document-sized ever reaches the driver. */
   def ingestStage(lake: LakeIO, docsDir: String, chunkSize: Int = 1000): Unit = {
     val spark = lake.spark
-    import spark.implicits._
     val raw = graft.sources.DocumentIngest.ingest(spark, docsDir)
     lake.write(raw, lake.layers.Stage, "documentos_raw")
-    val chunks = lake.read(lake.layers.Stage, "documentos_raw")
-      .filter(col("text").isNotNull)
-      .select(col("path"), col("text")).as[(String, String)]
-      .flatMap { case (p, t) =>
-        graft.sources.DocumentIngest.chunkWords(t, chunkSize).zipWithIndex.map {
-          case (c, i) => (p, i, c.split(" ").length, c)
-        }
-      }.toDF("path", "idx_chunk", "n_palabras_chunk", "texto_chunk")
+    // the chunk grain comes from the ONE shared chunk law
+    // (DocumentIngest.chunkFrame) — chunking what LANDED, so error rows
+    // stay visible in documentos_raw and the chunk boundaries cannot
+    // drift from the ingestChunks consumers'
+    val chunks = graft.sources.DocumentIngest.chunkFrame(
+      lake.read(lake.layers.Stage, "documentos_raw"), chunkSize)
     lake.write(chunks, lake.layers.Stage, "documentos_chunks")
   }
 

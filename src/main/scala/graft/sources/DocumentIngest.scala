@@ -385,19 +385,28 @@ object DocumentIngest {
       }).toDF("path", "ext", "text", "error")
   }
 
-  /** Ingest + chunk: one row per (document, chunk_idx), the shape the
-    * stage layer lands for the downstream text pipeline. */
-  def ingestChunks(spark: SparkSession, dir: String,
-                   chunkSize: Int = 1000): DataFrame = {
+  /** The canonical chunk grain over any (path, text) frame — ONE
+    * implementation of the chunk law, shared by [[ingestChunks]] and
+    * the stage layer (CorpusPipeline.ingestStage), so chunk boundaries
+    * and word counts can never drift between the two landings. */
+  def chunkFrame(docs: DataFrame, chunkSize: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    ingest(spark, dir)
-      .filter(col("text").isNotNull)
+    docs.filter(col("text").isNotNull)
       .select(col("path"), col("text"))
       .as[(String, String)]
       .flatMap { case (path, text) =>
         chunkWords(text, chunkSize).zipWithIndex.map {
-          case (c, i) => (path, i, c)
+          case (c, i) => (path, i, c.split(" ").length, c)
         }
-      }.toDF("path", "chunk_idx", "chunk")
+      }.toDF("path", "idx_chunk", "n_palabras_chunk", "texto_chunk")
   }
+
+  /** Ingest + chunk: one row per (document, chunk_idx), the shape the
+    * stage layer lands for the downstream text pipeline. */
+  def ingestChunks(spark: SparkSession, dir: String,
+                   chunkSize: Int = 1000): DataFrame =
+    chunkFrame(ingest(spark, dir), chunkSize)
+      .select(col("path"), col("idx_chunk").as("chunk_idx"),
+        col("texto_chunk").as("chunk"))
 }

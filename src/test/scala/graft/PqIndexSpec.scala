@@ -123,6 +123,22 @@ class PqIndexSpec extends AnyFunSuite {
     // idempotent when nothing moved
     PqIndex.appendCodes(spark, root, "vec_id", "embedding"): Unit
     assert(serve() == incremental)
+    // duplicate-id appends are legal (the inverted file keeps every
+    // row); the PQ serve must collapse them to ONE rank per neighbor
+    // exactly like the full-vector serve, or the duplicate occupies
+    // several ranks and pushes true neighbors out
+    IvfIndex.append(emb.filter(col("vec_id") < 30), "vec_id", "embedding",
+      root): Unit
+    PqIndex.appendCodes(spark, root, "vec_id", "embedding"): Unit
+    val wide = PqIndex.topK(queries, root, "vec_id", "embedding",
+        k = 10, probes = 4, refine = 1000)
+      .collect().map(_.toSeq).toSet
+    val full = IvfIndex.topK(queries, root, "vec_id", "embedding",
+        k = 10, probes = 4)
+      .collect().map(_.toSeq).toSet
+    assert(wide == full,
+      "duplicate-id rows must collapse to one rank, equal to the " +
+        "full-vector serve")
     // a REBUILD (new centroid version) invalidates incremental patching
     IvfIndex.buildAndSave(emb, "vec_id", "embedding", root)
     val e = intercept[IllegalArgumentException] {
