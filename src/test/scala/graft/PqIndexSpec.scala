@@ -148,6 +148,26 @@ class PqIndexSpec extends AnyFunSuite {
       s"rebuild refusal must name the heal: ${e.getMessage}")
   }
 
+  test("two-level index: ADC serve equals the full-vector serve wide") {
+    // PQ routing reuses resolveServe, so the coarse quantizer + auto
+    // widening must compose with ADC untouched: wide-shortlist PQ over
+    // a LEVEL-TAGGED index equals the full-vector two-level serve.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq2l").toString
+    IvfIndex.buildAndSave(emb, "vec_id", "embedding", root,
+      nCells = 23, coarseCells = 5)
+    val codec = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 32,
+      sampleN = 200, iters = 2)
+    PqIndex.buildCodes(spark, root, "vec_id", "embedding", codec)
+    val full = IvfIndex.topK(queries, root, "vec_id", "embedding",
+        k = 10, probes = 4, coarseProbes = 2)
+      .collect().map(_.toSeq).toSet
+    val pq = PqIndex.topK(queries, root, "vec_id", "embedding",
+        k = 10, probes = 4, refine = 1000, coarseProbes = 2)
+      .collect().map(_.toSeq).toSet
+    assert(pq == full,
+      "two-level ADC serve must equal the two-level full-vector serve")
+  }
+
   test("stale codes refuse: an index rebuild past the PQ pin is loud") {
     val root = java.nio.file.Files.createTempDirectory("graft_pq").toString
     IvfIndex.buildAndSave(emb, "vec_id", "embedding", root)
