@@ -11,12 +11,22 @@ object Bench {
     val bytes = new AtomicLong(0L)
     val taskNanos = new AtomicLong(0L)
     val stages = new AtomicLong(0L)
+    // per-stage attribution for the current run: (task seconds, shuffle
+    // write bytes, task count) — AQE materializes stages on pool threads
+    // whose callsites are erased, so the ROLE signature (big writes = an
+    // exchange, many tasks + no writes = a scan, one task = a collect)
+    // is the attribution that survives
+    val stageLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Double, Long, Int)]()
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       // executorRunTime is milliseconds of task compute summed over tasks:
       // task_sec / wall_sec ≈ effective parallelism of the query
       taskNanos.addAndGet(sc.stageInfo.taskMetrics.executorRunTime * 1000000L)
       stages.incrementAndGet(): Unit
+      stageLog.add((sc.stageInfo.taskMetrics.executorRunTime / 1000.0,
+        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten,
+        sc.stageInfo.numTasks)): Unit
     }
   }
 
@@ -71,9 +81,11 @@ object Bench {
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     def timeQuery(s: SparkSession, name: String,
                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Seq[Double], Long, Option[String], Double, Long) = {
+        : (Seq[Double], Long, Option[String], Double, Long,
+           Seq[(Double, Long, Int)]) = {
       var error: Option[String] = None
       val timings = (1 to runsPerQuery).map { _ =>
+        meter.stageLog.clear()
         val t0 = System.nanoTime()
         val s0 = meter.bytes.get()
         val k0 = meter.taskNanos.get()
@@ -95,10 +107,16 @@ object Bench {
         (elapsed, meter.bytes.get() - s0,
           (meter.taskNanos.get() - k0) / 1e9, meter.stages.get() - g0)
       }
+      // the heaviest stages of the LAST (warm) run: where the wall went,
+      // by role signature — the flame-level drill-down that turns a
+      // per-query regression into "the big exchange got bigger" vs "the
+      // scan slowed" without re-running anything
+      import scala.jdk.CollectionConverters._
+      val stageTop = meter.stageLog.asScala.toSeq.sortBy(-_._1).take(3)
       // unload any streaming residue BEFORE the next query is timed
       quiesceStreamingState(s)
       (timings.map(_._1), timings.last._2, error,
-        timings.last._3, timings.last._4)
+        timings.last._3, timings.last._4, stageTop)
     }
     // dev-only subset (SPARK_GRAFT_BENCH_ONLY=q75,q8): the driver sets
     // nothing, so its runs always time the full catalog. A token matches
@@ -110,8 +128,9 @@ object Bench {
       .filter(p => only.forall(o =>
         o.contains(p._1) || o.contains(p._1.takeWhile(_ != '_'))))
       .map { case (name, fn) =>
-        val (walls, bytes, err, taskSec, stages) = timeQuery(spark, name, fn)
-        (name, walls, bytes, err, taskSec, stages)
+        val (walls, bytes, err, taskSec, stages, stageTop) =
+          timeQuery(spark, name, fn)
+        (name, walls, bytes, err, taskSec, stages, stageTop)
       }
 
     // ---- fresh-session cross-check (bench isolation): re-time a sentinel
@@ -133,7 +152,7 @@ object Bench {
         // whole seconds of wall with idle cores: contamination suspects,
         // not the universal ~0.3 s fixed per-query scheduling overhead
         val suspects = results.collect {
-          case (n, walls, _, None, taskSec, _)
+          case (n, walls, _, None, taskSec, _, _)
             if walls.min >= 1.0 && walls.min > 5.0 * (taskSec / nCpus) + 0.5 => n
         }
         (afterStreaming ++ suspects).distinct.filter(n => results.exists(_._1 == n))
@@ -149,7 +168,7 @@ object Bench {
           s.range(1000000L).selectExpr("sum(id)").collect()
           try s.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
           catch { case _: Throwable => () }
-          val (walls, _, _, _, _) = timeQuery(s, name, SparkEntry.queries(name))
+          val (walls, _, _, _, _, _) = timeQuery(s, name, SparkEntry.queries(name))
           s.stop()
           (name, walls.min)
         }
@@ -162,22 +181,27 @@ object Bench {
         case c if c < ' ' => "\\u%04x".format(c.toInt)
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v.min }
+    val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, v, _, _, _, _) =>
+    val runs = results.map { case (k, v, _, _, _, _, _) =>
       s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, b, _, _, _) => s"\"" + k + "\":" + b }
+    val sh = results.map { case (k, _, b, _, _, _, _) => s"\"" + k + "\":" + b }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e), _, _) => s"\"" + k + "\":" + jsonStr(e) }
+    val errs = results.collect { case (k, _, _, Some(e), _, _, _) => s"\"" + k + "\":" + jsonStr(e) }
       .mkString("{", ",", "}")
     // stage attribution for the warm run: total executor task seconds and
     // stage count — task_sec/wall ≈ effective parallelism, and a query
     // whose task_sec is tiny next to wall is overhead-bound, not compute
-    val tasks = results.map { case (k, _, _, _, t, _) =>
+    val tasks = results.map { case (k, _, _, _, t, _, _) =>
       s"\"" + k + "\":" + t }.mkString("{", ",", "}")
-    val stages = results.map { case (k, _, _, _, _, g) =>
+    val stages = results.map { case (k, _, _, _, _, g, _) =>
       s"\"" + k + "\":" + g }.mkString("{", ",", "}")
+    val stageTop = results.map { case (k, _, _, _, _, _, st) =>
+      s"\"" + k + "\":" + st.map { case (sec, wb, nt) =>
+        s"""{"sec":${"%.3f".format(sec)},"w_bytes":$wb,"tasks":$nt}"""
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // Order statistics over the recorded runs (nearest-rank): with the
     // default 2 runs p50 is just the faster run; raise
     // SPARK_GRAFT_BENCH_RUNS for meaningful spread percentiles.
@@ -185,7 +209,7 @@ object Bench {
       val s = v.sorted
       s(math.min(s.size - 1, math.max(0, math.ceil(p * s.size).toInt - 1)))
     }
-    def pctMap(p: Double): String = results.map { case (k, v, _, _, _, _) =>
+    def pctMap(p: Double): String = results.map { case (k, v, _, _, _, _, _) =>
       s"\"" + k + "\":" + pct(v, p) }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     // both isolation modes' totals over the SAME query set, so the pair is
@@ -207,7 +231,7 @@ object Bench {
       // minimal parse of {"queries":{"name":sec,...}} — flat doubles only
       val m = """"(q[0-9a-z_]+)"\s*:\s*([0-9.eE+-]+)""".r
         .findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
-      val pairs = results.flatMap { case (k, v, _, _, _, _) =>
+      val pairs = results.flatMap { case (k, v, _, _, _, _, _) =>
         m.get(k).filter(_ > 0).map(base => s"\"" + k + "\":" + (v.min / base))
       }
       if (pairs.isEmpty) "{}" else pairs.mkString("{", ",", "}")
@@ -223,7 +247,7 @@ object Bench {
     // job-scheduling overhead (DuckDB finishes trivial queries in ms);
     // the aggregate ratio and the heavy queries are the meaningful signal
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"runs_per_query":$runsPerQuery,"agg":"min","runs":$runs,"p50":${pctMap(0.5)},"p95":${pctMap(0.95)},"task_sec":$tasks,"stages":$stages,"fresh":$freshJson,"fresh_total":$freshTotal,"shared_total_on_fresh_subset":$sharedOnFresh,"spark_vs_duckdb":$ratioJson,"spark_vs_duckdb_total":$ratioTotal,"ratio_note":"per-query ratios at sf0.1 include ~0.3s fixed Spark scheduling overhead per query; aggregate + heavy-query ratios are the signal","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"runs_per_query":$runsPerQuery,"agg":"min","runs":$runs,"p50":${pctMap(0.5)},"p95":${pctMap(0.95)},"task_sec":$tasks,"stages":$stages,"stage_top":$stageTop,"fresh":$freshJson,"fresh_total":$freshTotal,"shared_total_on_fresh_subset":$sharedOnFresh,"spark_vs_duckdb":$ratioJson,"spark_vs_duckdb_total":$ratioTotal,"ratio_note":"per-query ratios at sf0.1 include ~0.3s fixed Spark scheduling overhead per query; aggregate + heavy-query ratios are the signal","sf":"$sfDir"}"""
     println(line)
     // The driver's log capture keeps only a short stdout tail, and the
     // full-telemetry line above has outgrown it (BENCH_rN.json has carried
@@ -235,7 +259,7 @@ object Bench {
       val v = math.rint(d * 100) / 100
       if (v == v.toLong) v.toLong + ".0" else v.toString
     }
-    val qs2 = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + r2(v.min) }
+    val qs2 = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + r2(v.min) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs2,"sf":"$sfDir"}""")
     // stdout can be truncated by log-capture tooling; the file is the
