@@ -48,6 +48,34 @@ object ZOrder {
     lo
   }
 
+  /** Arrange `df` into `numFiles` range partitions ordered by the Morton
+    * interleave of each `zCols` column's rank bucket, each partition
+    * sorted by the curve — the one shared clustering step behind
+    * [[graft.sources.LakeIO.writeZOrdered]] (write-time clustering) and
+    * [[graft.sources.TxnTable.compactZOrdered]] (transactional OPTIMIZE).
+    * Bucket boundaries come from approxQuantile (bounded driver-side
+    * sample); columns are cast to double for ranking, the data itself is
+    * returned unchanged. */
+  def arrange(df: org.apache.spark.sql.DataFrame, zCols: Seq[String],
+              numFiles: Int, bitsPerDim: Int = 12): org.apache.spark.sql.DataFrame = {
+    require(zCols.nonEmpty, "z-order arrange needs at least one z column")
+    val nBuckets = 1 << bitsPerDim
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val reg = df.sparkSession.sessionState.functionRegistry
+    val buckets = zCols.zipWithIndex.map { case (c, i) =>
+      val bounds = df.stat.approxQuantile(c, probs, 0.01)
+      // per-call registration: the boundary array rides the builder closure
+      // (Spark 4 exposes no public Column.expr to wrap the expression directly)
+      val fn = s"__z_bucket_$i"
+      reg.createOrReplaceTempFunction(fn,
+        exprs => ZBucketExpr(exprs.head, bounds), "built-in")
+      call_function(fn, col(c).cast("double"))
+    }
+    df.withColumn("__z", interleave(buckets, bitsPerDim))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z")).drop("__z")
+  }
+
   /** Morton interleave of pre-bucketed rank columns (ints in
     * [0, 2^bitsPerDim)): bit b of dimension d lands at position
     * b*dims + d. Pure built-in bit arithmetic — stays in codegen. */

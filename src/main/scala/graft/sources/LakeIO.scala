@@ -31,11 +31,12 @@ final case class LakeIO(spark: SparkSession, root: String) {
     * manifest commits (crash-safe upsert/compact/overwrite) — the parity
     * analog of the reference's Delta tables. Plain-parquet read/write
     * below stays for layer interop; new mutable tables should prefer txn.
-    * Pass `statsColumn` (normally the merge key) to record per-file
-    * min/max in the manifest and get file-pruned upserts. */
+    * Pass `statsColumns` (normally the merge keys / probe dimensions) to
+    * record per-file min/max in the manifest and get file-pruned upserts
+    * plus [[TxnTable.readWhere]] box pruning. */
   def txn(layer: String, table: String,
-          statsColumn: Option[String] = None): TxnTable =
-    TxnTable(spark, tablePath(layer, table), statsColumn)
+          statsColumns: Seq[String] = Nil): TxnTable =
+    TxnTable(spark, tablePath(layer, table), statsColumns)
 
   def exists(layer: String, table: String): Boolean =
     new java.io.File(tablePath(layer, table)).exists()
@@ -100,23 +101,7 @@ final case class LakeIO(spark: SparkSession, root: String) {
                     zCols: Seq[String], numFiles: Int,
                     partitionBy: Seq[String] = Nil,
                     bitsPerDim: Int = 12): Unit = {
-    require(zCols.nonEmpty, "writeZOrdered needs at least one z column")
-    val nBuckets = 1 << bitsPerDim
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val reg = spark.sessionState.functionRegistry
-    val buckets = zCols.zipWithIndex.map { case (c, i) =>
-      val bounds = df.stat.approxQuantile(c, probs, 0.01)
-      // per-call registration: the boundary array rides the builder closure
-      // (Spark 4 exposes no public Column.expr to wrap the expression directly)
-      val fn = s"__z_bucket_$i"
-      reg.createOrReplaceTempFunction(fn,
-        exprs => graft.functions.ZBucketExpr(exprs.head, bounds), "built-in")
-      org.apache.spark.sql.functions.call_function(fn, col(c).cast("double"))
-    }
-    val withZ = df.withColumn("__z",
-      graft.functions.ZOrder.interleave(buckets, bitsPerDim))
-    val arranged = withZ.repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z")).drop("__z")
+    val arranged = graft.functions.ZOrder.arrange(df, zCols, numFiles, bitsPerDim)
     val w = arranged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)

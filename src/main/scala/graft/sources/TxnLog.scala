@@ -16,7 +16,8 @@ import graft.operators.MergeSCD1
   * {{{
   *   <table>/
   *     _graft_log/v<20-digit>.manifest   one text line per live file:
-  *       "<partitionDir>\t<fileName>[\t<statsCol>\t<kind>\t<min>\t<max>]"
+  *       "<partitionDir>\t<fileName>[\t<col>\t<kind>\t<min>\t<max>]..."
+  *       (the 4-field stats group repeats once per tracked column)
   *     data/[<partitionDir>/]<uuid>.parquet
   * }}}
   *
@@ -35,11 +36,16 @@ import graft.operators.MergeSCD1
   *  - Every version whose manifest survives [[vacuum]] is fully readable:
   *    vacuum first retires superseded manifests past the grace window,
   *    then deletes only data files no REMAINING manifest references.
-  *  - When `statsColumn` is set, staged entries carry that column's
-  *    per-file min/max, and [[upsert]] rewrites only the files that
-  *    actually contain source keys — the reference's Delta merge cost
-  *    model (data skipping + matched-file rewrite) instead of rewriting
-  *    every touched partition.
+  *  - When `statsColumns` is set, staged entries carry those columns'
+  *    per-file min/max (ONE bounded aggregation per stage, all columns),
+  *    and [[upsert]] rewrites only the files that actually contain source
+  *    keys — the reference's Delta merge cost model (data skipping +
+  *    matched-file rewrite) instead of rewriting every touched partition.
+  *    [[readWhere]] turns the same stats into conjunctive box pruning,
+  *    and [[compactZOrdered]] keeps EVERY tracked column's per-file span
+  *    narrow, so multi-dimensional predicates prune at the FILE level
+  *    (Delta's OPTIMIZE ZORDER BY loop) — at 100 TB the difference
+  *    between opening a handful of files and listing-then-scanning all.
   */
 final class TxnConflictException(msg: String) extends RuntimeException(msg)
 
@@ -47,10 +53,15 @@ final class TxnConflictException(msg: String) extends RuntimeException(msg)
   * (compare as decimal) or "str" (compare lexically; base64 on disk). */
 final case class FileStat(column: String, kind: String, min: String, max: String)
 
-final case class TxnEntry(part: String, file: String, stat: Option[FileStat] = None)
+final case class TxnEntry(part: String, file: String,
+                          stats: Seq[FileStat] = Nil) {
+  /** First recorded stat — the single-column view older call sites use. */
+  def stat: Option[FileStat] = stats.headOption
+  def statFor(column: String): Option[FileStat] = stats.find(_.column == column)
+}
 
 final case class TxnTable(spark: SparkSession, root: String,
-                          statsColumn: Option[String] = None) {
+                          statsColumns: Seq[String] = Nil) {
   private val logDir: Path = Paths.get(root, "_graft_log")
   private val dataDir: Path = Paths.get(root, "data")
 
@@ -118,22 +129,25 @@ final case class TxnTable(spark: SparkSession, root: String,
   private def b64d(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
-  private def lineOf(e: TxnEntry): String = e.stat match {
-    case None => s"${e.part}\t${e.file}"
-    case Some(s) =>
+  private def lineOf(e: TxnEntry): String = {
+    val groups = e.stats.map { s =>
       val (mn, mx) =
         if (s.kind == "str") (b64e(s.min), b64e(s.max)) else (s.min, s.max)
-      s"${e.part}\t${e.file}\t${s.column}\t${s.kind}\t$mn\t$mx"
+      s"\t${s.column}\t${s.kind}\t$mn\t$mx"
+    }.mkString
+    s"${e.part}\t${e.file}$groups"
   }
 
   private def parseLine(line: String): TxnEntry = {
     val f = line.split("\t", -1)
-    if (f.length >= 6) {
-      val kind = f(3)
-      val (mn, mx) =
-        if (kind == "str") (b64d(f(4)), b64d(f(5))) else (f(4), f(5))
-      TxnEntry(f(0), f(1), Some(FileStat(f(2), kind, mn, mx)))
-    } else TxnEntry(f(0), f(1))
+    // stats ride as repeated 4-field groups; a pre-multi-stat manifest line
+    // is exactly one group, so old tables read unchanged
+    val stats = f.drop(2).grouped(4).collect {
+      case Array(c, kind, mn0, mx0) =>
+        val (mn, mx) = if (kind == "str") (b64d(mn0), b64d(mx0)) else (mn0, mx0)
+        FileStat(c, kind, mn, mx)
+    }.toSeq
+    TxnEntry(f(0), f(1), stats)
   }
 
   /** Live entries of a version with their file stats. A version whose
@@ -167,23 +181,37 @@ final case class TxnTable(spark: SparkSession, root: String,
       .parquet(es.map(e => filePath(e).toString): _*)
   }
 
-  /** Stats-pruned range read: scans only the files whose manifest
-    * [min,max] can contain `statsColumn` values in [lo, hi] — the
+  /** Stats-pruned range read on the FIRST tracked column: scans only the
+    * files whose manifest [min,max] can contain values in [lo, hi] — the
     * file-list analog of parquet row-group pruning, resolved driver-side
     * from the manifest with NO data scan (reference: the Delta data
-    * skipping the merge cost model rests on). Files carrying no stats for
-    * the column stay in the scan, so the result always equals
-    * `read().filter(between(lo, hi))`; at 100 TB the difference is
-    * opening the 3 files a key range lives in instead of 30 000. */
+    * skipping the merge cost model rests on). The 1-D special case of
+    * [[readWhere]]; at 100 TB the difference is opening the 3 files a key
+    * range lives in instead of 30 000. */
   def readRange(lo: Any, hi: Any, v: Long = version()): DataFrame = {
-    val c = statsColumn.getOrElse(throw new IllegalStateException(
-      s"readRange needs statsColumn configured on $root"))
+    val c = statsColumns.headOption.getOrElse(throw new IllegalStateException(
+      s"readRange needs statsColumns configured on $root"))
+    readWhere(Seq((c, lo, hi)), v)
+  }
+
+  /** Conjunctive box-predicate read: keeps only the files whose stats can
+    * satisfy EVERY (column, lo, hi) range at once, then applies the same
+    * predicate to the surviving rows — so the result always equals
+    * `read().filter(c1 between ... AND c2 between ...)`, with files
+    * carrying no stats for a column conservatively kept. Multi-dimensional
+    * file skipping composes with [[compactZOrdered]]: after a z-ordered
+    * rewrite every tracked column's per-file span is narrow, and a 2-D box
+    * opens ~(box volume / file volume) files instead of all of them. */
+  def readWhere(boxes: Seq[(String, Any, Any)], v: Long = version()): DataFrame = {
+    require(boxes.nonEmpty, "readWhere needs at least one (column, lo, hi) box")
     val es = entriesFull(v)
     require(es.nonEmpty, s"table $root has no committed version $v")
-    val (sLo, sHi) = (statRender(lo), statRender(hi))
-    val hits = es.filter(_.stat.forall(st =>
-      st.column != c || overlaps(st, sLo, sHi)))
-    val pred = col(c).between(lit(lo), lit(hi))
+    val rendered = boxes.map { case (c, lo, hi) =>
+      (c, statRender(lo), statRender(hi)) }
+    val hits = es.filter(e => rendered.forall { case (c, sLo, sHi) =>
+      e.statFor(c).forall(st => overlaps(st, sLo, sHi)) })
+    val pred = boxes.map { case (c, lo, hi) =>
+      col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
     if (hits.isEmpty) readVersion(v).filter(pred).limit(0)
     else spark.read.option("basePath", dataDir.toString)
       .option("mergeSchema", "true")
@@ -253,7 +281,7 @@ final case class TxnTable(spark: SparkSession, root: String,
 
   // ------------------------------------------------------------- writing
   /** Stage `df`'s files into data/ under fresh names WITHOUT committing.
-    * Returns the staged entries (with `statsColumn` min/max per file when
+    * Returns the staged entries (with `statsColumns` min/max per file when
     * configured); visible to no reader until [[commit]]. */
   private[graft] def stage(df: DataFrame, partitionBy: Seq[String]): Seq[TxnEntry] = {
     val tmp = Paths.get(root, s"_staging_${UUID.randomUUID()}")
@@ -275,28 +303,38 @@ final case class TxnTable(spark: SparkSession, root: String,
     attachStats(staged, df.columns.toSeq, partitionBy)
   }
 
-  /** One bounded aggregation over the just-staged files computes the
-    * stats column's per-file min/max (column-pruned scan of fresh data —
-    * the write path's footer-stats analog). */
+  /** ONE bounded aggregation over the just-staged files computes every
+    * tracked column's per-file min/max (column-pruned scan of fresh data —
+    * the write path's footer-stats analog). Cost is independent of how
+    * many columns are tracked: a single groupBy(file) pass with 2·k
+    * aggregates. Columns absent from the frame or used as partition keys
+    * are skipped (partition values prune via [[readParts]] instead); an
+    * all-null column in a file simply records no stat for that file. */
   private def attachStats(staged: Seq[TxnEntry], dfCols: Seq[String],
-                          partitionBy: Seq[String]): Seq[TxnEntry] =
-    statsColumn match {
-      case Some(c) if staged.nonEmpty && dfCols.contains(c) && !partitionBy.contains(c) =>
-        val rows = spark.read.option("basePath", dataDir.toString)
-          .parquet(staged.map(e => filePath(e).toString): _*)
-          .groupBy(input_file_name().as("__f"))
-          .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
-          .collect()
-        val byName = rows.flatMap { r =>
-          val f = r.getString(0)
-          val name = f.substring(f.lastIndexOf('/') + 1)
-          if (r.isNullAt(1)) None
-          else Some(name -> FileStat(c, statKind(r.get(1)),
-            statRender(r.get(1)), statRender(r.get(2))))
-        }.toMap
-        staged.map(e => e.copy(stat = byName.get(e.file)))
-      case _ => staged
-    }
+                          partitionBy: Seq[String]): Seq[TxnEntry] = {
+    val cols = statsColumns.filter(c =>
+      dfCols.contains(c) && !partitionBy.contains(c))
+    if (cols.isEmpty || staged.isEmpty) return staged
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val rows = spark.read.option("basePath", dataDir.toString)
+      .parquet(staged.map(e => filePath(e).toString): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byName = rows.map { r =>
+      val f = r.getString(0)
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      val stats = cols.zipWithIndex.flatMap { case (c, i) =>
+        val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+        if (r.isNullAt(mnI)) None
+        else Some(FileStat(c, statKind(r.get(mnI)),
+          statRender(r.get(mnI)), statRender(r.get(mxI))))
+      }
+      name -> stats
+    }.toMap
+    staged.map(e => e.copy(stats = byName.getOrElse(e.file, Nil)))
+  }
 
   private def statKind(v: Any): String = v match {
     case _: java.lang.Number | _: java.math.BigDecimal | _: BigDecimal => "num"
@@ -305,7 +343,6 @@ final case class TxnTable(spark: SparkSession, root: String,
 
   private def statRender(v: Any): String = v match {
     case n: java.lang.Number => new java.math.BigDecimal(n.toString).toPlainString
-    case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal => d.underlying.toPlainString
     case other => String.valueOf(other)
   }
@@ -372,29 +409,42 @@ final case class TxnTable(spark: SparkSession, root: String,
   /** Crash-safe SCD1 upsert with Delta-merge cost semantics
     * (reference: common_jobs_functions.py:288-304).
     *
-    * With `statsColumn` set to a merge key, only the files that actually
+    * With `statsColumns` covering merge keys, only the files that actually
     * contain source keys are rewritten: manifest min/max stats prune the
-    * candidate set driver-side (no scan), then a key-column semi-join
-    * over the candidates (input_file_name) pins the truly matched files —
-    * everything else carries into the new manifest by reference. Without
-    * stats the rewrite falls back to partition scope (or the full table
-    * when unpartitioned). Source schema may drift: columns evolve with
-    * [[MergeSCD1.merge]]'s Delta autoMerge semantics. */
+    * candidate set driver-side (no scan) — conjunctively across EVERY
+    * tracked key, so a z-ordered table prunes on the intersection of the
+    * key boxes — then a key-column semi-join over the candidates
+    * (input_file_name) pins the truly matched files; everything else
+    * carries into the new manifest by reference. Without stats the rewrite
+    * falls back to partition scope (or the full table when unpartitioned).
+    * Null merge keys are not matched by the pruned path (standard SQL
+    * equality — same as the semi-join). Source schema may drift: columns
+    * evolve with [[MergeSCD1.merge]]'s Delta autoMerge semantics. */
   def upsert(df: DataFrame, keys: Seq[String], partitionBy: Seq[String] = Nil): Long = {
     val base = version()
     if (base == 0) return commit(stage(df, partitionBy), base)
     val current = read()
-    statsColumn.filter(keys.contains) match {
-      case Some(c) =>
+    val prunable = statsColumns.filter(keys.contains)
+    prunable match {
+      case pk if pk.nonEmpty =>
         val es = entriesFull(base)
-        val mm = df.agg(min(col(c)), max(col(c))).head()
+        val mmAggs = pk.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
+        val srcBoxes = pk.zipWithIndex.map { case (c, i) =>
+          val (mnI, mxI) = (2 * i, 2 * i + 1)
+          (c, if (mm.isNullAt(mnI)) None
+              else Some((statRender(mm.get(mnI)), statRender(mm.get(mxI)))))
+        }
         val (touched, kept) =
-          if (mm.isNullAt(0)) (Seq.empty[TxnEntry], es) // no non-null source keys
+          // a key with NO non-null source values can match nothing
+          if (srcBoxes.exists(_._2.isEmpty)) (Seq.empty[TxnEntry], es)
           else {
-            val (sMin, sMax) = (statRender(mm.get(0)), statRender(mm.get(1)))
-            // files with no stats (or stats for another column) stay candidates
-            val candidates = es.filter(_.stat.forall(st =>
-              st.column != c || overlaps(st, sMin, sMax)))
+            // files missing a stat for some key stay candidates
+            val candidates = es.filter(e => srcBoxes.forall {
+              case (c, Some((sMin, sMax))) =>
+                e.statFor(c).forall(st => overlaps(st, sMin, sMax))
+              case _ => true
+            })
             val touchedNames: Set[String] =
               if (candidates.isEmpty) Set.empty
               else spark.read.option("basePath", dataDir.toString)
@@ -417,7 +467,7 @@ final case class TxnTable(spark: SparkSession, root: String,
             .parquet(touched.map(e => filePath(e).toString): _*)
         val merged = MergeSCD1.merge(targetRows, df, keys)
         commit(kept ++ stage(merged, partitionBy), base)
-      case None =>
+      case _ =>
         val merged =
           if (partitionBy.isEmpty) MergeSCD1.merge(current, df, keys)
           else {
@@ -445,23 +495,48 @@ final case class TxnTable(spark: SparkSession, root: String,
     commit(stage(compacted, partitionBy), base)
   }
 
-  /** Compaction that CLUSTERS by the stats column while it rewrites:
-    * `repartitionByRange` gives each output file a disjoint range of the
-    * column, so the manifest min/max stats it carries become maximally
-    * selective — after a sorted compaction, [[readRange]] and stats-pruned
-    * [[upsert]] touch ~1 file per point lookup instead of every file
-    * (append-order files interleave the key space; their stats overlap
-    * everything). This is the OPTIMIZE-then-prune loop a long-lived
-    * 100 TB table runs nightly: same data, same log protocol, strictly
-    * better skipping. Requires `statsColumn`. */
+  /** Compaction that CLUSTERS by the stats columns while it rewrites:
+    * `repartitionByRange` gives each output file a disjoint lexicographic
+    * range of the tracked columns, so the manifest min/max stats it
+    * carries become maximally selective — after a sorted compaction,
+    * [[readRange]] and stats-pruned [[upsert]] touch ~1 file per point
+    * lookup on the LEADING column instead of every file (append-order
+    * files interleave the key space; their stats overlap everything).
+    * This is the OPTIMIZE-then-prune loop a long-lived 100 TB table runs
+    * nightly: same data, same log protocol, strictly better skipping.
+    * Lexicographic order favors the first column; when two or more
+    * tracked columns are probed independently, use [[compactZOrdered]].
+    * Requires `statsColumns`. */
   def compactSorted(targetFiles: Int, partitionBy: Seq[String] = Nil): Long = {
-    val sc = statsColumn.getOrElse(throw new IllegalArgumentException(
-      "compactSorted needs a statsColumn to cluster by"))
+    require(statsColumns.nonEmpty,
+      "compactSorted needs statsColumns to cluster by")
     val base = version()
     val compacted = read()
-      .repartitionByRange(targetFiles, col(sc))
-      .sortWithinPartitions(col(sc))
+      .repartitionByRange(targetFiles, statsColumns.map(col): _*)
+      .sortWithinPartitions(statsColumns.map(col): _*)
     commit(stage(compacted, partitionBy), base)
+  }
+
+  /** Z-order OPTIMIZE: rewrites the live set clustered on the Morton
+    * interleave of the given columns (default: every tracked stats
+    * column), so EVERY clustered column's per-file [min,max] span stays
+    * narrow at once — the multi-dimensional upgrade of [[compactSorted]],
+    * Delta's `OPTIMIZE ... ZORDER BY` on this log. After it, a
+    * [[readWhere]] box on any subset of the dimensions prunes to ~the
+    * files the box actually intersects, and multi-key [[upsert]]s prune
+    * conjunctively. Same data, same commit protocol; readers switch
+    * atomically. Clustering columns must be numeric-castable (rank
+    * buckets come from approxQuantile — see [[graft.functions.ZOrder]]). */
+  def compactZOrdered(targetFiles: Int, zCols: Seq[String] = Nil,
+                      partitionBy: Seq[String] = Nil,
+                      bitsPerDim: Int = 12): Long = {
+    val cols = if (zCols.nonEmpty) zCols else statsColumns
+    require(cols.nonEmpty,
+      "compactZOrdered needs zCols or statsColumns to cluster by")
+    val base = version()
+    val arranged = graft.functions.ZOrder.arrange(
+      read(), cols, targetFiles, bitsPerDim)
+    commit(stage(arranged, partitionBy), base)
   }
 
   /** Publish a symlink-format manifest of the CURRENT version — one

@@ -128,7 +128,7 @@ class TxnLogSpec extends AnyFunSuite {
 
   test("stats-pruned upsert touching one key rewrites one file, rest by reference") {
     val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
-      statsColumn = Some("id"))
+      statsColumns = Seq("id"))
     // three disjoint-key-range files via three single-file appends
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
     t.append(Seq((10L, "c"), (11L, "d")).toDF("id", "v").coalesce(1))
@@ -156,7 +156,7 @@ class TxnLogSpec extends AnyFunSuite {
 
   test("readRange scans only the files whose stats overlap the range") {
     val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
-      statsColumn = Some("id"))
+      statsColumns = Seq("id"))
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
     t.append(Seq((10L, "c"), (11L, "d")).toDF("id", "v").coalesce(1))
     t.append(Seq((20L, "e"), (21L, "f")).toDF("id", "v").coalesce(1))
@@ -173,7 +173,7 @@ class TxnLogSpec extends AnyFunSuite {
 
   test("changes() is churn-bounded row-level CDC between versions") {
     val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
-      statsColumn = Some("id"))
+      statsColumns = Seq("id"))
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)) // v1
     t.append(Seq((10L, "c"), (11L, "d")).toDF("id", "v").coalesce(1))  // v2
     t.upsert(Seq((10L, "C!")).toDF("id", "v"), Seq("id"))              // v3
@@ -195,7 +195,7 @@ class TxnLogSpec extends AnyFunSuite {
 
   test("changes() aligns schema-evolved versions (missing columns as null)") {
     val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
-      statsColumn = Some("id"))
+      statsColumns = Seq("id"))
     t.overwrite(Seq((1L, "a")).toDF("id", "v").coalesce(1))          // v1
     t.upsert(Seq((1L, "a2", 9)).toDF("id", "v", "extra"), Seq("id")) // v2: drift
     val d = t.changes(1, 2)
@@ -256,7 +256,7 @@ class TxnLogSpec extends AnyFunSuite {
 
   test("sorted compaction restores stats pruning that interleaved appends destroyed") {
     val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
-      statsColumn = Some("id"))
+      statsColumns = Seq("id"))
     // appends in arrival order: every file spans nearly the whole key
     // space, so every file's [min,max] overlaps every range probe
     t.overwrite(Seq(1L, 50L, 99L).toDF("id").coalesce(1))
@@ -278,6 +278,98 @@ class TxnLogSpec extends AnyFunSuite {
     assert(t.readRange(97L, 97L).inputFiles.length == 1)
     // and it is still a normal committed version (time travel intact)
     assert(t.version() == 5)
+  }
+
+  test("multi-column stats: one stage records every tracked column's min/max") {
+    val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
+      statsColumns = Seq("a", "b"))
+    t.overwrite(Seq((1L, 100L, "x"), (2L, 200L, "y")).toDF("a", "b", "v").coalesce(1))
+    val es = t.entriesFull()
+    assert(es.size == 1)
+    val stats = es.head.stats
+    assert(stats.map(_.column).toSet == Set("a", "b"),
+      s"both tracked columns must carry stats, got $stats")
+    assert(es.head.statFor("a").exists(s => s.min == "1" && s.max == "2"))
+    assert(es.head.statFor("b").exists(s => s.min == "100" && s.max == "200"))
+    // a column tracked but absent from the frame records nothing, loudly ok
+    val t2 = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
+      statsColumns = Seq("a", "missing"))
+    t2.overwrite(Seq((1L, "x")).toDF("a", "v").coalesce(1))
+    assert(t2.entriesFull().head.stats.map(_.column) == Seq("a"))
+  }
+
+  test("manifest round-trips multi-stat lines and still parses single-stat ones") {
+    val dir = Files.createTempDirectory("graft_txn")
+    val t = TxnTable(spark, dir.toString, statsColumns = Seq("a", "b"))
+    t.overwrite(Seq((5L, 7L, "s")).toDF("a", "b", "v").coalesce(1))
+    // reopen cold: stats come back from the manifest text, both groups
+    val cold = TxnTable(spark, dir.toString, statsColumns = Seq("a", "b"))
+    val e = cold.entriesFull().head
+    assert(e.stats.size == 2 && e.statFor("b").exists(_.min == "7"))
+    // a legacy single-group line (the pre-multi-stat format) parses as one stat
+    val legacy = dir.resolve("_graft_log").resolve(f"v${2L}%020d.manifest")
+    Files.write(legacy,
+      java.util.List.of(s"\t${e.file}\ta\tnum\t5\t5"))
+    assert(cold.entriesFull(2L).head.stats == Seq(
+      graft.sources.FileStat("a", "num", "5", "5")))
+  }
+
+  test("readWhere prunes conjunctively across dimensions and equals the plain filter") {
+    val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
+      statsColumns = Seq("a", "b"))
+    // 3 files with disjoint boxes: (a in [0,9], b in [0,9]),
+    // ([10,19],[10,19]), ([20,29],[20,29])
+    (0 until 3).foreach { i =>
+      val rows = (0 until 10).map(j => (i * 10L + j, i * 10L + j, s"f$i-$j"))
+      if (i == 0) t.overwrite(rows.toDF("a", "b", "v").coalesce(1))
+      else t.append(rows.toDF("a", "b", "v").coalesce(1))
+    }
+    val boxed = t.readWhere(Seq(("a", 10L, 15L), ("b", 12L, 18L)))
+    assert(boxed.inputFiles.length == 1,
+      s"a 2-D box inside one file's span must open 1 file, got ${boxed.inputFiles.length}")
+    assert(boxed.as[(Long, Long, String)].collect().toSet ==
+      t.read().filter(col("a").between(10, 15) && col("b").between(12, 18))
+        .as[(Long, Long, String)].collect().toSet)
+    // conjunction: each dim alone overlaps a file, but no file satisfies both
+    assert(t.readWhere(Seq(("a", 0L, 5L), ("b", 20L, 25L))).count() == 0)
+    // a dimension with no recorded stats is conservatively kept
+    assert(t.readWhere(Seq(("v", "f0-0", "f0-0"))).count() == 1)
+  }
+
+  test("z-order compaction narrows every dimension's file span at once") {
+    val t = TxnTable(spark, Files.createTempDirectory("graft_txn").toString,
+      statsColumns = Seq("x", "y"))
+    // arrival order interleaves BOTH dimensions: every file spans ~everything
+    val rng = new scala.util.Random(7)
+    val pts = rng.shuffle((0 until 32).flatMap(x => (0 until 32).map(y =>
+      (x.toLong, y.toLong, s"$x:$y"))).toVector)
+    pts.grouped(128).zipWithIndex.foreach { case (g, i) =>
+      if (i == 0) t.overwrite(g.toDF("x", "y", "v").coalesce(1))
+      else t.append(g.toDF("x", "y", "v").coalesce(1))
+    }
+    val before = t.read().as[(Long, Long, String)].collect().toSet
+    val box = Seq(("x", 4L, 7L), ("y", 4L, 7L))
+    assert(t.readWhere(box).inputFiles.length == 8,
+      "interleaved appends must defeat box pruning (that is the problem)")
+    t.compactZOrdered(targetFiles = 16)
+    assert(t.read().as[(Long, Long, String)].collect().toSet == before,
+      "OPTIMIZE must not change the data")
+    val pruned = t.readWhere(box)
+    assert(pruned.inputFiles.length <= 4,
+      s"a 4x4 box over a 32x32 z-ordered grid in 16 files must touch a " +
+        s"corner of the curve, got ${pruned.inputFiles.length} files")
+    assert(pruned.count() == 16)
+    // 1-D probes prune too: z-order keeps BOTH dims narrow, not just one
+    assert(t.readWhere(Seq(("y", 0L, 3L))).inputFiles.length <= 8)
+    // and a multi-key upsert prunes conjunctively through the same stats
+    val files = t.entriesFull().map(_.file).toSet
+    t.upsert(Seq((5L, 5L, "updated")).toDF("x", "y", "v"), Seq("x", "y"))
+    val carried = t.entriesFull().map(_.file).toSet.intersect(files)
+    assert(carried.size >= files.size - 4,
+      s"a point upsert on a z-ordered table must rewrite ~1 file, " +
+        s"carried only ${carried.size} of ${files.size}")
+    assert(t.read().filter(col("v") === "updated").count() == 1)
+    assert(t.read().count() == 32 * 32)
   }
 
   test("version hint: stale, corrupt, missing, and wrong-ahead hints all resolve correctly") {
