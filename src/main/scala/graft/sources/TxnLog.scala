@@ -162,7 +162,7 @@ final case class TxnTable(spark: SparkSession, root: String,
   def entries(v: Long = version()): Seq[(String, String)] =
     entriesFull(v).map(e => (e.part, e.file))
 
-  private def filePath(e: TxnEntry): Path =
+  private[sources] def filePath(e: TxnEntry): Path =
     if (e.part.isEmpty) dataDir.resolve(e.file)
     else dataDir.resolve(e.part).resolve(e.file)
 
