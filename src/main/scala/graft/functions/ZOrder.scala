@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.util.UUID
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -59,28 +61,46 @@ object ZOrder {
   def arrange(df: org.apache.spark.sql.DataFrame, zCols: Seq[String],
               numFiles: Int, bitsPerDim: Int = 12): org.apache.spark.sql.DataFrame = {
     require(zCols.nonEmpty, "z-order arrange needs at least one z column")
-    val nBuckets = 1 << bitsPerDim
+    // the curve lives in one signed long: clamp per-dimension bits so
+    // dims*bits <= 63 (shiftleft past 63 wraps mod 64 on the JVM and would
+    // silently collide curve bits — e.g. 6 dims at the default 12 bits)
+    val bits = math.min(bitsPerDim, 63 / zCols.length)
+    require(bits >= 1,
+      s"z-order supports at most 63 dimensions, got ${zCols.length}")
+    val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val reg = df.sparkSession.sessionState.functionRegistry
-    val buckets = zCols.zipWithIndex.map { case (c, i) =>
-      val bounds = df.stat.approxQuantile(c, probs, 0.01)
-      // per-call registration: the boundary array rides the builder closure
-      // (Spark 4 exposes no public Column.expr to wrap the expression directly)
-      val fn = s"__z_bucket_$i"
-      reg.createOrReplaceTempFunction(fn,
-        exprs => ZBucketExpr(exprs.head, bounds), "built-in")
-      call_function(fn, col(c).cast("double"))
-    }
-    df.withColumn("__z", interleave(buckets, bitsPerDim))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z")).drop("__z")
+    // per-call unique registration: two concurrent arrange() calls on one
+    // session (TableOptimizer over several tables) must not clobber each
+    // other's boundary arrays between registration and plan analysis
+    val callId = UUID.randomUUID().toString.replace("-", "")
+    val fns = zCols.indices.map(i => s"__z_bucket_${callId}_$i")
+    try {
+      val buckets = zCols.zipWithIndex.map { case (c, i) =>
+        val bounds = df.stat.approxQuantile(c, probs, 0.01)
+        // per-call registration: the boundary array rides the builder closure
+        // (Spark 4 exposes no public Column.expr to wrap the expression directly)
+        reg.createOrReplaceTempFunction(fns(i),
+          exprs => ZBucketExpr(exprs.head, bounds), "built-in")
+        call_function(fns(i), col(c).cast("double"))
+      }
+      // withColumn analyzes eagerly, embedding the ZBucketExpr (boundaries
+      // included) in the plan — the registration is not needed after this
+      df.withColumn("__z", interleave(buckets, bits))
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions(col("__z")).drop("__z")
+    } finally fns.foreach(fn =>
+      reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)): Unit)
   }
 
   /** Morton interleave of pre-bucketed rank columns (ints in
     * [0, 2^bitsPerDim)): bit b of dimension d lands at position
-    * b*dims + d. Pure built-in bit arithmetic — stays in codegen. */
+    * b*dims + d. Pure built-in bit arithmetic — stays in codegen.
+    * Callers must keep dims*bitsPerDim <= 63 ([[arrange]] clamps). */
   def interleave(buckets: Seq[Column], bitsPerDim: Int): Column = {
     val dims = buckets.length
+    require(dims * bitsPerDim <= 63,
+      s"interleave overflows a long: $dims dims * $bitsPerDim bits > 63")
     val terms = for {
       (c, d) <- buckets.zipWithIndex
       b <- 0 until bitsPerDim

@@ -95,11 +95,14 @@ object TableOptimizer {
     (maxOpen, if (starts == 0) 1.0 else startSum.toDouble / starts)
   }
 
-  /** Live file sizes (driver metadata stats; missing files count 0 so a
-    * concurrent vacuum cannot fail the health check). */
+  /** Live file sizes (driver metadata stats). Unreadable/missing files
+    * (concurrent vacuum, transient IO) are EXCLUDED from both the small-
+    * file count and the total rather than counted as 0-byte files — a
+    * handful of stat failures must not push small/total over
+    * smallFileFrac and trigger a spurious full-table rewrite. */
   private def sizes(t: TxnTable): Seq[Long] =
-    t.entriesFull().map { e =>
-      try Files.size(t.filePath(e)) catch { case _: Throwable => 0L }
+    t.entriesFull().flatMap { e =>
+      try Some(Files.size(t.filePath(e))) catch { case _: Throwable => None }
     }
 
   /** Measure, decide, and (when it pays) rewrite. No-op on a healthy
@@ -133,13 +136,18 @@ object TableOptimizer {
       small.toDouble / math.max(total, 1) > smallFileFrac
 
     def recluster(reason: String): OptimizeDecision = {
-      val numeric = h.filter(x => x.kind == "num" && x.filesWithStats > 0)
+      // only columns that actually carry stats can cluster: tracked-but-
+      // absent columns are legal on the write path (attachStats skips
+      // them) and would make repartitionByRange throw on a missing column
+      val present = h.filter(_.filesWithStats > 0)
+      val numeric = present.filter(_.kind == "num")
       val (action, after) =
         if (numeric.size >= 2)
           ("zorder", t.compactZOrdered(targetFiles,
             numeric.map(_.column), partitionBy, bitsPerDim))
-        else if (t.statsColumns.nonEmpty)
-          ("sort", t.compactSorted(targetFiles, partitionBy))
+        else if (present.nonEmpty)
+          ("sort", t.compactSorted(targetFiles, partitionBy,
+            present.map(_.column)))
         else ("compact", t.compact(targetFiles, partitionBy))
       OptimizeDecision(action, reason, h, total, small, bytes, before, after)
     }

@@ -207,9 +207,9 @@ final case class TxnTable(spark: SparkSession, root: String,
     val es = entriesFull(v)
     require(es.nonEmpty, s"table $root has no committed version $v")
     val rendered = boxes.map { case (c, lo, hi) =>
-      (c, statRender(lo), statRender(hi)) }
-    val hits = es.filter(e => rendered.forall { case (c, sLo, sHi) =>
-      e.statFor(c).forall(st => overlaps(st, sLo, sHi)) })
+      (c, statKind(lo), statRender(lo), statRender(hi)) }
+    val hits = es.filter(e => rendered.forall { case (c, k, sLo, sHi) =>
+      e.statFor(c).forall(st => overlaps(st, k, sLo, sHi)) })
     val pred = boxes.map { case (c, lo, hi) =>
       col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
     if (hits.isEmpty) readVersion(v).filter(pred).limit(0)
@@ -347,10 +347,21 @@ final case class TxnTable(spark: SparkSession, root: String,
     case other => String.valueOf(other)
   }
 
-  /** [fileMin, fileMax] ∩ [srcMin, srcMax] ≠ ∅ under the stat's ordering. */
-  private def overlaps(st: FileStat, srcMin: String, srcMax: String): Boolean =
-    if (st.kind == "num")
-      BigDecimal(st.max) >= BigDecimal(srcMin) && BigDecimal(st.min) <= BigDecimal(srcMax)
+  /** [fileMin, fileMax] ∩ [srcMin, srcMax] ≠ ∅ under the stat's ordering.
+    * Pruning is only ever an optimization: when the file stat's kind and
+    * the query bound's kind disagree (schema/kind drift — a column stored
+    * as strings in some files meeting a numeric bound, or vice versa), or
+    * a "num" stat fails to parse, the file is conservatively KEPT — a
+    * lexical compare of numeric strings ("020" vs [10,30]) or a thrown
+    * NumberFormatException would break readWhere's equality with
+    * read().filter(). */
+  private def overlaps(st: FileStat, boundKind: String,
+                       srcMin: String, srcMax: String): Boolean =
+    if (st.kind != boundKind) true
+    else if (st.kind == "num")
+      try BigDecimal(st.max) >= BigDecimal(srcMin) &&
+          BigDecimal(st.min) <= BigDecimal(srcMax)
+      catch { case _: NumberFormatException => true }
     else st.max >= srcMin && st.min <= srcMax
 
   /** Publish `newEntries` as version `basedOn + 1`. The single atomic
@@ -433,7 +444,8 @@ final case class TxnTable(spark: SparkSession, root: String,
         val srcBoxes = pk.zipWithIndex.map { case (c, i) =>
           val (mnI, mxI) = (2 * i, 2 * i + 1)
           (c, if (mm.isNullAt(mnI)) None
-              else Some((statRender(mm.get(mnI)), statRender(mm.get(mxI)))))
+              else Some((statKind(mm.get(mnI)),
+                statRender(mm.get(mnI)), statRender(mm.get(mxI)))))
         }
         val (touched, kept) =
           // a key with NO non-null source values can match nothing
@@ -441,8 +453,8 @@ final case class TxnTable(spark: SparkSession, root: String,
           else {
             // files missing a stat for some key stay candidates
             val candidates = es.filter(e => srcBoxes.forall {
-              case (c, Some((sMin, sMax))) =>
-                e.statFor(c).forall(st => overlaps(st, sMin, sMax))
+              case (c, Some((k, sMin, sMax))) =>
+                e.statFor(c).forall(st => overlaps(st, k, sMin, sMax))
               case _ => true
             })
             val touchedNames: Set[String] =
@@ -506,14 +518,19 @@ final case class TxnTable(spark: SparkSession, root: String,
     * nightly: same data, same log protocol, strictly better skipping.
     * Lexicographic order favors the first column; when two or more
     * tracked columns are probed independently, use [[compactZOrdered]].
-    * Requires `statsColumns`. */
-  def compactSorted(targetFiles: Int, partitionBy: Seq[String] = Nil): Long = {
-    require(statsColumns.nonEmpty,
-      "compactSorted needs statsColumns to cluster by")
+    * Requires `statsColumns` (or an explicit `sortCols` subset — callers
+    * like [[TableOptimizer]] pass only the columns that actually carry
+    * stats, since tracked-but-absent columns are legal on the write path
+    * and would make repartitionByRange throw). */
+  def compactSorted(targetFiles: Int, partitionBy: Seq[String] = Nil,
+                    sortCols: Seq[String] = Nil): Long = {
+    val cols = if (sortCols.nonEmpty) sortCols else statsColumns
+    require(cols.nonEmpty,
+      "compactSorted needs statsColumns (or sortCols) to cluster by")
     val base = version()
     val compacted = read()
-      .repartitionByRange(targetFiles, statsColumns.map(col): _*)
-      .sortWithinPartitions(statsColumns.map(col): _*)
+      .repartitionByRange(targetFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
     commit(stage(compacted, partitionBy), base)
   }
 
