@@ -28,27 +28,52 @@ import scala.collection.mutable
   *     decryption key) and files with no text operators at all (scanned
   *     image-only PDFs).
   *
-  * Out of scope, documented: multi-byte CID fonts' ToUnicode CMaps (hex
-  * shows decode as single bytes), non-Flate filters, and glyph
-  * positioning finer than the newline/kern heuristics — the same class
-  * of approximation the reference's own extractor makes.
+  * Composite (Type0/CID) fonts — the dominant encoding in modern PDFs —
+  * show 2-byte CIDs, so reading their hex shows as single bytes would
+  * emit plausible-looking MOJIBAKE, the one failure mode worse than
+  * refusing. The dispatcher contract is fail-SAFE: when Type0/CIDFont
+  * resources are present, hex shows decode through the document's
+  * ToUnicode CMap (bfchar/bfrange → UTF-16BE, the Identity-H + CMap
+  * case every mainstream generator emits), and a document whose CMaps
+  * are absent, conflicting, or do not cover a shown code REFUSES to
+  * None — never garbage text.
+  *
+  * Out of scope, documented: non-Flate filters, CID literal-string
+  * shows (refused via the same guard), and glyph positioning finer
+  * than the newline/kern heuristics — the same class of approximation
+  * the reference's own extractor makes.
   */
 object PdfText {
 
-  /** Extracted text, or None for encrypted / text-free documents. */
+  /** Extracted text, or None for encrypted / text-free / undecodable-CID
+    * documents. */
   def extract(bytes: Array[Byte]): Option[String] = {
     val raw = new String(bytes, ISO_8859_1)
     if (!raw.startsWith("%PDF")) return None
     val streams = streamSpans(raw)
     if (isEncrypted(raw, streams)) return None
+    val decoded = streams.map { case s @ StreamSpan(dict, from, until) =>
+      (s, decode(dict, bytes, from, until).map(new String(_, ISO_8859_1)))
+    }
+    // Type0/CID fonts anywhere (raw object space or inside decoded object
+    // streams) switch hex shows from byte-chars to CMap decoding
+    val cid = hasCidFonts(raw, streams) ||
+      decoded.exists(_._2.exists(c => containsToken(c, "/Type0") ||
+        containsToken(c, "/CIDFont")))
+    val cmap: Option[Map[Int, String]] =
+      if (!cid) None
+      else mergedToUnicode(decoded.flatMap(_._2)) match {
+        case Some(m) => Some(m)
+        case None => return None // CID fonts but no usable CMap: refuse
+      }
     val parts = mutable.ArrayBuffer[String]()
-    streams.foreach { case StreamSpan(dict, from, until) =>
-      val data = decode(dict, bytes, from, until)
-      data.foreach { d =>
-        val content = new String(d, ISO_8859_1)
-        if (content.contains("BT")) {
-          val t = showText(content)
-          if (t.trim.nonEmpty) parts += t.trim
+    decoded.foreach { case (_, data) =>
+      data.foreach { content =>
+        if (content.contains("BT") && !content.contains("begincmap")) {
+          showText(content, cmap) match {
+            case None => return None // a show the CMap cannot decode
+            case Some(t) => if (t.trim.nonEmpty) parts += t.trim
+          }
         }
       }
     }
@@ -101,6 +126,40 @@ object PdfText {
     }
     false
   }
+
+  /** `/Type0` or `/CIDFont…` font resources outside stream data — the
+    * same raw-scan shape as [[isEncrypted]]. */
+  private def hasCidFonts(raw: String, streams: Seq[StreamSpan]): Boolean =
+    Seq("/Type0", "/CIDFont").exists { tok =>
+      var i = raw.indexOf(tok)
+      var found = false
+      while (i >= 0 && !found) {
+        if (!streams.exists(s => i >= s.from && i < s.until) &&
+          tokenEndsAt(raw, i + tok.length)) found = true
+        i = raw.indexOf(tok, i + tok.length)
+      }
+      found
+    }
+
+  /** Token check against a decoded stream body (object streams carry the
+    * font dictionaries as plain text after inflation). */
+  private def containsToken(content: String, tok: String): Boolean = {
+    var i = content.indexOf(tok)
+    while (i >= 0) {
+      if (tokenEndsAt(content, i + tok.length)) return true
+      i = content.indexOf(tok, i + tok.length)
+    }
+    false
+  }
+
+  /** A name token ends where a delimiter or EOF follows — so `/Type0`
+    * never matches inside a longer name. `/CIDFont` is a deliberate
+    * prefix match for /CIDFontType0 and /CIDFontType2. */
+  private def tokenEndsAt(s: String, end: Int): Boolean =
+    end >= s.length || {
+      val c = s.charAt(end)
+      !c.isLetterOrDigit || s.startsWith("Type", end)
+    }
 
   /** Cap on any single inflated stream (mirrors DocumentIngest's
     * zip-entry guard: a content stream is text, not a bomb). */
@@ -156,8 +215,19 @@ object PdfText {
     * arrays) render as word gaps — the standard extraction heuristic. */
   val KernSpace: Double = 180.0
 
-  /** Walk one decoded content stream for its text shows. */
-  private[sources] def showText(content: String): String = {
+  /** Single-byte-font walk (no CID fonts present): total, never refuses. */
+  private[sources] def showText(content: String): String =
+    showText(content, None).get
+
+  /** Walk one decoded content stream for its text shows. With a ToUnicode
+    * `cmap` (CID fonts present), hex shows decode as 2-byte codes through
+    * it and the walk REFUSES (None) on any show the map cannot decode —
+    * under a composite font a byte-wise read would be mojibake, and
+    * garbage text entering a corpus silently is the one unacceptable
+    * outcome. Literal shows under a CID document are kept only when they
+    * read as plain single-byte text (see [[literalLooksSingleByte]]). */
+  private[sources] def showText(content: String,
+                                cmap: Option[Map[Int, String]]): Option[String] = {
     val sb = new StringBuilder
     def newline(): Unit =
       if (sb.nonEmpty && sb.last != '\n') sb.append('\n'): Unit
@@ -175,13 +245,24 @@ object PdfText {
           while (i < n && content.charAt(i) != '\n' && content.charAt(i) != '\r')
             i += 1
         case '(' =>
-          val (s, next) = literalString(content, i)
+          val (s0, next) = literalString(content, i)
+          val s = cmap match {
+            case Some(_) if !literalLooksSingleByte(s0) => return None
+            case _ => s0
+          }
           if (inArray) arrayParts += s else lastString = s
           i = next
         case '<' if i + 1 < n && content.charAt(i + 1) == '<' =>
           i += 2 // dict open — no strings start here
         case '<' =>
-          val (s, next) = hexString(content, i)
+          val (raw, next) = hexString(content, i)
+          val s = cmap match {
+            case Some(m) => decodeCid(raw, m) match {
+              case Some(t) => t
+              case None => return None
+            }
+            case None => raw
+          }
           if (inArray) arrayParts += s else lastString = s
           i = next
         case '[' =>
@@ -225,7 +306,134 @@ object PdfText {
         case _ => i += 1
       }
     }
-    sb.toString
+    Some(sb.toString)
+  }
+
+  // ------------------------------------------------ CID / ToUnicode CMaps
+
+  /** A literal show that is plausibly simple-font text: printable Latin-1
+    * or ordinary whitespace. Control/undefined bytes under a CID document
+    * mean the literal is really 2-byte codes — refuse rather than guess. */
+  private def literalLooksSingleByte(s: String): Boolean =
+    s.forall(c => c >= 0x20 && c != 0x7f || c == '\n' || c == '\r' || c == '\t')
+
+  /** Decode a hex show's raw byte-chars as big-endian 2-byte codes through
+    * the ToUnicode map. None on an odd byte count or an unmapped code. */
+  private def decodeCid(raw: String, m: Map[Int, String]): Option[String] = {
+    if (raw.length % 2 != 0) return None
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      val code = (raw.charAt(i) << 8) | raw.charAt(i + 1)
+      m.get(code) match {
+        case Some(t) => sb.append(t)
+        case None => return None
+      }
+      i += 2
+    }
+    Some(sb.toString)
+  }
+
+  /** Cap on merged CMap size: 2-byte codes cannot exceed 65536 entries. */
+  val MaxCMapEntries: Int = 65536
+
+  /** Collect every ToUnicode CMap among the decoded streams and merge
+    * them. None when no CMap parses, any CMap is unsupported (non-2-byte
+    * codes), or two CMaps disagree on a code (without an xref walk a show
+    * cannot be attributed to a font, so only a CONSISTENT union is safe). */
+  private[sources] def mergedToUnicode(contents: Seq[String]): Option[Map[Int, String]] = {
+    val cmapStreams = contents.filter(c => c.contains("begincmap") &&
+      (c.contains("beginbfchar") || c.contains("beginbfrange")))
+    if (cmapStreams.isEmpty) return None
+    val merged = mutable.HashMap[Int, String]()
+    cmapStreams.foreach { c =>
+      parseToUnicode(c) match {
+        case None => return None // a CMap exists but cannot be read: refuse
+        case Some(m) => m.foreach { case (k, v) =>
+          merged.get(k) match {
+            case Some(prev) if prev != v => return None // ambiguous code
+            case _ => merged(k) = v
+          }
+        }
+      }
+    }
+    if (merged.isEmpty) None else Some(merged.toMap)
+  }
+
+  /** Parse one ToUnicode CMap stream's bfchar/bfrange sections (ISO 32000
+    * 9.10.3 / Adobe CMap spec): `<src> <dstUtf16BE>` pairs and
+    * `<lo> <hi> <dstStart>` / `<lo> <hi> [<d0> <d1> …]` ranges. Source
+    * codes must be 2 bytes (the Identity-H norm); anything else is
+    * unsupported → None. */
+  private def parseToUnicode(content: String): Option[Map[Int, String]] = {
+    val out = mutable.HashMap[Int, String]()
+    def utf16(hex: String): String = {
+      val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    val hexTok = """<([0-9A-Fa-f\s]*)>""".r
+    def hexes(span: String): Seq[String] =
+      hexTok.findAllMatchIn(span).map(_.group(1).replaceAll("\\s", "")).toSeq
+    try {
+      // bfchar: pairs
+      for (span <- sections(content, "beginbfchar", "endbfchar")) {
+        val toks = hexes(span)
+        if (toks.length % 2 != 0) return None
+        toks.grouped(2).foreach { case Seq(src, dst) =>
+          if (src.length != 4) return None
+          out(Integer.parseInt(src, 16)) = utf16(dst)
+        }
+      }
+      // bfrange: triples, third element a hex or a [ … ] array
+      for (span <- sections(content, "beginbfrange", "endbfrange")) {
+        var rest = span.trim
+        while (rest.nonEmpty) {
+          val m1 = hexTok.findFirstMatchIn(rest).getOrElse(return None)
+          val lo0 = m1.group(1).replaceAll("\\s", "")
+          rest = rest.substring(m1.end).trim
+          val m2 = hexTok.findFirstMatchIn(rest).getOrElse(return None)
+          val hi0 = m2.group(1).replaceAll("\\s", "")
+          rest = rest.substring(m2.end).trim
+          if (lo0.length != 4 || hi0.length != 4) return None
+          val lo = Integer.parseInt(lo0, 16)
+          val hi = Integer.parseInt(hi0, 16)
+          if (hi < lo || out.size + (hi - lo + 1) > MaxCMapEntries) return None
+          if (rest.startsWith("[")) {
+            val close = rest.indexOf(']')
+            if (close < 0) return None
+            val dsts = hexes(rest.substring(1, close))
+            if (dsts.length != hi - lo + 1) return None
+            (lo to hi).zip(dsts).foreach { case (k, d) => out(k) = utf16(d) }
+            rest = rest.substring(close + 1).trim
+          } else {
+            val m3 = hexTok.findFirstMatchIn(rest).getOrElse(return None)
+            val d0 = m3.group(1).replaceAll("\\s", "")
+            rest = rest.substring(m3.end).trim
+            // dstStart increments its LAST code unit across the range
+            val base = utf16(d0)
+            if (base.isEmpty) return None
+            (lo to hi).foreach { k =>
+              val off = k - lo
+              out(k) = base.dropRight(1) + (base.last + off).toChar
+            }
+          }
+        }
+      }
+    } catch { case _: NumberFormatException => return None }
+    if (out.isEmpty) None else Some(out.toMap)
+  }
+
+  /** The body spans of every `begin… / end…` section pair, in order. */
+  private def sections(content: String, begin: String, end: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var i = content.indexOf(begin)
+    while (i >= 0) {
+      val e = content.indexOf(end, i + begin.length)
+      if (e < 0) return out.toSeq
+      out += content.substring(i + begin.length, e)
+      i = content.indexOf(begin, e + end.length)
+    }
+    out.toSeq
   }
 
   /** `(…)` literal string: nested parens balance; the spec's escapes. */
@@ -270,8 +478,8 @@ object PdfText {
   }
 
   /** `<hex>` string: whitespace ignored, odd final digit padded with 0.
-    * Bytes read as single-byte chars (CID/multi-byte fonts out of
-    * scope — see object doc). */
+    * Returns the raw bytes as chars; the caller maps them byte-wise
+    * (simple fonts) or as 2-byte CIDs through the ToUnicode CMap. */
   private def hexString(content: String, start: Int): (String, Int) = {
     val sb = new StringBuilder
     var i = start + 1
