@@ -32,7 +32,17 @@ def main(out_dir, sf_dir, out_path="BASELINE_duckdb.json", runs=3):
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # GRAFT_BASELINE_ONLY=q2,q8,... restricts the run (the 100x relational
+    # slice times 12 queries, not the LLM oracles whose candidate joins
+    # are quadratic-ish at that volume). Tokens match the full name or its
+    # qNN prefix exactly, like SPARK_GRAFT_BENCH_ONLY.
+    only = os.environ.get("GRAFT_BASELINE_ONLY")
+    if only:
+        toks = {t.strip() for t in only.split(",") if t.strip()}
+        oracle = {k: v for k, v in oracle.items()
+                  if k in toks or k.split("_")[0] in toks}
     times, errors = {}, {}
+    runs = int(os.environ.get("GRAFT_BASELINE_RUNS", runs))
     for name in sorted(oracle):
         sql = oracle[name]
         best = None

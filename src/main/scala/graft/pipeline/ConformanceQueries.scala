@@ -43,7 +43,7 @@ object ConformanceQueries {
     "q76_conf_fact_kpi"       -> "fact_kpi_detalle")
 
   private def run(job: String)(spark: SparkSession, dir: String): DataFrame =
-    ConformanceGate.normalize(ConformanceLake.runJob(spark, dir, job))
+    ConformanceLake.serveJob(spark, dir, job)
 
   /** Runtime rendering of a sampled job's oracle (what the frozen
     * resource must equal — see ConformanceSpec). Needs a session because

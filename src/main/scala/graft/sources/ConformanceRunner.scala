@@ -199,6 +199,8 @@ object ConformanceLake {
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
       planCache.remove(k): Unit
     }
+    serveCache.asScala.keys.filter(_._1 eq stale)
+      .foreach(serveCache.remove(_): Unit)
     stepPersists.asScala.filter(_.sparkSession eq stale).foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
       stepPersists.remove(df): Unit
@@ -308,12 +310,45 @@ object ConformanceLake {
     }
     stepPersists.clear()
     planCache.clear()
+    serveCache.clear()
     cloneCache.clear()
   }
 
   def runJob(spark: SparkSession, dir: String, name: String,
              params: Params = Params()): DataFrame =
     run(spark, dir, Seq(name), params)(name)
+
+  // steady-state serving: planCache reuses the CONSTRUCTED plan, but each
+  // action still pays the full Catalyst optimization fixpoint over the
+  // whole transcribed closure — for the big jobs (t_venta: 9-way join
+  // over ~50 stage views) that fixed driver cost dominates the wall and
+  // is independent of data size (the q70 exponent is ~0 across 10x->100x).
+  // Serve from the OPTIMIZED plan instead: pay the fixpoint once per
+  // (clone, params, job), wrap the result back into a Dataset, and later
+  // actions re-converge in one cheap pass. Same fingerprint-keyed
+  // invalidation as the clone itself (a stale clone drops its entries).
+  private val serveCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Params, String), DataFrame]()
+
+  /** [[runJob]] + [[ConformanceGate.normalize]], served from a cached
+    * optimized plan — the catalog/bench entry point. Results are
+    * value-identical to `ConformanceGate.normalize(runJob(...))`
+    * (optimization is semantics-preserving and idempotent); only the
+    * repeated driver-side planning work is shed. */
+  def serveJob(spark0: SparkSession, dir: String, name: String,
+               params: Params = Params()): DataFrame = {
+    val spark = conformanceSession(spark0, dir)
+    val key = (spark, params, name)
+    val hit = serveCache.get(key)
+    if (hit != null) hit
+    else {
+      val norm = ConformanceGate.normalize(runJob(spark0, dir, name, params))
+      val served = org.apache.spark.sql.graft.PlanShim.ofRows(
+        norm.sparkSession, norm.queryExecution.optimizedPlan)
+      serveCache.putIfAbsent(key, served)
+      serveCache.get(key)
+    }
+  }
 }
 
 /** Gate normalization for conformance twins: the driver's hash compare

@@ -329,9 +329,12 @@ object DocumentIngest {
       case "pptx" => Some(pptxText(bytes))
       case "txt" | "md" => Some(new String(bytes, "UTF-8"))
       // minimal public-spec reader: Flate content streams + text-show
-      // operators; encrypted/scanned refuse to None (PdfText doc)
+      // operators; encrypted/scanned/undecodable-CID refuse to None
       case "pdf" => PdfText.extract(bytes)
-      // legacy binary formats (xls/doc/ppt) need decoders this container
+      // legacy binary Excel: CFB container + BIFF8 records (XlsText);
+      // encrypted workbooks and junk bytes throw -> the error row
+      case "xls" => Some(XlsText.toText(bytes))
+      // remaining legacy binaries (doc/ppt) need decoders this container
       // does not carry — unsupported → None, never a fake
       case _ => None
     }
