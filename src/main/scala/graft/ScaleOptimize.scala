@@ -35,10 +35,13 @@ object ScaleOptimize {
     val keyMax = li.agg(max("l_orderkey"), max("l_partkey")).head()
     val (ordMax, partMax) = (keyMax.getLong(0), keyMax.getLong(1))
 
-    // arrival-order degradation: append in batches keyed by NOTHING the
-    // stats track (hash slices), so every file's [min,max] spans ~the
-    // whole key space on both tracked columns — the shape a lake gets
-    // from per-period ingestion of randomly arriving business keys
+    // arrival-order degradation: append in single-file batches keyed by
+    // NOTHING the stats track (hash slices), so every file's [min,max]
+    // spans ~the whole key space on both tracked columns — the shape a
+    // lake gets from per-period ingestion of randomly arriving business
+    // keys. One file per batch keeps file count and size comparable to
+    // the rewritten layout, so the before/after probe-bytes comparison
+    // measures CLUSTERING, not file-size skew.
     val root = s"$work/lineitem_txn"
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -46,12 +49,12 @@ object ScaleOptimize {
     }
     rm(new java.io.File(root))
     val t = TxnTable(spark, root, statsColumns = Seq("l_orderkey", "l_partkey"))
-    val nBatches = 12
+    val nBatches = 56
     (0 until nBatches).foreach { b =>
       val slice = li.filter(pmod(xxhash64(col("l_orderkey"), col("l_partkey")),
-        lit(nBatches)) === b)
+        lit(nBatches)) === b).coalesce(1)
       if (b == 0) t.overwrite(slice) else t.append(slice)
-      println(s"[opt] appended batch $b")
+      if (b % 8 == 0) println(s"[opt] appended batch $b")
     }
 
     // a 2-D box covering ~1% of each key axis: the probe OPTIMIZE exists
@@ -80,8 +83,21 @@ object ScaleOptimize {
     val (pf0, pb0, pw0, pn0) = measureProbe()
     println(s"[opt] before: $totalFiles files, probe opens $pf0 files / $pb0 bytes")
 
+    // target ~64 output files: at the fixture's 117 MB the default 128 MB
+    // target would compact to ONE file, which erases the box-pruning the
+    // artifact exists to measure — a 100 TB table at 128 MB/file has ~1M
+    // files, and it's the MANY-file layout whose pruning the law is about
+    val totalBytes = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_)).sum
+      } finally s.close()
+    }
+    val targetBytes = math.max(2L << 20, totalBytes / 64)
     val t0 = System.nanoTime()
-    val d = TableOptimizer.optimize(t)
+    val d = TableOptimizer.optimize(t, targetFileBytes = targetBytes)
     val optWall = (System.nanoTime() - t0) / 1e9
     println(s"[opt] decision: ${d.action} (${d.reason}) in ${optWall}s")
 
@@ -89,8 +105,9 @@ object ScaleOptimize {
     val filesAfter = t.entriesFull().size
     val (pf1, pb1, pw1, pn1) = measureProbe()
     require(pn1 == pn0, s"OPTIMIZE changed probe rows: $pn0 -> $pn1")
-    // and a healthy table is left alone
-    val d2 = TableOptimizer.optimize(t)
+    // and a healthy table is left alone (same rewrite target: the decay
+    // threshold is relative to what that rewrite can achieve)
+    val d2 = TableOptimizer.optimize(t, targetFileBytes = targetBytes)
     println(s"[opt] after: $filesAfter files, probe opens $pf1 files / $pb1 bytes")
 
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -57,18 +57,17 @@ object CoreQueries {
     * (nation: 25 rows, region: 5 rows) carry a broadcast hint; customer
     * grows with scale factor, so its join is left to AQE — broadcast while
     * it fits, shuffled hash/merge once it doesn't. */
-  /** q2 stays the classic broadcast star — a MEASURED decision, not a
-    * default. The r8 DimLookup probe chain was built, value-verified,
-    * and A/B-benched here in both full (all five dims probed) and
-    * hybrid (orders joined, dimension path probed) forms: at the 10x
-    * slice the join form wins (0.82 s vs 0.95 s hybrid, min-of-6,
-    * same session). For SMALL dims the broadcast-hash-join's
-    * vectorized codegen'd probe beats a scalar dictionary chain, and
-    * the HashedRelation builds are too cheap to matter — DimLookup
-    * earns its keep only where the BUILD dominates (q8's 1.5M-row
-    * orders probe: 1.65 → 0.90 s). The probe/join value-equality stays
-    * spec-pinned in DimLookupSpec; the string probe remains library
-    * surface for big-dim single-attribute cases. */
+  /** q2's form is a MEASURED decision, revisited per round. r8 A/B'd
+    * probing the DIMENSION path (nation/region attributes) and the
+    * join form won — for small dims the broadcast-hash-join's
+    * vectorized probe beats a scalar dictionary chain. r9 A/B'd the
+    * form that matters at scale: collapsing the whole filtered
+    * orders→customer→nation→region side into ONE o_orderkey→label
+    * map probed inside the lineitem scan, which removes the FACT-side
+    * orderkey shuffle (the 60M-row exchange that dominates at 100×).
+    * Same-session min-of-4: 100× slice probe 2.89 s vs join 5.35 s;
+    * sf0.1 a wash (0.74 vs 0.77). The probe form is the catalog
+    * entry; the join form remains the over-cap fallback below. */
   def q2StarJoin(spark: SparkSession, dir: String): DataFrame = {
     val li  = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
@@ -77,15 +76,39 @@ object CoreQueries {
     val cst = Tables.customer(spark, dir)
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir)
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(cst, col("o_custkey") === col("c_custkey"))
+    // The fact side contributes revenue + the orderkey; everything else
+    // reduces to one uniquely-keyed projection o_orderkey -> region|nation
+    // (the date filter becomes a lookup miss; name values carry no '|').
+    // Probing that map inside the lineitem scan leaves scan -> final
+    // aggregate exchange, nothing else. Past the entry cap (2^24) the
+    // builder answers None and the broadcast-star join keeps the 100 TB
+    // path — same measured-size adaptivity as q8's OnePass form.
+    val dim = ord.join(cst, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
-      .agg(
-        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
-      .select(col("region_name"), col("nation_name"), col("revenue"), col("n_orders"))
+      .select(col("o_orderkey"),
+        concat_ws("|", col("r_name"), col("n_name")).as("rn"))
+    graft.operators.DimLookup.forFrameString(dim, "o_orderkey", "rn") match {
+      case Some(probe) =>
+        li.withColumn("rn", probe(col("l_orderkey")))
+          .filter(col("rn").isNotNull)
+          .groupBy(substring_index(col("rn"), "|", 1).as("region_name"),
+                   substring_index(col("rn"), "|", -1).as("nation_name"))
+          .agg(
+            moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .select(col("region_name"), col("nation_name"), col("revenue"), col("n_orders"))
+      case None =>
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cst, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+          .agg(
+            moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .select(col("region_name"), col("nation_name"), col("revenue"), col("n_orders"))
+    }
   }
 
   val q2Sql: String =

@@ -107,8 +107,19 @@ object TableOptimizer {
 
   /** Measure, decide, and (when it pays) rewrite. No-op on a healthy
     * table: same version, no Spark job beyond nothing. Thresholds:
-    *  - `maxStab`: rewrite when any tracked column's worst-case point
-    *    probe opens more than this many files (clustering decayed);
+    *  - `maxStab`: rewrite when a clusterable column's worst-case point
+    *    probe opens more than this many files (clustering decayed) —
+    *    judged RELATIVE to what a rewrite can achieve: a z-order of F
+    *    files over d dimensions equilibrates at per-dim stab ~F^(1/d)
+    *    (measured ~2× that — files cut mid-curve span two cells), so
+    *    the trigger is maxStab > max(maxStab, 3 × F_target^(1/d)) — the
+    *    3× gives hysteresis above the measured equilibrium so the
+    *    nightly loop settles. An absolute constant would re-trigger
+    *    forever on an optimally clustered many-file table (a 1M-file
+    *    2-D table sits at ~1000).
+    *    Only columns the chosen rewrite can improve count: the z-order
+    *    set, or the LEAD column of a lexicographic sort — a trailing
+    *    sort column can never tighten and must not loop the optimizer.
     *  - `smallFileBytes`/`smallFileFrac`: rewrite when more than the
     *    given fraction of live files are smaller than the floor (file-
     *    open overhead dominates the scan);
@@ -127,11 +138,23 @@ object TableOptimizer {
     val h = health(t, before)
     val sz = sizes(t)
     val total = sz.size
-    val small = sz.count(_ < smallFileBytes)
+    // a small-file floor above half the rewrite target is self-
+    // contradictory: the rewrite's own output would read as fragmented
+    // and the loop would never settle — clamp the floor to the target
+    val smallFloor = math.min(smallFileBytes, targetFileBytes / 2)
+    val small = sz.count(_ < smallFloor)
     val bytes = sz.sum
     val targetFiles = math.max(1, math.ceil(bytes.toDouble /
       targetFileBytes).toInt)
-    val degraded = h.filter(_.maxStab > maxStab)
+    // the columns the rewrite would cluster, and what it can achieve
+    val present = h.filter(_.filesWithStats > 0)
+    val numeric = present.filter(_.kind == "num")
+    val clusterCols = if (numeric.size >= 2) numeric else present.take(1)
+    val dims = math.max(1, clusterCols.size)
+    val achievable =
+      math.ceil(math.pow(targetFiles.toDouble, 1.0 / dims)).toInt
+    val threshold = math.max(maxStab, achievable * 3)
+    val degraded = clusterCols.filter(_.maxStab > threshold)
     val fragmented = total > targetFiles &&
       small.toDouble / math.max(total, 1) > smallFileFrac
 
@@ -139,8 +162,6 @@ object TableOptimizer {
       // only columns that actually carry stats can cluster: tracked-but-
       // absent columns are legal on the write path (attachStats skips
       // them) and would make repartitionByRange throw on a missing column
-      val present = h.filter(_.filesWithStats > 0)
-      val numeric = present.filter(_.kind == "num")
       val (action, after) =
         if (numeric.size >= 2)
           ("zorder", t.compactZOrdered(targetFiles,
@@ -154,9 +175,10 @@ object TableOptimizer {
 
     if (degraded.nonEmpty)
       recluster(s"clustering decayed: ${degraded.map(d =>
-        s"${d.column} maxStab=${d.maxStab}").mkString(", ")} > $maxStab")
+        s"${d.column} maxStab=${d.maxStab}").mkString(", ")} > $threshold " +
+        s"(achievable ~$achievable over $dims dims at $targetFiles files)")
     else if (fragmented)
-      recluster(s"$small/$total files under ${smallFileBytes}B " +
+      recluster(s"$small/$total files under ${smallFloor}B " +
         s"(target $targetFiles files)")
     else
       OptimizeDecision("none", "healthy", h, total, small, bytes,

@@ -139,6 +139,19 @@ class ConformanceSpec extends AnyFunSuite {
     assert(a.sparkSession ne spark)
   }
 
+  test("serveJob (optimized-plan cache) is value-identical to the gate form and memoized") {
+    import graft.sources.{ConformanceGate, ConformanceLake}
+    val served = ConformanceLake.serveJob(spark, sf, "t_venta")
+    val direct = ConformanceGate.normalize(
+      ConformanceLake.runJob(spark, sf, "t_venta"))
+    assert(served.columns.toSeq == direct.columns.toSeq)
+    assert(served.schema == direct.schema)
+    assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty,
+      "serving from the cached optimized plan must not change values")
+    // and the served Dataset is memoized (the fixpoint paid once)
+    assert(ConformanceLake.serveJob(spark, sf, "t_venta") eq served)
+  }
+
   test("frozen catalog oracles match the runtime ConformanceSql rendering") {
     // The q70–q73 oracle SQL the driver executes is frozen under
     // resources/graft/conformance/oracles/. If the transcribed job

@@ -55,6 +55,34 @@ class TableOptimizerSpec extends AnyFunSuite {
     assert(d2.action == "none")
   }
 
+  test("a z-ordered table at its stab equilibrium does not re-trigger") {
+    // a 2-D z-order of F files equilibrates at per-dim stab ~sqrt(F):
+    // the decay trigger must judge against that achievable bound, or the
+    // nightly OPTIMIZE loop rewrites an optimally clustered table forever
+    val t = TxnTable(spark, dir(), statsColumns = Seq("x", "y"))
+    val rng = new scala.util.Random(17)
+    val pts = rng.shuffle((0 until 48).flatMap(x => (0 until 48).map(y =>
+      (x.toLong, y.toLong))).toVector)
+    pts.grouped(96).zipWithIndex.foreach { case (g, i) =>
+      if (i == 0) t.overwrite(g.toDF("x", "y").coalesce(1))
+      else t.append(g.toDF("x", "y").coalesce(1))
+    }
+    // force a multi-file rewrite (the 100 TB shape: many files survive)
+    val bytes = t.read().inputFiles.map(f => java.nio.file.Files.size(
+      java.nio.file.Paths.get(new java.net.URI(f)))).sum
+    val d = TableOptimizer.optimize(t, targetFileBytes = bytes / 16,
+      smallFileBytes = 0L)
+    assert(d.action == "zorder", s"24 interleaved files must trigger, got $d")
+    val h = TableOptimizer.health(t)
+    assert(h.forall(_.maxStab > 1) && h.forall(_.maxStab <= 12),
+      s"multi-file z-order sits at per-dim stab ~2*sqrt(F): $h")
+    // same thresholds again: the equilibrium table must be judged healthy
+    val d2 = TableOptimizer.optimize(t, targetFileBytes = bytes / 16,
+      smallFileBytes = 0L)
+    assert(d2.action == "none",
+      s"optimally clustered table must not re-trigger, got $d2")
+  }
+
   test("tracked-but-absent column: optimize sorts by present columns, no crash") {
     // the write path accepts statsColumns naming a column the frame lacks
     // (attachStats skips it) — optimize() must not then die on
