@@ -334,7 +334,10 @@ object DocumentIngest {
       // legacy binary Excel: CFB container + BIFF8 records (XlsText);
       // encrypted workbooks and junk bytes throw -> the error row
       case "xls" => Some(XlsText.toText(bytes))
-      // remaining legacy binaries (doc/ppt) need decoders this container
+      // legacy binary Word: FIB + piece table (DocText); encrypted
+      // documents and junk bytes throw -> the error row
+      case "doc" => Some(DocText.extract(bytes))
+      // the remaining legacy binary (ppt) needs a decoder this container
       // does not carry — unsupported → None, never a fake
       case _ => None
     }

@@ -1,0 +1,176 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DocText, DocumentIngest}
+
+/** Binary Word (.doc) extraction: fixtures hand-built from the open
+  * specs (MS-CFB multi-stream container + MS-DOC FIB/piece table) —
+  * compressed and unicode pieces in CP order, Prc skip, field
+  * instruction/result rendering, and the refusal contract. */
+class DocTextSpec extends AnyFunSuite {
+
+  private def u16(v: Int) = Array[Byte]((v & 255).toByte, ((v >> 8) & 255).toByte)
+  private def u32(v: Int) = u16(v & 0xffff) ++ u16((v >>> 16) & 0xffff)
+  private def utf16(s: String) = s.getBytes("UTF-16LE")
+
+  /** Multi-stream 512-byte-sector CFB (regular FAT path; streams padded
+    * to >= the mini cutoff, sizes recorded padded — writers' slack). */
+  private def cfb(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val padded = streams.map { case (n, b) =>
+      (n, b ++ Array.fill[Byte](math.max(0, 4096 - b.length))(0))
+    }
+    val sectorsOf = padded.map { case (_, b) => (b.length + 511) / 512 }
+    val starts = sectorsOf.scanLeft(2)(_ + _)
+    def dirEntry(name: String, typ: Int, start: Int, size: Int): Array[Byte] = {
+      val b = new Array[Byte](128)
+      val nm = utf16(name)
+      System.arraycopy(nm, 0, b, 0, nm.length)
+      System.arraycopy(u16(nm.length + 2), 0, b, 64, 2)
+      b(66) = typ.toByte
+      System.arraycopy(u32(start), 0, b, 116, 4)
+      System.arraycopy(u32(size), 0, b, 120, 4)
+      b
+    }
+    val end = 0xfffffffe
+    val out = new ByteArrayOutputStream()
+    val header = new Array[Byte](512)
+    System.arraycopy(Array[Byte](0xd0.toByte, 0xcf.toByte, 0x11, 0xe0.toByte,
+      0xa1.toByte, 0xb1.toByte, 0x1a, 0xe1.toByte), 0, header, 0, 8)
+    System.arraycopy(u16(0x0003), 0, header, 26, 2)
+    System.arraycopy(u16(0xfffe), 0, header, 28, 2)
+    System.arraycopy(u16(9), 0, header, 30, 2)
+    System.arraycopy(u16(6), 0, header, 32, 2)
+    System.arraycopy(u32(1), 0, header, 44, 4)   // one FAT sector
+    System.arraycopy(u32(1), 0, header, 48, 4)   // dir at sector 1
+    System.arraycopy(u32(4096), 0, header, 56, 4)
+    System.arraycopy(u32(end), 0, header, 60, 4) // no miniFAT
+    System.arraycopy(u32(end), 0, header, 68, 4) // no DIFAT chain
+    System.arraycopy(u32(0), 0, header, 76, 4)
+    (1 until 109).foreach(i =>
+      System.arraycopy(u32(0xffffffff), 0, header, 76 + 4 * i, 4))
+    out.write(header)
+    val fat = new Array[Byte](512)
+    System.arraycopy(u32(0xfffffffd), 0, fat, 0, 4)
+    System.arraycopy(u32(end), 0, fat, 4, 4)
+    padded.indices.foreach { s =>
+      val st = starts(s)
+      (0 until sectorsOf(s)).foreach { i =>
+        val next = if (i == sectorsOf(s) - 1) end else st + i + 1
+        System.arraycopy(u32(next), 0, fat, 4 * (st + i), 4)
+      }
+    }
+    out.write(fat)
+    val dir = new Array[Byte](512)
+    System.arraycopy(dirEntry("Root Entry", 5, end, 0), 0, dir, 0, 128)
+    padded.indices.foreach { s =>
+      System.arraycopy(dirEntry(padded(s)._1, 2, starts(s), padded(s)._2.length),
+        0, dir, 128 * (s + 1), 128)
+    }
+    out.write(dir)
+    padded.foreach { case (_, b) =>
+      out.write(b)
+      out.write(new Array[Byte]((512 - b.length % 512) % 512))
+    }
+    out.toByteArray
+  }
+
+  /** WordDocument stream: minimal FIB + raw text area at `textAt`. */
+  private def wordStream(fcClx: Int, lcbClx: Int, flags: Int,
+                         textAt: Int, text: Array[Byte]): Array[Byte] = {
+    val b = new Array[Byte](math.max(1024, textAt + text.length))
+    System.arraycopy(u16(0xa5ec), 0, b, 0, 2)
+    System.arraycopy(u16(0x00c1), 0, b, 2, 2)
+    System.arraycopy(u16(flags), 0, b, 0x0a, 2)
+    System.arraycopy(u16(14), 0, b, 32, 2)       // csw
+    System.arraycopy(u16(22), 0, b, 62, 2)       // cslw
+    System.arraycopy(u16(93), 0, b, 152, 2)      // cbRgFcLcb
+    System.arraycopy(u32(fcClx), 0, b, 154 + 66 * 8, 4)
+    System.arraycopy(u32(lcbClx), 0, b, 154 + 66 * 8 + 4, 4)
+    System.arraycopy(text, 0, b, textAt, text.length)
+    b
+  }
+
+  /** PlcPcd for pieces of (cpLen, fcRaw). */
+  private def pcdt(pieces: Seq[(Int, Int)], prc: Boolean = false): Array[Byte] = {
+    val cps = pieces.scanLeft(0)(_ + _._1)
+    val plc = cps.flatMap(u32) ++
+      pieces.flatMap { case (_, fcRaw) => u16(0) ++ u32(fcRaw) ++ u16(0) }
+    val head = if (prc) Array[Byte](0x01) ++ u16(2) ++ Array[Byte](9, 9)
+               else Array.empty[Byte]
+    head ++ Array[Byte](0x02) ++ u32(plc.length) ++ plc
+  }
+
+  private def compressedFc(byteOff: Int) = (byteOff * 2) | 0x40000000
+
+  test("compressed and unicode pieces decode in CP order; CR breaks lines") {
+    // piece 1 (CP1252): "Hola\r" + 0x93 quote; piece 2 (UTF-16): "señal—fin"
+    val p1 = "Hola\r".getBytes("ISO-8859-1") ++ Array[Byte](0x93.toByte)
+    val p2 = utf16("señal—fin")
+    val text = p1 ++ p2
+    val clx = pcdt(Seq((6, compressedFc(1024)),
+      (9, 1024 + p1.length))) // unicode fc is a raw byte offset
+    val doc = cfb(Seq(
+      "WordDocument" -> wordStream(0, clx.length, 0x0200, 1024, text),
+      "1Table" -> clx))
+    assert(DocText.extract(doc) == "Hola\n“señal—fin")
+  }
+
+  test("Prc blocks before the Pcdt are skipped") {
+    val p1 = "texto plano\r".getBytes("ISO-8859-1")
+    val clx = pcdt(Seq((p1.length, compressedFc(1024))), prc = true)
+    val doc = cfb(Seq(
+      "WordDocument" -> wordStream(0, clx.length, 0x0200, 1024, p1),
+      "1Table" -> clx))
+    assert(DocText.extract(doc) == "texto plano")
+  }
+
+  test("fields render their cached result, not the instruction") {
+    // ver <0x13>REF marcador<0x14>resultado<0x15> fin<CR>
+    val p1 = "ver ".getBytes("ISO-8859-1") ++ Array[Byte](0x13) ++
+      "REF marcador".getBytes("ISO-8859-1") ++ Array[Byte](0x14) ++
+      "resultado".getBytes("ISO-8859-1") ++ Array[Byte](0x15) ++
+      " fin\r".getBytes("ISO-8859-1")
+    val clx = pcdt(Seq((p1.length, compressedFc(1024))))
+    val doc = cfb(Seq(
+      "WordDocument" -> wordStream(0, clx.length, 0x0200, 1024, p1),
+      "1Table" -> clx))
+    assert(DocText.extract(doc) == "ver resultado fin")
+  }
+
+  test("0Table is selected when fWhichTblStm is clear") {
+    val p1 = "tabla cero\r".getBytes("ISO-8859-1")
+    val clx = pcdt(Seq((p1.length, compressedFc(1024))))
+    val doc = cfb(Seq(
+      "WordDocument" -> wordStream(0, clx.length, 0x0000, 1024, p1),
+      "0Table" -> clx))
+    assert(DocText.extract(doc) == "tabla cero")
+  }
+
+  test("encrypted documents and junk refuse loudly") {
+    val p1 = "secreto\r".getBytes("ISO-8859-1")
+    val clx = pcdt(Seq((p1.length, compressedFc(1024))))
+    val enc = cfb(Seq(
+      "WordDocument" -> wordStream(0, clx.length, 0x0200 | 0x0100, 1024, p1),
+      "1Table" -> clx))
+    val e = intercept[IllegalArgumentException](DocText.extract(enc))
+    assert(e.getMessage.contains("encrypted"))
+    intercept[IllegalArgumentException](
+      DocText.extract("no es un doc".getBytes("UTF-8")))
+    // a compound file without a WordDocument stream refuses too
+    intercept[IllegalArgumentException](
+      DocText.extract(cfb(Seq("Otro" -> new Array[Byte](64)))))
+  }
+
+  test("dispatcher routes .doc") {
+    val p1 = "via despacho\r".getBytes("ISO-8859-1")
+    val clx = pcdt(Seq((p1.length, compressedFc(1024))))
+    val doc = cfb(Seq(
+      "WordDocument" -> wordStream(0, clx.length, 0x0200, 1024, p1),
+      "1Table" -> clx))
+    assert(DocumentIngest.extractText("informe.doc", doc)
+      .contains("via despacho"))
+  }
+}
