@@ -61,13 +61,22 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(df.filter("imp_3m < imp_mes").count() == 0)
   }
 
-  test("q2 plan broadcasts fixed-size dims but never hints customer") {
-    val df = CoreQueries.q2StarJoin(spark, sf)
+  test("q2 probe plan carries no join operator; over-cap falls back to the broadcast star") {
+    // r9 form: the filtered orders->customer->nation->region side collapses
+    // into one o_orderkey->label DimLookup probed inside the lineitem scan
+    // — the audited plan must contain the probe and ZERO join operators
+    // (the fact-side orderkey exchange is the scale cost the form removes)
+    val plan = CoreQueries.q2StarJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dim_lookup_str"), "expected the label probe")
+    assert(!plan.contains("Join"), s"probe form must carry no join: $plan")
+    // past the entry cap the builder answers None and the broadcast star
+    // is the fallback: nation/region hinted, customer left to AQE
+    val tiny = spark.newSession()
+    tiny.conf.set("spark.graft.dimLookup.maxEntries", "4")
+    val df = CoreQueries.q2StarJoin(tiny, sf)
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
-      "expected broadcast joins for dims")
-    // the explicit hints must cover nation/region only: customer grows with
-    // scale factor, its join strategy belongs to AQE. Hints survive into the
-    // analyzed plan as ResolvedHint nodes over their relation subtree.
+      "expected broadcast joins for dims in the fallback")
     val hinted = df.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
         h.child.toString
@@ -75,6 +84,9 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(hinted.length == 2, s"expected exactly 2 broadcast hints, got: $hinted")
     assert(hinted.forall(t => t.contains("nation") || t.contains("region")),
       s"hints must target nation/region only: $hinted")
+    // and both forms agree row-for-row (the probe == join law at q2 grain)
+    val probeRows = CoreQueries.q2StarJoin(spark, sf).collect().toSet
+    assert(df.collect().toSet == probeRows, "probe and join forms must agree")
   }
 
   test("q1 filter is pushed to the parquet scan") {

@@ -231,12 +231,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans("q17_token_count")
       .exists(_.contains("ReadSchema: struct<doc_id:bigint,text:string>")),
       "q17 must scan only doc_id+text")
-    // filter pushdown: q2's date-range predicate must reach the orders
-    // scan (the orders side stays a real join in the r8 probe form)
-    assert(scans("q2_star_join").exists(l =>
-      l.contains("orders.parquet") &&
-        l.contains("GreaterThanOrEqual(o_orderdate")),
-      "q2's date range must appear in the orders scan's PushedFilters")
+    // r9 probe form: the orders/customer side lives in the DimLookup
+    // build (its own job), so the AUDITED q2 plan scans lineitem only —
+    // and prunes it to exactly the three columns the query touches
+    locally {
+      val q2 = scans("q2_star_join")
+      assert(!q2.exists(_.contains("orders.parquet")),
+        "probe-form q2 must not scan orders in the query plan")
+      assert(q2.exists(l => l.contains("lineitem.parquet") &&
+        l.contains("ReadSchema: struct<l_orderkey:bigint," +
+          "l_extendedprice:double,l_discount:double>")),
+        s"q2 must scan only the three lineitem columns it uses: $q2")
+    }
     // the SCD2 build must not drag unused orders columns into its window
     assert(scans("q42_scd2_history").exists(_.contains(
       "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
