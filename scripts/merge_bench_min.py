@@ -32,12 +32,15 @@ def main(out, *paths):
             runs.setdefault(k, []).extend(d.get("runs", {}).get(k, [v]))
             if k not in queries or v < queries[k]:
                 queries[k] = v
+    if not queries:
+        sys.exit("merge_bench_min: every attempt errored on every query — "
+                 "refusing to write a hollow artifact")
     merged = dict(base)
     merged["queries"] = queries
     merged["runs"] = runs
     merged["value"] = sum(queries.values())
     merged["errors"] = {}
-    merged["runs_per_query"] = max(len(v) for v in runs.values())
+    merged["runs_per_query"] = max((len(v) for v in runs.values()), default=0)
     merged["merged_from_attempts"] = len(paths)
     json.dump(merged, open(out, "w"))
     print(f"merged {len(paths)} attempts -> {out}: "

@@ -345,7 +345,16 @@ object ConformanceLake {
       val norm = ConformanceGate.normalize(runJob(spark0, dir, name, params))
       val served = org.apache.spark.sql.graft.PlanShim.ofRows(
         norm.sparkSession, norm.queryExecution.optimizedPlan)
-      serveCache.putIfAbsent(key, served)
+      // Value-identity rests on Catalyst re-optimization of an
+      // already-optimized plan being convergent, which Once-batch rules
+      // do not guarantee across versions. Assert it per job at cache
+      // population (one extra optimize pass, paid once): if the
+      // re-optimized tree is not the same canonicalized plan, serve the
+      // direct plan instead — correctness over the planning shave.
+      val convergent =
+        served.queryExecution.optimizedPlan.canonicalized ==
+          norm.queryExecution.optimizedPlan.canonicalized
+      serveCache.putIfAbsent(key, if (convergent) served else norm)
       serveCache.get(key)
     }
   }

@@ -92,14 +92,25 @@ object DocText {
     * 0x07 = table cell/row mark, fields keep their cached RESULT (the
     * text between separator 0x14 and end 0x15) and drop the
     * instruction (between begin 0x13 and 0x14) — what every binary-Word
-    * extractor renders; remaining C0 controls drop. */
+    * extractor renders; remaining C0 controls drop.
+    *
+    * Fields nest routinely (IF/TOC/INCLUDETEXT wrap inner fields), and
+    * nesting can occur inside either portion, so a boolean is not
+    * enough: a stack tracks the portion of every open field, and a
+    * character is visible only when EVERY open field is in its result
+    * portion — an inner field's result inside an outer field's
+    * instruction is still instruction text and must not leak. */
   private def render(s: String): String = {
     val sb = new StringBuilder
-    var inFieldInstr = false
+    // one entry per open field: false = instruction portion, true = result
+    val inResult = mutable.ArrayDeque.empty[Boolean]
     s.foreach { ch =>
-      if (ch == 0x13) inFieldInstr = true
-      else if (ch == 0x14 || ch == 0x15) inFieldInstr = false
-      else if (!inFieldInstr) {
+      if (ch == 0x13) inResult.append(false): Unit
+      else if (ch == 0x14) {
+        if (inResult.nonEmpty) inResult(inResult.length - 1) = true
+      } else if (ch == 0x15) {
+        if (inResult.nonEmpty) inResult.removeLast(): Unit
+      } else if (inResult.forall(identity)) {
         if (ch == '\r' || ch == 0x07 || ch == 0x0b || ch == '\n')
           sb.append('\n'): Unit
         else if (ch == '\t' || ch >= ' ') sb.append(ch): Unit

@@ -248,6 +248,11 @@ object PdfText {
           val (s0, next) = literalString(content, i)
           val s = cmap match {
             case Some(_) if !literalLooksSingleByte(s0) => return None
+            // Ambiguity guard: if the merged ToUnicode map can ALSO read
+            // this literal's byte pairs as 2-byte CIDs (e.g. 0x4142 maps,
+            // yet the bytes print as "AB"), the single-byte reading is a
+            // guess — and a wrong guess is silent mojibake. Refuse.
+            case Some(m) if decodeCid(s0, m).isDefined => return None
             case _ => s0
           }
           if (inArray) arrayParts += s else lastString = s

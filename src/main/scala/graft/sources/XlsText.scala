@@ -212,7 +212,10 @@ object XlsText {
           flags = u8v() // continuation re-states the compression bit
         }
         if ((flags & 0x01) != 0) { // uncompressed UTF-16LE
-          // a code unit never splits: writers align splits to units
+          // the spec aligns CONTINUE splits to code units; a split mid-unit
+          // (sloppy writers) must refuse loudly, not consume the next
+          // record's header as character data
+          require(off + 1 < segEnd, "UTF-16 code unit split across CONTINUE")
           sb.append((u8(wb, off) | (u8(wb, off + 1) << 8)).toChar)
           off += 2
         } else {

@@ -140,6 +140,25 @@ class DocTextSpec extends AnyFunSuite {
     assert(DocText.extract(doc) == "ver resultado fin")
   }
 
+  test("nested fields: an inner field inside the outer INSTRUCTION stays hidden") {
+    // a <13>IF <13>REF x<14>oculto<15> cond<14>res <13>DATE<14>2024<15> fin<15> z<CR>
+    // The inner field's RESULT ("oculto") sits inside the outer field's
+    // instruction — Word never displays it; the inner field inside the
+    // outer RESULT shows its result ("2024"). A boolean tracker leaks
+    // " cond" after the first 0x15 — the depth stack must not.
+    def f(s: String) = s.getBytes("ISO-8859-1")
+    val p1 = f("a ") ++ Array[Byte](0x13) ++ f("IF ") ++
+      Array[Byte](0x13) ++ f("REF x") ++ Array[Byte](0x14) ++ f("oculto") ++
+      Array[Byte](0x15) ++ f(" cond") ++ Array[Byte](0x14) ++ f("res ") ++
+      Array[Byte](0x13) ++ f("DATE") ++ Array[Byte](0x14) ++ f("2024") ++
+      Array[Byte](0x15) ++ f(" fin") ++ Array[Byte](0x15) ++ f(" z\r")
+    val clx = pcdt(Seq((p1.length, compressedFc(1024))))
+    val doc = cfb(Seq(
+      "WordDocument" -> wordStream(0, clx.length, 0x0200, 1024, p1),
+      "1Table" -> clx))
+    assert(DocText.extract(doc) == "a res 2024 fin z")
+  }
+
   test("0Table is selected when fWhichTblStm is clear") {
     val p1 = "tabla cero\r".getBytes("ISO-8859-1")
     val clx = pcdt(Seq((p1.length, compressedFc(1024))))

@@ -211,6 +211,20 @@ class XlsTextSpec extends AnyFunSuite {
     assert(XlsText.sheets(doc).head._2 == Seq(Seq("abcdef"), Seq("entera")))
   }
 
+  test("a CONTINUE split mid-UTF-16-code-unit refuses loudly") {
+    // wide string 'xy': header + 'x' + ONE stray byte of 'y' in the SST
+    // record, the other byte in CONTINUE — spec-violating; consuming the
+    // CONTINUE's header as character data would be silent corruption
+    val sstData = u32(1) ++ u32(1) ++
+      u16(2) ++ Array[Byte](1) ++ utf16("x") ++ Array[Byte]('y'.toByte)
+    val cont = Array[Byte](1, 0) // flag byte + the code unit's high byte
+    val sst = rec(0x00fc, sstData) ++ rec(0x003c, cont)
+    val sheet = bof(0x0010) ++ labelSst(0, 0, 0) ++ eof
+    val doc = cfb("Workbook", workbook(sst, Seq("S" -> sheet)))
+    val e = intercept[IllegalArgumentException](XlsText.sheets(doc))
+    assert(e.getMessage.contains("split across CONTINUE"))
+  }
+
   test("formula cached results: numeric inline, string via STRING record") {
     val sst = rec(0x00fc, u32(0) ++ u32(0))
     val fNum = rec(0x0006, u16(0) ++ u16(0) ++ u16(0) ++ f64(6.5) ++
