@@ -12,7 +12,8 @@ object GraftFunctions {
     "minhash_signature", "simhash64", "lsh_bucket", "word_shingles",
     "max_word_freq", "minhash_bands", "simhash64_md5", "marker_count",
     "bloom_agg", "bloom_might_contain", "lsh_probe_buckets",
-    "lsh_probe_buckets_margin", "cdc_boundaries", "multi_distinct_count")
+    "lsh_probe_buckets_margin", "cdc_boundaries", "multi_distinct_count",
+    "bitmap_distinct")
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -29,6 +30,8 @@ object GraftFunctions {
       exprs => CdcBoundariesExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("multi_distinct_count",
       exprs => MultiDistinctCount(exprs).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("bitmap_distinct",
+      exprs => BitmapDistinct(exprs.head).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("bottom_k_sample",
       exprs => BottomKSample(exprs(0), exprs(1),
         intLit(exprs(2))).toAggregateExpression(), "built-in")

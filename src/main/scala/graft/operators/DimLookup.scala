@@ -456,6 +456,112 @@ object DimLookup {
     }
   }
 
+  private[graft] final case class LabeledEntry(planCanonical: String,
+      fp: String, n: Long, bc: Broadcast[LongLongMap], labels: Array[String],
+      fn: String)
+  private[graft] val labeledCache =
+    new ConcurrentHashMap[(String, Int, String, String, Boolean), LabeledEntry]()
+
+  /** Labeled dense-index lookup: probe(key) = `labelId << 32 | ordinal`,
+    * where `labelId` indexes the returned label array and `ordinal` is a
+    * DENSE per-label sequence 0,1,2,… over the dim's keys. The shape a
+    * bitmap-exact distinct count wants: grouping by the labelId part and
+    * counting distinct ordinals via `bitmap_distinct` replaces the
+    * hash-set distinct machinery over fact rows with one bit-set per row
+    * and a ceil(n/64)-word exchange — the q2 exact-distinct fix (the
+    * probe map already enumerates the candidate keys, so their identity
+    * compresses to a per-label ordinal). Same None/cap/refusal and
+    * fingerprint-cache contract as [[forFrame]]. */
+  def forFrameLabeled(df: DataFrame, keyCol: String, labelCol: String)
+      : Option[(Column => Column, Array[String])] = {
+    val spark = df.sparkSession
+    val cap = maxEntries(spark)
+    val desc = s"frame:$keyCol->labeled:$labelCol"
+    val id = frameIdentity(df, keyCol, labelCol, str = true)
+    val hit = id.flatMap { case (k, canonical, fp) =>
+      Option(labeledCache.get(k)).filter(e =>
+        e.planCanonical == canonical && e.fp == fp && e.n <= cap)
+    }
+    hit.map(e => (register(spark, e.fn, e.bc, str = false, desc), e.labels))
+      .orElse {
+        val n = df.count()
+        if (n > cap) None
+        else scala.util.Try(buildLabeled(df, keyCol, labelCol)).toOption.map {
+          case (b, labels) =>
+            val fn = s"__dim_lookup_${idGen.incrementAndGet()}"
+            id.foreach { case (k, canonical, fp) =>
+              val old = labeledCache.put(k,
+                LabeledEntry(canonical, fp, n, b, labels, fn))
+              if (old != null) dropFn(spark, old.fn)
+            }
+            (register(spark, fn, b, str = false, desc), labels)
+        }
+      }
+  }
+
+  /** Build the labeled packed map (driver pass over the same packed
+    * no-boxing collect as [[buildString]]): label ids in first-seen
+    * order, per-label dense ordinals. */
+  def buildLabeled(dim: DataFrame, keyCol: String, labelCol: String)
+      : (Broadcast[LongLongMap], Array[String]) = {
+    val spark = dim.sparkSession
+    val parts = collectPackedStrings(dim, keyCol, labelCol)
+    val n = parts.iterator.map(_._1.length.toLong).sum
+    require(n <= LongLongMap.MaxMapEntries,
+      s"DimLookup: $n entries exceed map addressing (2^28)")
+    val map = LongLongMap.create(n.toInt)
+    val labelIds = new java.util.LinkedHashMap[String, Integer]()
+    val counters = scala.collection.mutable.ArrayBuffer.empty[Long]
+    parts.foreach { case (keys, lens, bytes) =>
+      var i = 0
+      var src = 0
+      while (i < keys.length) {
+        val label = new String(bytes, src, lens(i),
+          java.nio.charset.StandardCharsets.UTF_8)
+        var lid = labelIds.get(label)
+        if (lid == null) {
+          lid = Integer.valueOf(labelIds.size())
+          labelIds.put(label, lid)
+          counters += 0L
+        }
+        val ord = counters(lid.intValue())
+        counters(lid.intValue()) = ord + 1
+        // n <= 2^28 bounds both parts: lid < 2^28 labels, ord < 2^28
+        map.insert(keys(i), (lid.longValue() << 32) | ord)
+        src += lens(i)
+        i += 1
+      }
+    }
+    (spark.sparkContext.broadcast(map),
+      labelIds.keySet().toArray(new Array[String](0)))
+  }
+
+  /** Per-partition packed (keys, value lengths, concatenated UTF-8)
+    * collect — no per-row boxing. NULL keys skip (never equi-match);
+    * NULL values under a live key refuse loudly. */
+  private def collectPackedStrings(dim: DataFrame, keyCol: String,
+      valCol: String): Array[(Array[Long], Array[Int], Array[Byte])] = {
+    val proj = dim.select(col(keyCol).cast(LongType),
+      col(valCol).cast(org.apache.spark.sql.types.StringType))
+    proj.queryExecution.toRdd.mapPartitions { it =>
+      val ks = new scala.collection.mutable.ArrayBuilder.ofLong
+      val ls = new scala.collection.mutable.ArrayBuilder.ofInt
+      val bs = new scala.collection.mutable.ArrayBuilder.ofByte
+      while (it.hasNext) {
+        val r = it.next()
+        if (!r.isNullAt(0)) {
+          if (r.isNullAt(1))
+            throw new IllegalStateException(
+              s"DimLookup: NULL $valCol under live key ${r.getLong(0)} — " +
+                "a packed lookup cannot represent it")
+          val b = r.getUTF8String(1).getBytes
+          ks += r.getLong(0); ls += b.length; bs ++= b
+        }
+      }
+      Iterator.single((ks.result(), ls.result(), bs.result()))
+    }.collect()
+  }
+
   /** Build the broadcast string map: per-partition packed (keys,
     * lengths, concatenated UTF-8) arrays — no per-row boxing on the
     * collect. NULL keys skip (never equi-match); NULL values under a
@@ -463,26 +569,7 @@ object DimLookup {
   def buildString(dim: DataFrame, keyCol: String,
                   valCol: String): Broadcast[LongStringMap] = {
     val spark = dim.sparkSession
-    val proj = dim.select(col(keyCol).cast(LongType),
-      col(valCol).cast(org.apache.spark.sql.types.StringType))
-    val parts: Array[(Array[Long], Array[Int], Array[Byte])] =
-      proj.queryExecution.toRdd.mapPartitions { it =>
-        val ks = new scala.collection.mutable.ArrayBuilder.ofLong
-        val ls = new scala.collection.mutable.ArrayBuilder.ofInt
-        val bs = new scala.collection.mutable.ArrayBuilder.ofByte
-        while (it.hasNext) {
-          val r = it.next()
-          if (!r.isNullAt(0)) {
-            if (r.isNullAt(1))
-              throw new IllegalStateException(
-                s"DimLookup: NULL $valCol under live key ${r.getLong(0)} — " +
-                  "a packed lookup cannot represent it")
-            val b = r.getUTF8String(1).getBytes
-            ks += r.getLong(0); ls += b.length; bs ++= b
-          }
-        }
-        Iterator.single((ks.result(), ls.result(), bs.result()))
-      }.collect()
+    val parts = collectPackedStrings(dim, keyCol, valCol)
     spark.sparkContext.broadcast(LongStringMap.fromPacked(parts))
   }
 

@@ -61,15 +61,20 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(df.filter("imp_3m < imp_mes").count() == 0)
   }
 
-  test("q2 probe plan carries no join operator; over-cap falls back to the broadcast star") {
-    // r9 form: the filtered orders->customer->nation->region side collapses
-    // into one o_orderkey->label DimLookup probed inside the lineitem scan
-    // — the audited plan must contain the probe and ZERO join operators
-    // (the fact-side orderkey exchange is the scale cost the form removes)
+  test("q2 probe plan carries no fact-side join; over-cap falls back to the broadcast star") {
+    // r10 form: the filtered orders->customer->nation->region side
+    // collapses into one o_orderkey -> (labelId << 32 | dense ordinal)
+    // DimLookup probed inside the lineitem scan, and the exact distinct
+    // orderkey count is a bitmap popcount over the dense ordinals — the
+    // audited plan carries the probe, the bitmap_distinct aggregate, and
+    // at most the 25-row broadcast label join (never a shuffled join:
+    // the fact-side orderkey exchange is the scale cost the form removes)
     val plan = CoreQueries.q2StarJoin(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("dim_lookup_str"), "expected the label probe")
-    assert(!plan.contains("Join"), s"probe form must carry no join: $plan")
+    assert(plan.contains("dim_lookup"), "expected the labeled probe")
+    assert(plan.contains("bitmap_distinct"), "expected the bitmap distinct")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"probe form must carry no shuffled join: $plan")
     // past the entry cap the builder answers None and the broadcast star
     // is the fallback: nation/region hinted, customer left to AQE
     val tiny = spark.newSession()

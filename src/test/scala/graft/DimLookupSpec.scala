@@ -89,6 +89,58 @@ class DimLookupSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dimLookup.maxEntries")
   }
 
+  test("labeled lookup: packed label ids + dense per-label ordinals; bitmap distinct is exact") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dim = Seq((10L, "a"), (11L, "b"), (12L, "a"), (13L, "a"), (14L, "b"))
+      .toDF("k", "lbl")
+    val (probe, labels) = DimLookup.forFrameLabeled(dim, "k", "lbl").get
+    assert(labels.toSeq == Seq("a", "b")) // first-seen order
+    // fact hits keys 10,12,12,13 (label a: 3 distinct) and 11 (b: 1);
+    // 99 misses, NULL skips
+    val fact = Seq(Some(10L), Some(12L), Some(12L), Some(13L), Some(11L),
+      Some(99L), None).toDF("fk")
+    val out = fact.withColumn("p", probe(col("fk")))
+      .filter(col("p").isNotNull)
+      .groupBy(shiftright(col("p"), 32).cast("int").as("label_id"))
+      .agg(call_function("bitmap_distinct",
+        col("p").bitwiseAND(lit(0xffffffffL))).as("n"))
+      .collect().map(r => (labels(r.getInt(0)), r.getLong(1))).toMap
+    assert(out == Map("a" -> 3L, "b" -> 1L))
+    // per-label ordinals are dense 0..count-1 (the bitmap contract)
+    val packs = Seq(10L, 11L, 12L, 13L, 14L).toDF("fk")
+      .select(probe(col("fk")).as("p")).collect().map(_.getLong(0))
+    val byLabel = packs.groupBy(p => (p >>> 32).toInt)
+      .view.mapValues(_.map(_ & 0xffffffffL).sorted.toSeq).toMap
+    assert(byLabel == Map(0 -> Seq(0L, 1L, 2L), 1 -> Seq(0L, 1L)))
+    // refusal law carries over: duplicate keys / NULL labels answer None
+    assert(DimLookup.forFrameLabeled(
+      Seq((1L, "a"), (1L, "b")).toDF("k", "lbl"), "k", "lbl").isEmpty)
+    assert(DimLookup.forFrameLabeled(
+      Seq((1L, "a"), (2L, null)).toDF("k", "lbl"), "k", "lbl").isEmpty)
+  }
+
+  test("bitmap_distinct == count(DISTINCT) on a dense domain; nulls skip; bounds refuse") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // scattered duplicates over a dense 0..999 domain, multiple groups,
+    // enough rows to force partial/final merge across partitions
+    val df = (0 until 20000).map(i =>
+      (i % 7, if (i % 11 == 0) None else Some((i * 37 % 1000).toLong)))
+      .toDF("g", "idx").repartition(8)
+    val got = df.groupBy($"g")
+      .agg(call_function("bitmap_distinct", $"idx").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = df.groupBy($"g").agg(countDistinct($"idx").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // negative / out-of-domain indices refuse loudly, never miscount
+    val bad = Seq(-1L).toDF("idx")
+      .agg(call_function("bitmap_distinct", col("idx")))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage != null)
+  }
+
   test("chained star probes == the broadcast star join, end to end") {
     // the full q2-shaped flatten (filtered orders + customer + nation
     // name/region + region name, long AND string probes chained) must be
