@@ -114,4 +114,138 @@ object MediaHeaders {
     else if (isBmp(bytes)) decodeBmp(bytes)
     else (0, 0, "unknown")
   }
+
+  // --------------------------------------------------------- audio/video
+
+  /** Header-only audio/video metadata: width/height for video tracks,
+    * sample rate/channels for audio, duration in milliseconds for both —
+    * zero fields where the format doesn't carry them. `Unknown` for
+    * unrecognized/truncated payloads, same refuse-to-zero contract as the
+    * image decode. */
+  final case class AvMeta(width: Int, height: Int, sampleRate: Int,
+                          channels: Int, durationMs: Long, format: String)
+  val Unknown: AvMeta = AvMeta(0, 0, 0, 0, 0L, "unknown")
+
+  private def leU32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    i + 4 <= b.length && (0 until 4).forall(k => (b(i + k) & 0xff) == t.charAt(k))
+
+  // ---- WAV (RIFF, public multimedia programming interface spec):
+  // "RIFF"<size>"WAVE", then chunks; the fmt chunk carries
+  // channels/sampleRate/byteRate; duration = data size / byte rate.
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE")
+
+  private def decodeWav(b: Array[Byte]): AvMeta = {
+    var i = 12L
+    var sampleRate = 0
+    var channels = 0
+    var byteRate = 0L
+    var dataBytes = -1L
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      val size = leU32(b, at + 4)
+      if (tag(b, at, "fmt ") && at + 24 <= b.length) {
+        channels = leU16(b, at + 10)
+        sampleRate = leU32(b, at + 12).toInt
+        byteRate = leU32(b, at + 16)
+      } else if (tag(b, at, "data")) {
+        // header-only contract: the DECLARED size is the duration input
+        // (payloads may be truncated in a header corpus)
+        dataBytes = size
+      }
+      // chunks are word-aligned (odd sizes pad one byte); Long walk so a
+      // hostile declared size cannot wrap the cursor backwards
+      i += 8L + size + (size & 1L)
+    }
+    if (sampleRate <= 0 || channels <= 0 || byteRate <= 0L || dataBytes < 0L)
+      Unknown
+    else AvMeta(0, 0, sampleRate, channels, dataBytes * 1000L / byteRate, "wav")
+  }
+
+  // ---- MP3 (ISO 11172-3 frame header): 11-bit sync, then version /
+  // layer / bitrate / sample-rate / channel-mode fields. Header-only
+  // duration is the standard CBR estimate: frames = len/frameLen,
+  // 1152 samples per MPEG1 Layer III frame.
+  private val Mp3Bitrates = // MPEG1 Layer III, kbit/s, index 1-14
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3Rates = Array(44100, 48000, 32000, 0)
+
+  private def isMp3(b: Array[Byte]): Boolean =
+    b.length >= 4 && u8(b, 0) == 0xff && (u8(b, 1) & 0xfe) == 0xfa // MPEG1 L3
+
+  private def decodeMp3(b: Array[Byte]): AvMeta = {
+    val bitrateIdx = (u8(b, 2) >> 4) & 0xf
+    val rateIdx = (u8(b, 2) >> 2) & 0x3
+    val mode = (u8(b, 3) >> 6) & 0x3
+    val bitrate = Mp3Bitrates(bitrateIdx) * 1000
+    val rate = Mp3Rates(rateIdx)
+    if (bitrate <= 0 || rate <= 0) return Unknown
+    val channels = if (mode == 3) 1 else 2 // 3 = single channel
+    val padding = (u8(b, 2) >> 1) & 0x1
+    val frameLen = 144 * bitrate / rate + padding
+    val frames = b.length / frameLen
+    if (frames < 1) return Unknown
+    AvMeta(0, 0, rate, channels, frames.toLong * 1152L * 1000L / rate, "mp3")
+  }
+
+  // ---- MP4 (ISO 14496-12 BMFF): box walk to moov/mvhd for
+  // timescale+duration and moov/trak/tkhd for track dims (16.16 fixed).
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 16 && tag(b, 4, "ftyp")
+
+  private def decodeMp4(b: Array[Byte]): AvMeta = {
+    var durationMs = -1L
+    var w = 0
+    var h = 0
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        val size = beU32(b, i)
+        if (size < 8 || i + size > until) return // malformed: stop
+        val end = i + size.toInt
+        if (tag(b, i + 4, "moov") && depth == 0) walk(i + 8, end, 1)
+        else if (tag(b, i + 4, "trak") && depth == 1) walk(i + 8, end, 2)
+        else if (tag(b, i + 4, "mvhd") && depth == 1 && i + 12 <= end) {
+          val v = u8(b, i + 8)
+          if (v == 0 && i + 28 <= end) {
+            val timescale = beU32(b, i + 20)
+            if (timescale > 0) durationMs = beU32(b, i + 24) * 1000L / timescale
+          } else if (v == 1 && i + 40 <= end) {
+            val timescale = beU32(b, i + 28)
+            val dur = (beU32(b, i + 32) << 32) | beU32(b, i + 36)
+            if (timescale > 0) durationMs = dur * 1000L / timescale
+          }
+        } else if (tag(b, i + 4, "tkhd") && depth == 2) {
+          val v = u8(b, i + 8)
+          val wOff = if (v == 0) i + 8 + 76 else i + 8 + 88
+          if (wOff + 8 <= end) {
+            w = (beU32(b, wOff) >> 16).toInt  // 16.16 fixed -> integer part
+            h = (beU32(b, wOff + 4) >> 16).toInt
+          }
+        }
+        i = end
+      }
+    }
+    walk(0, b.length, 0)
+    if (durationMs < 0L) Unknown
+    else AvMeta(w, h, 0, 0, durationMs, "mp4")
+  }
+
+  /** Total audio/video decode — [[Unknown]] when the payload is not a
+    * recognized WAV/MP3/MP4 header (images fall through to [[decode]]'s
+    * formats with their dimensions carried over). */
+  def decodeAv(bytes: Array[Byte]): AvMeta = {
+    if (bytes == null || bytes.length < 4) return Unknown
+    if (isWav(bytes)) decodeWav(bytes)
+    else if (isMp4(bytes)) decodeMp4(bytes)
+    else if (isMp3(bytes)) decodeMp3(bytes)
+    else {
+      val (w, h, f) = decode(bytes)
+      if (f == "unknown") Unknown else AvMeta(w, h, 0, 0, 0L, f)
+    }
+  }
 }

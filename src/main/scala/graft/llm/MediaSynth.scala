@@ -120,4 +120,122 @@ object MediaSynth {
       case _ => bmp(w, h)
     }
   }
+
+  // --------------------------------------------------------- audio/video
+  // The q78 gate twin: WAV / MP3 / MP4 payloads whose header fields are
+  // pure integer functions of the id, so the DuckDB oracle re-derives the
+  // decoded sample rate / channels / duration / dims from id arithmetic
+  // alone. Selector arithmetic uses the id QUOTIENT (id/3) so the fields
+  // vary within each format class (id%3 picks the class itself).
+
+  def avFormatOf(id: Long): String = math.floorMod(id, 3L) match {
+    case 0 => "wav"
+    case 1 => "mp3"
+    case _ => "mp4"
+  }
+
+  private def q(id: Long): Long = id / 3
+
+  // WAV: PCM16; declared data size = nSamples * blockAlign (header-only
+  // payload — the parser's duration input is the DECLARED size)
+  def wavSampleRate(id: Long): Int = (8000L * (1 + math.floorMod(q(id), 4L))).toInt
+  def wavChannels(id: Long): Int = (1 + math.floorMod(q(id), 2L)).toInt
+  def wavSamples(id: Long): Long = 800L + math.floorMod(id * 11L, 40000L)
+  def wavDurationMs(id: Long): Long = wavSamples(id) * 1000L / wavSampleRate(id)
+  val WavBytes = 44
+
+  // MP3: MPEG1 Layer III CBR; payload = frames * frameLen zero-padded
+  private val Mp3BitrateSel = Array(128000, 192000, 256000, 320000)
+  private val Mp3BitrateIdx = Array(9, 11, 13, 14) // header index of each
+  private val Mp3RateSel = Array(44100, 48000, 32000)
+  def mp3Bitrate(id: Long): Int = Mp3BitrateSel(math.floorMod(q(id), 4L).toInt)
+  def mp3SampleRate(id: Long): Int = Mp3RateSel(math.floorMod(q(id), 3L).toInt)
+  def mp3Channels(id: Long): Int = if (math.floorMod(q(id), 2L) == 0L) 2 else 1
+  def mp3Frames(id: Long): Long = 2L + math.floorMod(q(id), 5L)
+  def mp3FrameLen(id: Long): Int = 144 * mp3Bitrate(id) / mp3SampleRate(id)
+  def mp3Bytes(id: Long): Int = (mp3Frames(id) * mp3FrameLen(id)).toInt
+  def mp3DurationMs(id: Long): Long =
+    mp3Frames(id) * 1152L * 1000L / mp3SampleRate(id)
+
+  // MP4: ftyp + moov(mvhd + trak(tkhd)); duration = units/timescale
+  private val Mp4TimescaleSel = Array(600, 1000, 90000)
+  def mp4Timescale(id: Long): Int = Mp4TimescaleSel(math.floorMod(q(id), 3L).toInt)
+  def mp4Units(id: Long): Long = 1000L + math.floorMod(id * 17L, 100000L)
+  def mp4DurationMs(id: Long): Long = mp4Units(id) * 1000L / mp4Timescale(id)
+  val Mp4Bytes = 232 // ftyp 16 + moov(8 + mvhd 108 + trak(8 + tkhd 92))
+
+  def avBytesOf(id: Long): Int = math.floorMod(id, 3L) match {
+    case 0 => WavBytes
+    case 1 => mp3Bytes(id)
+    case _ => Mp4Bytes
+  }
+
+  private def wav(id: Long): Array[Byte] = {
+    val sr = wavSampleRate(id); val ch = wavChannels(id)
+    val blockAlign = 2 * ch
+    val dataBytes = (wavSamples(id) * blockAlign).toInt
+    val o = new ByteArrayOutputStream(WavBytes)
+    def leU32i(v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    "RIFF".foreach(c => o.write(c.toInt)); leU32i(36L + dataBytes)
+    "WAVE".foreach(c => o.write(c.toInt))
+    "fmt ".foreach(c => o.write(c.toInt)); leU32i(16L)
+    leU16(o, 1); leU16(o, ch)                     // PCM, channels
+    leU32i(sr.toLong); leU32i(sr.toLong * blockAlign) // rate, byte rate
+    leU16(o, blockAlign); leU16(o, 16)            // block align, bits
+    "data".foreach(c => o.write(c.toInt)); leU32i(dataBytes.toLong)
+    o.toByteArray                                  // declared body, no bytes
+  }
+
+  private def mp3(id: Long): Array[Byte] = {
+    val bIdx = Mp3BitrateIdx(math.floorMod(q(id), 4L).toInt)
+    val rIdx = math.floorMod(q(id), 3L).toInt
+    val mode = if (mp3Channels(id) == 1) 3 else 0
+    val out = new Array[Byte](mp3Bytes(id))
+    out(0) = 0xff.toByte
+    out(1) = 0xfb.toByte                 // MPEG1, Layer III, no CRC
+    out(2) = ((bIdx << 4) | (rIdx << 2)).toByte // no padding/private
+    out(3) = (mode << 6).toByte
+    out
+  }
+
+  private def mp4(id: Long): Array[Byte] = {
+    val w = widthOf(id); val h = heightOf(id)
+    val o = new ByteArrayOutputStream(Mp4Bytes)
+    def beU32i(v: Long): Unit = beU32(o, v)
+    def fourcc(s: String): Unit = s.foreach(c => o.write(c.toInt))
+    def zeros(n: Int): Unit = (0 until n).foreach(_ => o.write(0))
+    def matrix(): Unit = {
+      beU32i(0x10000L); beU32i(0L); beU32i(0L)
+      beU32i(0L); beU32i(0x10000L); beU32i(0L)
+      beU32i(0L); beU32i(0L); beU32i(0x40000000L)
+    }
+    beU32i(16L); fourcc("ftyp"); fourcc("isom"); beU32i(0x200L)
+    beU32i(216L); fourcc("moov")
+    beU32i(108L); fourcc("mvhd"); beU32i(0L)     // version 0 + flags
+    zeros(8)                                      // ctime, mtime
+    beU32i(mp4Timescale(id).toLong); beU32i(mp4Units(id))
+    beU32i(0x00010000L); zeros(4)                // rate 1.0; volume+reserved
+    zeros(8); matrix(); zeros(24); beU32i(2L)
+    beU32i(100L); fourcc("trak")
+    beU32i(92L); fourcc("tkhd"); beU32i(7L)      // version 0 + enabled flags
+    zeros(8)                                      // ctime, mtime
+    beU32i(1L); beU32i(0L)                        // track id, reserved
+    beU32i(mp4Units(id))                          // duration (movie timescale)
+    zeros(8)                                      // reserved
+    zeros(8)                                      // layer, alt, volume, reserved
+    matrix()
+    beU32i(w.toLong << 16); beU32i(h.toLong << 16)
+    o.toByteArray
+  }
+
+  /** The audio/video payload for a seed id — format, header fields and
+    * length all pure functions of the id. */
+  def synthAv(id: Long): Array[Byte] = math.floorMod(id, 3L) match {
+    case 0 => wav(id)
+    case 1 => mp3(id)
+    case _ => mp4(id)
+  }
 }

@@ -78,4 +78,26 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Audio/video sibling of [[decodeBatches]]: appends the full
+    * [[MediaHeaders.AvMeta]] surface (sample rate, channels, duration,
+    * track dims, format) — same partition-at-a-time shape, zero shuffle. */
+  def decodeAvBatches(df: DataFrame, binCol: String)(
+      decode: Array[Byte] => MediaHeaders.AvMeta = MediaHeaders.decodeAv): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(df.schema.fields ++ Array(
+      StructField("sample_rate", IntegerType), StructField("canales", IntegerType),
+      StructField("dur_ms", LongType), StructField("ancho", IntegerType),
+      StructField("alto", IntegerType), StructField("formato", StringType)))
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = decode(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq ++
+          Seq(m.sampleRate, m.channels, m.durationMs, m.width, m.height, m.format))
+      }
+    }(enc)
+  }
 }

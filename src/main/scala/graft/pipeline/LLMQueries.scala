@@ -504,6 +504,59 @@ object LLMQueries {
       |       WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif' ELSE 'bmp' END AS formato
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Audio/video header decode through the gate (round-9 verdict item 3):
+    * deterministic WAV (RIFF fmt/data chunks) / MP3 (MPEG1 Layer III
+    * first-frame header + CBR length estimate) / MP4 (ISO BMFF
+    * ftyp/moov/mvhd/trak/tkhd walk) payloads are synthesized per doc_id
+    * (graft.llm.MediaSynth.synthAv) and parsed back by the header-only
+    * decoder (graft.llm.MediaHeaders.decodeAv) inside the batched
+    * mapPartitions plumbing. The oracle re-derives sample rate, channels,
+    * duration (integer-floor ms) and track dims from the same doc_id
+    * arithmetic — wrong chunk offsets, endianness, fixed-point or
+    * timescale math all diverge. Zero-shuffle map stage at any size. */
+  def q78AvDecode(spark: SparkSession, dir: String): DataFrame = {
+    val synthUdf = udf((id: Long) => MediaSynth.synthAv(id))
+    val withBin = Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("payload", synthUdf(col("doc_id")))
+    Multimodal.decodeAvBatches(withBin, "payload")()
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast(IntegerType).as("n_bytes"),
+        col("formato"), col("sample_rate"), col("canales"),
+        col("dur_ms"), col("ancho"), col("alto"))
+  }
+
+  val q78Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, doc_id % 3 AS fmt, doc_id // 3 AS q,
+      |    8000 * (1 + (doc_id // 3) % 4) AS wav_sr,
+      |    1 + (doc_id // 3) % 2 AS wav_ch,
+      |    800 + (doc_id * 11) % 40000 AS wav_samples,
+      |    CASE (doc_id // 3) % 4 WHEN 0 THEN 128000 WHEN 1 THEN 192000
+      |         WHEN 2 THEN 256000 ELSE 320000 END AS mp3_br,
+      |    CASE (doc_id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |         ELSE 32000 END AS mp3_sr,
+      |    CASE WHEN (doc_id // 3) % 2 = 0 THEN 2 ELSE 1 END AS mp3_ch,
+      |    2 + (doc_id // 3) % 5 AS mp3_frames,
+      |    CASE (doc_id // 3) % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |         ELSE 90000 END AS mp4_ts,
+      |    1000 + (doc_id * 17) % 100000 AS mp4_units
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE fmt WHEN 0 THEN 44
+      |       WHEN 1 THEN mp3_frames * ((144 * mp3_br) // mp3_sr)
+      |       ELSE 232 END AS INTEGER) AS n_bytes,
+      |  CASE fmt WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3' ELSE 'mp4' END AS formato,
+      |  CAST(CASE fmt WHEN 0 THEN wav_sr WHEN 1 THEN mp3_sr ELSE 0 END AS INTEGER) AS sample_rate,
+      |  CAST(CASE fmt WHEN 0 THEN wav_ch WHEN 1 THEN mp3_ch ELSE 0 END AS INTEGER) AS canales,
+      |  CAST(CASE fmt WHEN 0 THEN (wav_samples * 1000) // wav_sr
+      |       WHEN 1 THEN (mp3_frames * 1152 * 1000) // mp3_sr
+      |       ELSE (mp4_units * 1000) // mp4_ts END AS BIGINT) AS dur_ms,
+      |  CAST(CASE fmt WHEN 2 THEN 1 + (doc_id * 13) % 1920 ELSE 0 END AS INTEGER) AS ancho,
+      |  CAST(CASE fmt WHEN 2 THEN 1 + (doc_id * 7) % 1080 ELSE 0 END AS INTEGER) AS alto
+      |FROM f""".stripMargin
+
   // ---------------------------------------------------------------- q68
   /** Content-defined chunking (FastCDC/rsync family): chunk boundaries
     * fall where the rolling hash of the trailing 16 bytes is ≡ 0 (mod 64)
@@ -1079,6 +1132,7 @@ object LLMQueries {
     "q25_fingerprint"    -> (q25Fingerprint _),
     "q26_multimodal_meta" -> (q26MultimodalMeta _),
     "q65_media_decode"   -> (q65MediaDecode _),
+    "q78_av_decode"      -> (q78AvDecode _),
     "q68_cdc_chunks"     -> (q68CdcChunks _),
     "q69_cluster_medoids" -> ((s, d) => q69ClusterMedoids(s, d)))
 
@@ -1103,6 +1157,7 @@ object LLMQueries {
     "q24_embedding_dedup" -> q24Sql,
     "q26_multimodal_meta" -> q26Sql,
     "q65_media_decode"   -> q65Sql,
+    "q78_av_decode"      -> q78Sql,
     "q68_cdc_chunks"     -> q68Sql,
     "q69_cluster_medoids" -> q69Sql)
 }

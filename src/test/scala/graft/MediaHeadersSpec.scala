@@ -73,4 +73,48 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.decode("not media at all".getBytes) == (0, 0, "unknown"))
     assert(MediaHeaders.decode(Array.fill[Byte](100)(0x7f)) == (0, 0, "unknown"))
   }
+
+  test("av round-trip: wav/mp3/mp4 header fields survive decode for many seeds") {
+    (0L until 90L).foreach { id =>
+      val m = MediaHeaders.decodeAv(MediaSynth.synthAv(id))
+      assert(m.format == MediaSynth.avFormatOf(id), s"id=$id")
+      MediaSynth.avFormatOf(id) match {
+        case "wav" =>
+          assert(m.sampleRate == MediaSynth.wavSampleRate(id), s"id=$id")
+          assert(m.channels == MediaSynth.wavChannels(id), s"id=$id")
+          assert(m.durationMs == MediaSynth.wavDurationMs(id), s"id=$id")
+          assert(m.width == 0 && m.height == 0)
+        case "mp3" =>
+          assert(m.sampleRate == MediaSynth.mp3SampleRate(id), s"id=$id")
+          assert(m.channels == MediaSynth.mp3Channels(id), s"id=$id")
+          assert(m.durationMs == MediaSynth.mp3DurationMs(id), s"id=$id")
+        case "mp4" =>
+          assert(m.durationMs == MediaSynth.mp4DurationMs(id), s"id=$id")
+          assert(m.width == MediaSynth.widthOf(id), s"id=$id")
+          assert(m.height == MediaSynth.heightOf(id), s"id=$id")
+          assert(m.sampleRate == 0 && m.channels == 0)
+      }
+      assert(MediaSynth.synthAv(id).length == MediaSynth.avBytesOf(id), s"id=$id")
+    }
+  }
+
+  test("av decode: images fall through with dims; garbage refuses to Unknown") {
+    val img = MediaHeaders.decodeAv(MediaSynth.synth(0L)) // png seed
+    assert(img.format == "png" && img.width == MediaSynth.widthOf(0L) &&
+      img.durationMs == 0L && img.sampleRate == 0)
+    assert(MediaHeaders.decodeAv(null) == MediaHeaders.Unknown)
+    assert(MediaHeaders.decodeAv("RIFFxxxx".getBytes) == MediaHeaders.Unknown)
+    assert(MediaHeaders.decodeAv(Array.fill[Byte](64)(0x11)) == MediaHeaders.Unknown)
+    // WAV missing its data chunk refuses (no duration input)
+    val noData = MediaSynth.synthAv(0L).take(36)
+    assert(MediaHeaders.decodeAv(noData) == MediaHeaders.Unknown)
+    // a hostile declared chunk size cannot wrap the walk (terminates)
+    val evil = MediaSynth.synthAv(0L).clone()
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte // fmt size = 0xffffffff
+    assert(MediaHeaders.decodeAv(evil) == MediaHeaders.Unknown)
+    // MP4 with a truncated moov refuses rather than misreads
+    val mp4 = MediaSynth.synthAv(2L)
+    assert(MediaHeaders.decodeAv(mp4.take(40)) == MediaHeaders.Unknown)
+  }
 }

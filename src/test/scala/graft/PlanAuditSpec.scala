@@ -25,7 +25,10 @@ class PlanAuditSpec extends AnyFunSuite {
     * (lost partitioning reuse, a stray repartition, an accidental
     * non-equi join) fails here before it fails at 100 TB. */
   private val shuffleBudget = Map(
-    "q1_pricing_summary" -> 1, "q2_star_join" -> 2, "q3_dim_conform" -> 0,
+    // q2 (r10): labeled probe + bitmap_distinct — ONE label_id exchange
+    // of 25 bitmap rows (the r9 form paid a second, 117 MB-at-100×
+    // exchange of partial-distinct sets); the label join is broadcast
+    "q1_pricing_summary" -> 1, "q2_star_join" -> 1, "q3_dim_conform" -> 0,
     "q4_dedup_latest" -> 1, "q5_period_agg" -> 2, "q6_trailing_3m" -> 2,
     // q8 (r7) runs the single-pass multi_distinct_count aggregate: two
     // join-side exchanges + the set-carrying groupBy exchange; no Expand
@@ -92,6 +95,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q64_collocations" -> 4,
     // q65 = synth + header decode, pure map stage
     "q65_media_decode" -> 0,
+    // q78 = audio/video synth + header decode, pure map stage
+    "q78_av_decode" -> 0,
     // q66 = magic hora encode/decode, pure map stage
     "q66_magic_hora" -> 0,
     // q67 = (source,word) tf agg + word df agg + join re-key + source window
