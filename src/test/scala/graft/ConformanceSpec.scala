@@ -152,6 +152,36 @@ class ConformanceSpec extends AnyFunSuite {
     assert(ConformanceLake.serveJob(spark, sf, "t_venta") eq served)
   }
 
+  test("narrow serve: small cache-free closures run AQE-off/4-partition; cache-backed keep the clone") {
+    import graft.sources.ConformanceLake
+    // t_venta's closure has no persisted upstreams and tiny file leaves at
+    // test SF -> the served frame executes on the narrow session (the
+    // measured ~20-stage scheduling-floor fix); value identity is pinned
+    // by the test above, which compares it against the clone-run gate
+    // form. Fresh outer session: earlier suites may have persisted
+    // OTHER jobs' upstreams into the shared clone, and a cache-backed
+    // plan correctly refuses the narrow path.
+    val isolated = spark.newSession()
+    val narrow = ConformanceLake.serveJob(isolated, sf, "t_venta")
+    assert(narrow.sparkSession.conf.get("spark.sql.adaptive.enabled") == "false")
+    assert(narrow.sparkSession.conf.get("spark.sql.shuffle.partitions") == "4")
+    assert(narrow.sparkSession.conf.get("spark.sql.ansi.enabled") == "false")
+    // fact_cliente_venta's closure reads persisted upstream jobs
+    // (InMemoryRelation leaves): the narrow conf must never own their
+    // MATERIALIZATION (measured 36 s -> 89 s when it does), so it serves
+    // on the regular clone
+    val cached = ConformanceLake.serveJob(isolated, sf, "fact_cliente_venta")
+    assert(cached.sparkSession.conf.get("spark.sql.adaptive.enabled") != "false")
+    // and the size guard: with the byte cap forced to zero, even a
+    // cache-free closure stays on the clone (fresh session+dir so the
+    // serve/clone caches cannot answer from this test's earlier entries)
+    val other = spark.newSession()
+    ConformanceLake.session(other, sf)
+      .conf.set("spark.graft.conformance.narrowServeBytes", "0")
+    val big = ConformanceLake.serveJob(other, sf, "t_venta")
+    assert(big.sparkSession.conf.get("spark.sql.adaptive.enabled") != "false")
+  }
+
   test("frozen catalog oracles match the runtime ConformanceSql rendering") {
     // The q70–q73 oracle SQL the driver executes is frozen under
     // resources/graft/conformance/oracles/. If the transcribed job
