@@ -85,7 +85,7 @@ object DocText {
     "€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ"
       .toCharArray
 
-  private def cp1252(b: Int): Char =
+  private[sources] def cp1252(b: Int): Char =
     if (b >= 0x80 && b <= 0x9f) Cp1252High(b - 0x80) else b.toChar
 
   /** Word's in-stream markers to extraction text: CR/0x0B = line end,

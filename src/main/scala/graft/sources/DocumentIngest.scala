@@ -337,8 +337,9 @@ object DocumentIngest {
       // legacy binary Word: FIB + piece table (DocText); encrypted
       // documents and junk bytes throw -> the error row
       case "doc" => Some(DocText.extract(bytes))
-      // the remaining legacy binary (ppt) needs a decoder this container
-      // does not carry — unsupported → None, never a fake
+      // legacy binary PowerPoint: record-tree walk over the CFB
+      // container (PptText); encrypted decks and junk throw -> error row
+      case "ppt" => Some(PptText.extract(bytes))
       case _ => None
     }
 
