@@ -85,6 +85,16 @@ object JdbcExtract {
         spark.read.jdbc(url, subquery(e), pc, lo, hi, e.numPartitions, props)
     }
 
+  /** Sampled extraction: the dialect's first-N pagination over the full
+    * filtered select, as a derived table for `spark.read.jdbc` — a
+    * preview/validation read that never full-scans the source (Oracle
+    * ROWNUM wrap, SQL Server TOP, MySQL LIMIT). */
+  def sampleQuery(e: Extract, d: JdbcDialect, n: Int): String = {
+    require(n > 0, "sample size must be positive")
+    val where = e.filter.map(f => s" WHERE ($f)").getOrElse("")
+    s"(${d.firstN(s"SELECT * FROM (${e.query}) q$where", n)}) graft_sample"
+  }
+
   /** Build an [[Extract]] from one row of the reference's table
     * configuration (utils/load_dynamodb/datalake_tables_bigmagic.csv —
     * the per-table record load_with_query_python.py reads from
@@ -98,7 +108,8 @@ object JdbcExtract {
   def fromTableConfig(cfg: Map[String, String],
                       partitionColumn: Option[String] = None,
                       numPartitions: Int = 8,
-                      window: Option[(String, String)] = None): Extract = {
+                      window: Option[(String, String)] = None,
+                      dialect: Option[JdbcDialect] = None): Extract = {
     def get(k: String): String = cfg.getOrElse(k, "").trim
     require(get("COLUMNS").nonEmpty && get("SOURCE_TABLE").nonEmpty,
       "table config needs COLUMNS and SOURCE_TABLE")
@@ -108,10 +119,30 @@ object JdbcExtract {
     val from = (if (get("SOURCE_SCHEMA").nonEmpty)
       s"${get("SOURCE_SCHEMA")}.${get("SOURCE_TABLE")}" else get("SOURCE_TABLE")) +
       (if (get("JOIN_EXPR").nonEmpty) s" ${get("JOIN_EXPR")}" else "")
-    val incremental = (get("FILTER_COLUMN"), window) match {
+    // the window boundaries render as typed literals when the endpoint's
+    // dialect and the table's FILTER_TYPE are known (the reference's
+    // change_date_format, load_with_query_python.py:379-404: Oracle
+    // TO_DATE/TO_TIMESTAMP, SQL Server CONVERT, epoch for BIGINT)
+    val typedWindow = window.map { case (lo, hi) =>
+      (dialect, get("FILTER_TYPE")) match {
+        case (Some(d), ft) if ft.nonEmpty => (d.dateLiteral(ft, lo), d.dateLiteral(ft, hi))
+        case _ => (lo, hi)
+      }
+    }
+    val incremental = (get("FILTER_COLUMN"), typedWindow) match {
       case ("", _) | (_, None) => None
-      case (f, Some((lo, hi))) =>
+      case (f, Some((lo, hi))) if f.contains("{0}") =>
+        // explicit placeholder form
         Some(f.replace("{0}", lo).replace("{1}", hi))
+      case (f, Some((lo, hi))) if f.contains(",") =>
+        // the reference's dual-column form (FILTER_COLUMN "a,b",
+        // get_query_for_date_range:368-373): either column in-window
+        val Array(a, b) = f.split(",", 2).map(_.trim)
+        Some(s"($a IS NOT NULL AND $a BETWEEN $lo AND $hi) OR " +
+          s"($b IS NOT NULL AND $b BETWEEN $lo AND $hi)")
+      case (f, Some((lo, hi))) =>
+        // bare column (get_query_for_date_range:375-377)
+        Some(s"$f IS NOT NULL AND $f BETWEEN $lo AND $hi")
     }
     // parenthesize each predicate before AND-joining: an OR inside
     // FILTER_EXP must not swallow the incremental window by precedence

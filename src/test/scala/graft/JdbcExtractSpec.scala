@@ -141,6 +141,90 @@ class JdbcExtractSpec extends AnyFunSuite {
     assert(!full.filter.get.contains("fechapedid"))
   }
 
+  test("dialect matrix: driver/url, first-N pagination, typed date literals, probes") {
+    import graft.sources.{JdbcDialect, MySqlDialect, OracleDialect, SqlServerDialect}
+    // BD_TYPE dispatch (load_with_query_python.py:92-127 vocabulary)
+    assert(JdbcDialect.forName("oracle") == OracleDialect)
+    assert(JdbcDialect.forName("MSSQL") == SqlServerDialect)
+    assert(JdbcDialect.forName("sqlserver") == SqlServerDialect)
+    assert(JdbcDialect.forName("mysql") == MySqlDialect)
+    intercept[IllegalArgumentException](JdbcDialect.forName("postgres"))
+    // driver + URL shapes as the reference configures them
+    assert(OracleDialect.driver == "oracle.jdbc.driver.OracleDriver")
+    assert(OracleDialect.url("db1", 1521, "PROD") ==
+      "jdbc:oracle:thin:@//db1:1521/PROD")
+    assert(SqlServerDialect.driver == "com.microsoft.sqlserver.jdbc.SQLServerDriver")
+    assert(SqlServerDialect.url("db2", 1433, "ventas") ==
+      "jdbc:sqlserver://db2:1433;databaseName=ventas")
+    assert(MySqlDialect.driver == "com.mysql.cj.jdbc.Driver")
+    assert(MySqlDialect.url("db3", 3306, "raw") ==
+      "jdbc:mysql://db3:3306/raw?characterEncoding=utf8mb4")
+    // first-N pagination per dialect
+    val q = "SELECT a, b FROM t WHERE x > 0"
+    assert(OracleDialect.firstN(q, 10) ==
+      s"SELECT * FROM ($q) WHERE ROWNUM <= 10")
+    assert(SqlServerDialect.firstN(q, 10) ==
+      "SELECT TOP (10) a, b FROM t WHERE x > 0")
+    assert(MySqlDialect.firstN(q, 10) == s"$q LIMIT 10")
+    // typed date literals (the reference's change_date_format matrix,
+    // load_with_query_python.py:379-404)
+    val v = "2024-01-31 23:59:59.123456"
+    assert(OracleDialect.dateLiteral("DATE", v) ==
+      "TO_DATE('2024-01-31 23:59:59', 'YYYY-MM-DD HH24:MI:SS')")
+    assert(OracleDialect.dateLiteral("TIMESTAMP(6)", v) ==
+      s"TO_TIMESTAMP('$v', 'YYYY-MM-DD HH24:MI:SS.FF')")
+    assert(SqlServerDialect.dateLiteral("smalldatetime", v) ==
+      s"CONVERT(smalldatetime, '$v', 120)")
+    assert(SqlServerDialect.dateLiteral("SQL_DATETIME", v) ==
+      s"CONVERT(DATETIME, '$v', 102)")
+    assert(MySqlDialect.dateLiteral("DATE", v) == "'2024-01-31 23:59:59'")
+    assert(Seq(OracleDialect, SqlServerDialect, MySqlDialect)
+      .forall(_.dateLiteral("BIGINT", "1706655600") == "1706655600"))
+    // unknown FILTER_TYPE refuses loudly, never emits unquoted SQL
+    intercept[IllegalArgumentException](
+      OracleDialect.dateLiteral("smalldatetime", v))
+    intercept[IllegalArgumentException](
+      SqlServerDialect.dateLiteral("TIMESTAMP(6)", v))
+    // probes: Oracle needs a FROM
+    assert(OracleDialect.probeSql == "SELECT 1 FROM DUAL")
+    assert(SqlServerDialect.probeSql == "SELECT 1" &&
+      MySqlDialect.probeSql == "SELECT 1")
+  }
+
+  test("dialect-typed window renders into the incremental predicate; sample query paginates") {
+    import graft.sources.{MySqlDialect, OracleDialect, SqlServerDialect}
+    val base = Map(
+      "COLUMNS" -> "compania, importe",
+      "SOURCE_SCHEMA" -> "dbo", "SOURCE_TABLE" -> "tventas",
+      "FILTER_COLUMN" -> "fecha_crea,fecha_mod", "FILTER_TYPE" -> "smalldatetime")
+    val w = Some(("2024-01-01 00:00:00", "2024-01-31 23:59:59"))
+    val ms = JdbcExtract.fromTableConfig(base, window = w,
+      dialect = Some(SqlServerDialect))
+    // dual-column form: either column in-window (reference
+    // get_query_for_date_range:368-373), typed boundaries
+    assert(ms.filter.contains(
+      "((fecha_crea IS NOT NULL AND fecha_crea BETWEEN " +
+        "CONVERT(smalldatetime, '2024-01-01 00:00:00', 120) AND " +
+        "CONVERT(smalldatetime, '2024-01-31 23:59:59', 120)) OR " +
+        "(fecha_mod IS NOT NULL AND fecha_mod BETWEEN " +
+        "CONVERT(smalldatetime, '2024-01-01 00:00:00', 120) AND " +
+        "CONVERT(smalldatetime, '2024-01-31 23:59:59', 120)))"))
+    // bare-column + Oracle DATE
+    val ora = JdbcExtract.fromTableConfig(
+      base + ("FILTER_COLUMN" -> "fecha", "FILTER_TYPE" -> "DATE"),
+      window = w, dialect = Some(OracleDialect))
+    assert(ora.filter.contains(
+      "(fecha IS NOT NULL AND fecha BETWEEN " +
+        "TO_DATE('2024-01-01 00:00:00', 'YYYY-MM-DD HH24:MI:SS') AND " +
+        "TO_DATE('2024-01-31 23:59:59', 'YYYY-MM-DD HH24:MI:SS'))"))
+    // sampled extraction paginates per dialect and keeps the filter
+    val s = JdbcExtract.sampleQuery(ora, MySqlDialect, 100)
+    assert(s.startsWith("(SELECT * FROM (SELECT compania, importe FROM dbo.tventas) q WHERE ("))
+    assert(s.endsWith(") LIMIT 100) graft_sample"))
+    val so = JdbcExtract.sampleQuery(ora, OracleDialect, 5)
+    assert(so.contains("WHERE ROWNUM <= 5") && so.endsWith(") graft_sample"))
+  }
+
   test("config-driven extract runs end to end against the database") {
     seeded
     val cfg = Map("COLUMNS" -> "cod_compania, imp", "ID_COLUMN" -> "id",
