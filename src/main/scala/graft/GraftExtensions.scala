@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BottomKSample(exprs(0), exprs(1), intLit(exprs(2))).toAggregateExpression()),
     "multi_distinct_count" -> (exprs =>
       MultiDistinctCount(exprs).toAggregateExpression()),
+    "bitmap_distinct" -> (exprs =>
+      BitmapDistinct(exprs.head).toAggregateExpression()),
     "minhash_signature" -> (exprs =>
       MinHashSignatureExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
     "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
