@@ -216,6 +216,15 @@ object ConformanceLake {
         if (old != null) dropSessionCaches(old.session)
         val s = key._1.newSession()
         s.conf.set("spark.sql.ansi.enabled", "false")
+        // Cache-build memory is batchSize × columns × concurrent tasks:
+        // the default 10k-row batches over the closure's wide rows hold
+        // ~0.5-1 GB of column builders across 32 task slots DURING the
+        // DISK_ONLY write of a 60M-row intermediate — on top of in-flight
+        // broadcast builds, that OOMed the default 8 GB local[32] heap at
+        // the 100× slice. 2500-row batches cut the in-flight builder
+        // footprint 4× for a few % of cached-scan speed; the persisted
+        // bytes are unchanged.
+        s.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "2500")
         StageSynth.register(s, key._2)
         CloneEntry(fp, s)
       }
