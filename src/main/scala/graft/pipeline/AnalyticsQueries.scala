@@ -255,7 +255,7 @@ object AnalyticsQueries {
       .filter(col("primera_vista").isNotNull)
     val cst = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    firsts.join(broadcast(cst), col("user_id") === col("c_custkey"))
+    def rollup(joined: DataFrame): DataFrame = joined
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_vistas"),
@@ -263,6 +263,22 @@ object AnalyticsQueries {
           .as("n_convertidos"))
       .withColumn("tasa_conversion",
         col("n_convertidos").cast("double") / col("n_vistas").cast("double"))
+    // r10: the segment seam is one FK -> attribute against a uniquely
+    // keyed dim — the forced customer broadcast re-built a multi-M-row
+    // HashedRelation per action at the 100x slice (the q8 lesson), which
+    // WAS q51's wall. The DimLookup string probe replaces it: the packed
+    // map builds once per data fingerprint and the per-row cost is a
+    // codegen'd probe; NULL result drops unmatched users exactly like
+    // the inner join. Over the entry cap the builder answers None and
+    // the broadcast join stays the fallback.
+    graft.operators.DimLookup.forFrameString(cst, "c_custkey",
+      "c_mktsegment") match {
+      case Some(probe) =>
+        rollup(firsts.withColumn("c_mktsegment", probe(col("user_id")))
+          .filter(col("c_mktsegment").isNotNull))
+      case None =>
+        rollup(firsts.join(broadcast(cst), col("user_id") === col("c_custkey")))
+    }
   }
 
   val q51Sql: String =
