@@ -53,6 +53,29 @@ object Multimodal {
       .withColumn("frame_sha", sha2(col("frame_stub"), 256))
   }
 
+  /** Frame sampling driven by the REAL container duration (r10): the
+    * payload's WAV/MP3/MP4 header supplies duration via
+    * [[MediaHeaders.decodeAv]] (images and unknowns contribute zero
+    * frames — there is nothing to sample), and one row per `everySeconds`
+    * frame timestamp explodes inside the scan stage, exactly like
+    * [[sampleFrames]] but with the stubbed duration replaced by the
+    * decoded one. Frame bytes stay stubbed (no codecs in this
+    * container); a real extractor replaces only frame_stub. */
+  def sampleFramesAv(df: DataFrame, binCol: String,
+                     everySeconds: Int = 10): DataFrame = {
+    val bin = col(binCol)
+    val decoded = decodeAvBatches(df, binCol)()
+    decoded
+      .withColumn("dur_s", (col("dur_ms") / lit(1000)).cast(IntegerType))
+      .filter(col("dur_s") > 0)
+      .withColumn("frame_ts",
+        explode(sequence(lit(0), col("dur_s") - 1, lit(everySeconds))))
+      .withColumn("frame_stub",
+        bin.substr((pmod(col("frame_ts"), greatest(byteLength(bin), lit(1))) + 1)
+          .cast(IntegerType), lit(16)))
+      .withColumn("frame_sha", sha2(col("frame_stub"), 256))
+  }
+
   /** STUB resize: deterministic digest standing in for the resized bytes;
     * a real resizer keeps the (payload, target dims) -> bytes signature. */
   def resizeStub(bin: Column, width: Int, height: Int): Column =

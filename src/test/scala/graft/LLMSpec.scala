@@ -487,6 +487,31 @@ class LLMSpec extends AnyFunSuite {
       Multimodal.sampleFrames(docs, "payload").select("frame_sha").collect().toSeq)
   }
 
+  test("AV frame sampling uses the decoded container duration, no shuffle") {
+    import graft.llm.MediaSynth
+    val synthUdf = udf((id: Long) => MediaSynth.synthAv(id))
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id")).filter(col("doc_id") < 60)
+      .withColumn("payload", synthUdf(col("doc_id")))
+    val frames = Multimodal.sampleFramesAv(docs, "payload", everySeconds = 10)
+    // per payload: ceil(floor(dur_ms/1000)/10) frames from the REAL
+    // header duration; zero-duration payloads (sub-second clips)
+    // contribute no rows
+    val counts = frames.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 60L).foreach { id =>
+      val durS = (id % 3 match {
+        case 0 => MediaSynth.wavDurationMs(id)
+        case 1 => MediaSynth.mp3DurationMs(id)
+        case _ => MediaSynth.mp4DurationMs(id)
+      }) / 1000L
+      val want = if (durS <= 0) 0L else (durS + 9) / 10
+      assert(counts.getOrElse(id, 0L) == want, s"id=$id durS=$durS")
+    }
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"AV frame explode must not shuffle:\n$plan")
+  }
+
   test("multimodal decodeBatches matches the stub expressions") {
     val df = LLMQueries.q26MultimodalMeta(spark, sf)
     val viaBatch = Multimodal.decodeBatches(
