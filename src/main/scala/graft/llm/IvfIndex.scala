@@ -203,6 +203,30 @@ object IvfIndex {
 
   // --------------------------------------------- two-level serve helpers
 
+  /** Pin-version-keyed memo for the QUERY-INDEPENDENT model collects on
+    * the serve path (the populated coarse model; the flat single-level
+    * model). Each topK batch otherwise re-runs 1-2 driver jobs that
+    * depend only on (root, pinned centroid version) — measured as the
+    * dominant scheduler contention under concurrent serving
+    * (SCALE_SERVE_CONC: 16 clients × per-batch coarse collects). One
+    * entry per (app, root, kind); a rebuild publishes a new pin version
+    * and the stale entry is replaced on the next serve. */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), (Long, Model)]()
+
+  private[graft] def memoModel(spark: SparkSession, root: String,
+      kind: String, version: Long)(mk: => Model): Model = {
+    val key = (spark.sparkContext.applicationId,
+      new java.io.File(root).getAbsolutePath, kind)
+    val hit = modelCache.get(key)
+    if (hit != null && hit._1 == version) hit._2
+    else {
+      val m = mk
+      modelCache.put(key, (version, m))
+      m
+    }
+  }
+
   private def collectModel(df: DataFrame, what: String): Model = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -415,9 +439,10 @@ object IvfIndex {
         // childless coarse cell contributes no fine candidates, so a
         // probe slot spent there would silently cost recall.
         val fineDf = ct.filter(col("level") === 1)
-        val coarse = populatedCoarse(fineDf,
-          collectModel(ct.filter(col("level") === 0),
-            s"coarse IVF model at $root"))
+        val coarse = memoModel(spark, root, "coarse", cv)(
+          populatedCoarse(fineDf,
+            collectModel(ct.filter(col("level") === 0),
+              s"coarse IVF model at $root")))
         def fineUnder(probedCoarse: Set[Int]): Model = collectModel(
           fineDf.filter(col("coarse").isin(probedCoarse.toSeq: _*)),
           s"probed fine-centroid subset at $root")
@@ -440,7 +465,7 @@ object IvfIndex {
         }
         resolvedProbe = Some(probedFine)
         sub
-      } else loadModelAt(spark, root, cv)
+      } else memoModel(spark, root, "flat", cv)(loadModelAt(spark, root, cv))
     val probed = resolvedProbe.getOrElse {
       if (needProbed) probedCells(queries, vecCol, model, probes)
       else Set.empty[Int]

@@ -337,4 +337,26 @@ class IvfIndexSpec extends AnyFunSuite {
         k = 10, probes = 4))
     assert(r >= 0.85, s"clustered-corpus recall@10 with 4/32 probes = $r")
   }
+
+  test("serve-path model memo: same pin version reuses, a new version rebuilds") {
+    // the memo keys on (root, kind, version): within one pinned version
+    // the query-independent model collect runs once across serve calls
+    // (the concurrency-contention fix); a rebuild publishes a new version
+    // and the stale entry is replaced, never served
+    val root = java.nio.file.Files.createTempDirectory("ivf_memo").toString
+    var builds = 0
+    def mk(tag: Int): IvfIndex.Model = {
+      builds += 1
+      Array((tag, Array(1.0f), 1.0))
+    }
+    val a = IvfIndex.memoModel(spark, root, "coarse", 3L)(mk(1))
+    val b = IvfIndex.memoModel(spark, root, "coarse", 3L)(mk(2))
+    assert(builds == 1 && (a eq b), "same version must reuse the instance")
+    val c = IvfIndex.memoModel(spark, root, "coarse", 4L)(mk(3))
+    assert(builds == 2 && c.head._1 == 3, "a new pin version must rebuild")
+    // kinds and roots are independent namespaces
+    IvfIndex.memoModel(spark, root, "flat", 4L)(mk(4)): Unit
+    assert(builds == 3)
+    assert(IvfIndex.memoModel(spark, root, "coarse", 4L)(mk(5)) eq c)
+  }
 }
