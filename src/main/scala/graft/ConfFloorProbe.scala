@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** One-off measurement harness for the conformance scheduling floor
   * (round-9 verdict item 2): for the overhead-class jobs (t_venta,
-  * t_estructura_comercial) and the data-class control
+  * m_estructura_comercial) and the data-class control
   * (fact_cliente_venta), report the served closure's file-leaf bytes
   * and A/B wall under candidate runtime configs — default AQE vs
   * AQE-off/narrow-shuffle vs AQE with size-first coalescing. Evidence

@@ -78,6 +78,17 @@ object ScaleServeConcurrency {
     // independent query batches: 50 ORIGINAL vectors each, disjoint id
     // ranges per (thread, batch) so no two in-flight jobs share a plan
     val batchSize = 50L
+    // The deepest level consumes slots [1, 1 + maxThreads*batchesPerThread);
+    // every slot must be fully populated from the ORIGINAL corpus or its
+    // batch is empty, recall degenerates, and the floor require below
+    // fails with a misleading message. Refuse undersized sources up front.
+    val maxThreads = 16
+    val slotsNeeded = (1 + maxThreads * batchesPerThread) * batchSize
+    require(origVecs >= slotsNeeded,
+      s"source corpus has $origVecs vectors but the $maxThreads-thread level " +
+        s"needs ${1 + maxThreads * batchesPerThread} disjoint $batchSize-id " +
+        s"query batches (vec_id < $slotsNeeded) — use a larger src or lower " +
+        "SPARK_GRAFT_SERVE_BATCHES")
     def queryBatch(slot: Int): org.apache.spark.sql.DataFrame =
       emb.filter(col("vec_id") >= slot * batchSize &&
         col("vec_id") < (slot + 1) * batchSize)

@@ -56,6 +56,46 @@ object JdbcDialect {
     throw new IllegalArgumentException(
       s"$dialect cannot render FILTER_TYPE '$filterType' — " +
         "add an explicit literal form rather than risk unquoted SQL")
+
+  private val DatetimeValue =
+    """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d{1,6})?""".r
+  private val NumericValue = """-?\d{1,19}""".r
+
+  /** Boundary values are interpolated into quoted SQL literals, so they
+    * must be shaped like the reference's window strings
+    * (`yyyy-MM-dd HH:mm:ss[.SSSSSS]`) — anything else (including a value
+    * carrying a quote) refuses rather than emitting injectable SQL. */
+  private[sources] def requireDatetime(dialect: String, value: String): String = {
+    require(DatetimeValue.pattern.matcher(value).matches(),
+      s"$dialect date boundary '$value' is not a yyyy-MM-dd HH:mm:ss[.ffffff] " +
+        "window string — refusing to interpolate into a SQL literal")
+    value
+  }
+
+  /** BIGINT filter columns hold epoch seconds. The reference's
+    * change_date_format accepts the same `yyyy-MM-dd HH:mm:ss` window
+    * string here and converts it with local-zone datetime.timestamp()
+    * (load_with_query_python.py:394-399); a value that is already
+    * numeric passes through. Anything else refuses — the emitted
+    * predicate is unquoted. */
+  private[sources] def epochSeconds(dialect: String, value: String): String =
+    value match {
+      case NumericValue() => value
+      case DatetimeValue() =>
+        val ldt = java.time.LocalDateTime.parse(
+          value.take(19).replace(' ', 'T'))
+        ldt.atZone(java.time.ZoneId.systemDefault()).toEpochSecond.toString
+      case other => throw new IllegalArgumentException(
+        s"$dialect BIGINT boundary '$other' is neither epoch seconds nor a " +
+          "yyyy-MM-dd HH:mm:ss window string")
+    }
+
+  private val SelectHead = """(?is)^\s*SELECT\b.*""".r
+  /** True iff the statement's head keyword is SELECT (case-insensitive,
+    * leading whitespace allowed). CTE (`WITH ...`) and DML heads refuse
+    * in dialects that must splice into the head clause. */
+  private[sources] def startsWithSelect(query: String): Boolean =
+    SelectHead.pattern.matcher(query).matches()
 }
 
 case object OracleDialect extends JdbcDialect {
@@ -68,10 +108,11 @@ case object OracleDialect extends JdbcDialect {
   def dateLiteral(filterType: String, value: String): String =
     filterType match {
       case "DATE" =>
-        s"TO_DATE('${value.take(19)}', 'YYYY-MM-DD HH24:MI:SS')"
+        val v = JdbcDialect.requireDatetime(name, value)
+        s"TO_DATE('${v.take(19)}', 'YYYY-MM-DD HH24:MI:SS')"
       case "TIMESTAMP(6)" =>
-        s"TO_TIMESTAMP('$value', 'YYYY-MM-DD HH24:MI:SS.FF')"
-      case "BIGINT" => value
+        s"TO_TIMESTAMP('${JdbcDialect.requireDatetime(name, value)}', 'YYYY-MM-DD HH24:MI:SS.FF')"
+      case "BIGINT" => JdbcDialect.epochSeconds(name, value)
       case other => JdbcDialect.refuse(name, other)
     }
   override def probeSql: String = "SELECT 1 FROM DUAL"
@@ -83,16 +124,25 @@ case object SqlServerDialect extends JdbcDialect {
   def url(server: String, port: Int, database: String): String =
     s"jdbc:sqlserver://$server:$port;databaseName=$database"
   def firstN(query: String, n: Int): String = {
-    // TOP goes right after the first SELECT keyword of the outer query
-    val at = query.indexOf("SELECT")
-    require(at >= 0, s"not a SELECT: $query")
-    query.substring(0, at + 6) + s" TOP ($n)" + query.substring(at + 6)
+    // TOP belongs to the statement-head SELECT only. A CTE
+    // (`WITH x AS (SELECT ...) SELECT ...`) has no head SELECT to
+    // splice into — injecting after the first inner SELECT would
+    // silently limit the CTE instead of the result — so refuse
+    // anything whose head keyword is not SELECT.
+    require(JdbcDialect.startsWithSelect(query),
+      s"$name firstN requires a statement starting with SELECT " +
+        s"(wrap CTEs as SELECT * FROM (...)): $query")
+    val m = java.util.regex.Pattern.compile("(?i)SELECT").matcher(query)
+    m.find() // guaranteed by the require; anchored at the head
+    query.substring(0, m.end) + s" TOP ($n)" + query.substring(m.end)
   }
   def dateLiteral(filterType: String, value: String): String =
     filterType match {
-      case "smalldatetime" => s"CONVERT(smalldatetime, '$value', 120)"
-      case "SQL_DATETIME" => s"CONVERT(DATETIME, '$value', 102)"
-      case "BIGINT" => value
+      case "smalldatetime" =>
+        s"CONVERT(smalldatetime, '${JdbcDialect.requireDatetime(name, value)}', 120)"
+      case "SQL_DATETIME" =>
+        s"CONVERT(DATETIME, '${JdbcDialect.requireDatetime(name, value)}', 102)"
+      case "BIGINT" => JdbcDialect.epochSeconds(name, value)
       case other => JdbcDialect.refuse(name, other)
     }
 }
@@ -107,9 +157,10 @@ case object MySqlDialect extends JdbcDialect {
     filterType match {
       // MySQL accepts ISO datetime literals directly; timestamp
       // microseconds included
-      case "DATE" | "DATETIME" => s"'${value.take(19)}'"
-      case "TIMESTAMP(6)" => s"'$value'"
-      case "BIGINT" => value
+      case "DATE" | "DATETIME" =>
+        s"'${JdbcDialect.requireDatetime(name, value).take(19)}'"
+      case "TIMESTAMP(6)" => s"'${JdbcDialect.requireDatetime(name, value)}'"
+      case "BIGINT" => JdbcDialect.epochSeconds(name, value)
       case other => JdbcDialect.refuse(name, other)
     }
 }

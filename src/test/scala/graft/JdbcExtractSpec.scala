@@ -191,6 +191,45 @@ class JdbcExtractSpec extends AnyFunSuite {
       MySqlDialect.probeSql == "SELECT 1")
   }
 
+  test("dialect hardening: head-anchored TOP, literal validation, BIGINT window conversion") {
+    import graft.sources.{MySqlDialect, OracleDialect, SqlServerDialect}
+    // TOP anchors to the statement-head SELECT, case-insensitively
+    assert(SqlServerDialect.firstN("select a from t", 5) ==
+      "select TOP (5) a from t")
+    assert(SqlServerDialect.firstN("  SELECT a FROM t", 5) ==
+      "  SELECT TOP (5) a FROM t")
+    // a CTE head must refuse — splicing TOP into the inner SELECT would
+    // silently limit the CTE instead of the result
+    intercept[IllegalArgumentException](SqlServerDialect.firstN(
+      "WITH x AS (SELECT a FROM t) SELECT * FROM x", 5))
+    intercept[IllegalArgumentException](
+      SqlServerDialect.firstN("DELETE FROM t", 5))
+    // boundary values interpolated into quoted literals must be window
+    // strings; a quote-bearing value refuses instead of emitting
+    // injectable SQL
+    Seq(OracleDialect, SqlServerDialect, MySqlDialect).foreach { d =>
+      val ft = d match {
+        case OracleDialect => "DATE"
+        case SqlServerDialect => "smalldatetime"
+        case MySqlDialect => "DATE"
+      }
+      intercept[IllegalArgumentException](
+        d.dateLiteral(ft, "2024-01-01 00:00:00' OR '1'='1"))
+      intercept[IllegalArgumentException](d.dateLiteral(ft, "not-a-date"))
+    }
+    // BIGINT accepts the reference's datetime window string and converts
+    // to epoch seconds (change_date_format, load_with_query_python.py:
+    // 394-399 — local-zone datetime.timestamp()); verified against the
+    // independent java.sql local-zone parse
+    val win = "2024-01-31 23:59:59"
+    val expected = (java.sql.Timestamp.valueOf(win).getTime / 1000L).toString
+    Seq(OracleDialect, SqlServerDialect, MySqlDialect).foreach { d =>
+      assert(d.dateLiteral("BIGINT", win) == expected)
+      // non-numeric, non-window values refuse (the predicate is unquoted)
+      intercept[IllegalArgumentException](d.dateLiteral("BIGINT", "1; DROP"))
+    }
+  }
+
   test("dialect-typed window renders into the incremental predicate; sample query paginates") {
     import graft.sources.{MySqlDialect, OracleDialect, SqlServerDialect}
     val base = Map(
