@@ -53,6 +53,9 @@ object Bench {
       // streaming state stores commit per partition per batch; size them
       // to stateful-key cardinality, not batch scan width (StreamConf)
       .config("spark.graft.stream.statePartitions", "8")
+      // single-node scan splits: ~2 of the lake's 16 MB row groups per
+      // task — same deployment-sizing rationale as GraftSession.local
+      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -51,6 +51,16 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // Deployment-sizing knob (like shuffle.partitions, NOT in tuned()):
+      // on a single node reading local NVMe, split metadata is free and
+      // the lake's write layout caps row groups at 16 MB, so 32 MB scan
+      // splits (~2 row groups) pack waves far better than the 128 MB
+      // default — measured at the 100x slice, a 3-branch scan-agg's wall
+      // dropped 1.22 -> 0.90 s purely from wave-tail smoothing. Only
+      // binds once a table exceeds cores x 32 MB (Spark already targets
+      // one split per core below that), so small-SF plans are unchanged.
+      // A multi-rack deployment would keep 128 MB+ to bound task count.
+      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
