@@ -235,6 +235,80 @@ object MediaHeaders {
     else AvMeta(w, h, 0, 0, durationMs, "mp4")
   }
 
+  // --------------------------------------------------------- PCM samples
+  // WAV is the one codec-free container: a PCM16 data chunk IS the sample
+  // stream, so the decode below is value-real end to end (the image/AV
+  // decoders above stop at headers because this container ships no
+  // codecs). Same refuse contract: anything short of a complete,
+  // well-formed PCM16 payload decodes to None — a truncated data chunk
+  // must never yield silently-partial samples.
+
+  /** Decoded PCM16 audio: `samples` is the raw interleaved stream. */
+  final case class PcmAudio(sampleRate: Int, channels: Int,
+                            samples: Array[Short])
+
+  /** Chunk walk shared by [[decodePcm]] and [[wavFrameSlice]]: the fmt
+    * fields plus the data chunk's (offset, length) — but only when the
+    * payload is PCM (format 1), 16-bit, and the data bytes are FULLY
+    * present and even-length. None otherwise. */
+  private def pcmLayout(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b == null || !isWav(b)) return None
+    var i = 12L
+    var fmtCode = 0; var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      val size = leU32(b, at + 4)
+      if (tag(b, at, "fmt ") && at + 24 <= b.length) {
+        fmtCode = leU16(b, at + 8)
+        channels = leU16(b, at + 10)
+        rate = leU32(b, at + 12).toInt
+        bits = leU16(b, at + 22)
+      } else if (tag(b, at, "data")) {
+        if (at + 8 + size > b.length) return None // truncated payload
+        dataOff = at + 8; dataLen = size.toInt
+      }
+      i += 8L + size + (size & 1L)
+    }
+    if (fmtCode != 1 || bits != 16 || rate <= 0 || channels <= 0 ||
+      dataOff < 0 || (dataLen & 1) != 0) None
+    else Some((rate, channels, dataOff, dataLen))
+  }
+
+  /** Decode the full PCM16 sample stream; None under the refuse contract
+    * above (non-WAV, non-PCM, non-16-bit, truncated, odd data length). */
+  def decodePcm(b: Array[Byte]): Option[PcmAudio] =
+    pcmLayout(b).map { case (rate, channels, dataOff, dataLen) =>
+      val n = dataLen / 2
+      val out = new Array[Short](n)
+      var k = 0
+      while (k < n) {
+        val at = dataOff + 2 * k
+        out(k) = (u8(b, at) | (u8(b, at + 1) << 8)).toShort // LE i16
+        k += 1
+      }
+      PcmAudio(rate, channels, out)
+    }
+
+  /** The real audio bytes at a frame timestamp: `nBytes` of the data
+    * chunk starting at second `tsSeconds`, aligned down to a whole frame
+    * (block align) and clipped to the chunk — the slice a frame sampler
+    * hands to a feature extractor. None when the payload is not a
+    * complete PCM16 WAV or the timestamp falls past the audio. */
+  def wavFrameSlice(b: Array[Byte], tsSeconds: Int, nBytes: Int): Option[Array[Byte]] =
+    pcmLayout(b).flatMap { case (rate, channels, dataOff, dataLen) =>
+      val blockAlign = 2 * channels
+      val byteRate = rate.toLong * blockAlign
+      val rel = tsSeconds.toLong * byteRate
+      val aligned = rel - (rel % blockAlign)
+      if (tsSeconds < 0 || aligned >= dataLen) None
+      else {
+        val start = dataOff + aligned.toInt
+        val len = math.min(nBytes.toLong, dataLen - aligned).toInt
+        Some(java.util.Arrays.copyOfRange(b, start, start + len))
+      }
+    }
+
   /** Total audio/video decode — [[Unknown]] when the payload is not a
     * recognized WAV/MP3/MP4 header (images fall through to [[decode]]'s
     * formats with their dimensions carried over). */

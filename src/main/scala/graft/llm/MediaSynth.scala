@@ -238,4 +238,51 @@ object MediaSynth {
     case 1 => mp3(id)
     case _ => mp4(id)
   }
+
+  // --------------------------------------------------------- PCM (q79)
+  // Sample-BEARING WAVs (unlike the q78 header-only synth): 16-bit LE PCM
+  // where the k-th sample of the interleaved stream is the closed-form
+  //   ((id·13 + k·37) mod 65536) − 32768
+  // so the DuckDB oracle re-derives every decoded sample — and therefore
+  // every per-window peak / sum-of-squares / position-weighted checksum —
+  // from (id, k) arithmetic alone. A byte-order, chunk-offset, channel
+  // block-align or sign-extension bug in the decoder diverges immediately.
+
+  def pcmSampleRate(id: Long): Int = (8000L * (1 + math.floorMod(id, 4L))).toInt
+  def pcmChannels(id: Long): Int = (1 + math.floorMod(id, 2L)).toInt
+  /** Frames per channel — kept ≤ ~2k so the oracle's unnest stays linear. */
+  def pcmFrames(id: Long): Long = 256L + math.floorMod(id * 7L, 1800L)
+  /** Raw interleaved stream length (frames × channels). */
+  def pcmTotalSamples(id: Long): Long = pcmFrames(id) * pcmChannels(id)
+  /** The k-th sample of the interleaved stream, in [-32768, 32767]. */
+  def pcmSample(id: Long, k: Long): Int =
+    (math.floorMod(id * 13L + k * 37L, 65536L) - 32768L).toInt
+
+  /** A complete PCM16 WAV: 44-byte RIFF/fmt/data header plus the real
+    * sample bytes (little-endian i16, interleaved). */
+  def synthPcm(id: Long): Array[Byte] = {
+    val sr = pcmSampleRate(id); val ch = pcmChannels(id)
+    val blockAlign = 2 * ch
+    val total = pcmTotalSamples(id).toInt
+    val dataBytes = total * 2
+    val o = new ByteArrayOutputStream(44 + dataBytes)
+    def leU32i(v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    "RIFF".foreach(c => o.write(c.toInt)); leU32i(36L + dataBytes)
+    "WAVE".foreach(c => o.write(c.toInt))
+    "fmt ".foreach(c => o.write(c.toInt)); leU32i(16L)
+    leU16(o, 1); leU16(o, ch)                          // PCM, channels
+    leU32i(sr.toLong); leU32i(sr.toLong * blockAlign)  // rate, byte rate
+    leU16(o, blockAlign); leU16(o, 16)                 // block align, bits
+    "data".foreach(c => o.write(c.toInt)); leU32i(dataBytes.toLong)
+    var k = 0
+    while (k < total) {
+      val s = pcmSample(id, k.toLong)
+      o.write(s & 0xff); o.write((s >> 8) & 0xff)      // LE i16
+      k += 1
+    }
+    o.toByteArray
+  }
 }

@@ -1111,7 +1111,55 @@ object LLMQueries {
       |WHERE rn = 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q79
+  /** REAL PCM audio decode through the gate (round-10 verdict item 2 —
+    * the audio twin of q65's pixel-free image decode, one level deeper:
+    * actual SAMPLES, not headers). Deterministic sample-bearing PCM16
+    * WAVs are synthesized per doc_id (graft.llm.MediaSynth.synthPcm —
+    * sample k of the interleaved stream is ((id·13 + k·37) mod 65536) −
+    * 32768), decoded back byte-for-byte by MediaHeaders.decodePcm inside
+    * the batched mapPartitions plumbing, and reduced to one row per
+    * 512-sample window with exact integer stats (peak, sum of squares,
+    * position-weighted checksum). The oracle re-derives every window from
+    * (doc_id, k) arithmetic alone — a byte-order, chunk-offset,
+    * block-align or sign-extension defect in the sample decode diverges.
+    * Zero shuffle; O(payload bytes) per row at any corpus size. */
+  def q79PcmWindows(spark: SparkSession, dir: String): DataFrame = {
+    val synthUdf = udf((id: Long) => MediaSynth.synthPcm(id))
+    val withBin = Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("payload", synthUdf(col("doc_id")))
+    Multimodal.pcmWindows(withBin, "payload")()
+      .select(col("doc_id"), col("sample_rate"), col("canales"),
+        col("ventana"), col("n_muestras"), col("pico"),
+        col("suma_cuadrados"), col("suma_ponderada"))
+  }
+
+  val q79Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(8000 * (1 + doc_id % 4) AS INTEGER) AS sample_rate,
+      |    CAST(1 + doc_id % 2 AS INTEGER) AS canales,
+      |    (256 + (doc_id * 7) % 1800) * (1 + doc_id % 2) AS total
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, sample_rate, canales,
+      |    unnest(range(0, total)) AS k
+      |  FROM p),
+      |m AS (
+      |  SELECT doc_id, sample_rate, canales, k,
+      |    (doc_id * 13 + k * 37) % 65536 - 32768 AS muestra
+      |  FROM v)
+      |SELECT doc_id, sample_rate, canales,
+      |  CAST(k // 512 AS INTEGER) AS ventana,
+      |  CAST(count(*) AS INTEGER) AS n_muestras,
+      |  CAST(max(abs(muestra)) AS INTEGER) AS pico,
+      |  CAST(sum(muestra * muestra) AS BIGINT) AS suma_cuadrados,
+      |  CAST(sum(muestra * (k % 512 + 1)) AS BIGINT) AS suma_ponderada
+      |FROM m GROUP BY 1, 2, 3, 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_pcm_windows"      -> (q79PcmWindows _),
     "q55_ann_ivf"          -> ((s, d) => q55AnnIvf(s, d)),
     "q77_ann_pq"           -> ((s, d) => q77AnnPq(s, d)),
     "q60_incremental_dedup" -> ((s, d) => q60IncrementalDedup(s, d)),
@@ -1137,6 +1185,7 @@ object LLMQueries {
     "q69_cluster_medoids" -> ((s, d) => q69ClusterMedoids(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q79_pcm_windows"      -> q79Sql,
     "q55_ann_ivf"          -> q55Sql,
     "q77_ann_pq"           -> q77Sql,
     "q60_incremental_dedup" -> q60Sql,

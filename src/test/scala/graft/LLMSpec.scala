@@ -512,6 +512,73 @@ class LLMSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"AV frame explode must not shuffle:\n$plan")
   }
 
+  test("pcm windows: zero shuffle, refused payloads emit no rows, window count exact") {
+    import graft.llm.MediaSynth
+    val synthUdf = udf((id: Long) =>
+      if (id % 7 == 3) Array.fill[Byte](64)(0x11) // garbage: must refuse
+      else MediaSynth.synthPcm(id))
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id")).filter(col("doc_id") < 70)
+      .withColumn("payload", synthUdf(col("doc_id")))
+    val w = Multimodal.pcmWindows(docs, "payload")()
+    val plan = w.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pcm windows must not shuffle:\n$plan")
+    val counts = w.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 70L).foreach { id =>
+      val want =
+        if (id % 7 == 3) 0L
+        else (MediaSynth.pcmTotalSamples(id) + 511) / 512
+      assert(counts.getOrElse(id, 0L) == want, s"id=$id")
+    }
+  }
+
+  test("AV frame bytes are REAL PCM for payload-bearing wavs, stubbed otherwise") {
+    import graft.llm.{MediaHeaders, MediaSynth}
+    // slow the clock to 100 Hz (fmt rate + byte rate fields) so the
+    // sub-second synth clips span ~2-20 s and ts>0 frames exist
+    def slowPcm(id: Long): Array[Byte] = {
+      val b = MediaSynth.synthPcm(id)
+      val ba = 2 * MediaSynth.pcmChannels(id)
+      val br = 100 * ba
+      b(24) = 100; b(25) = 0; b(26) = 0; b(27) = 0
+      b(28) = (br & 0xff).toByte; b(29) = ((br >> 8) & 0xff).toByte
+      b(30) = 0; b(31) = 0
+      b
+    }
+    // header-only wav control: id 3000 declares 33800 samples at 8 kHz
+    // (4.2 s) but ships no data bytes — must take the stub path
+    val synthUdf = udf((id: Long) =>
+      if (id % 5 == 4) MediaSynth.synthAv(3000L)
+      else slowPcm(id))
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id")).filter(col("doc_id") < 40)
+      .withColumn("payload", synthUdf(col("doc_id")))
+    val rows = Multimodal.sampleFramesAv(docs, "payload", everySeconds = 10)
+      .select("doc_id", "frame_ts", "frame_src", "frame_bytes").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0); val ts = r.getInt(1)
+      if (id % 5 == 4) assert(r.getString(2) == "stub", s"id=$id")
+      else {
+        assert(r.getString(2) == "pcm", s"id=$id ts=$ts")
+        val got = r.getAs[Array[Byte]]("frame_bytes")
+        val ch = MediaSynth.pcmChannels(id)
+        val k0 = ts * 100 * ch // 100 Hz patched clock, block-aligned
+        got.grouped(2).zipWithIndex.foreach { case (pair, j) =>
+          if (pair.length == 2) {
+            val v = MediaSynth.pcmSample(id, (k0 + j).toLong)
+            assert((pair(0) & 0xff) == (v & 0xff) &&
+              (pair(1) & 0xff) == ((v >> 8) & 0xff), s"id=$id ts=$ts j=$j")
+          }
+        }
+      }
+    }
+    // both sources really occurred
+    assert(rows.exists(_.getString(2) == "pcm") &&
+      rows.exists(_.getString(2) == "stub"))
+  }
+
   test("multimodal decodeBatches matches the stub expressions") {
     val df = LLMQueries.q26MultimodalMeta(spark, sf)
     val viaBatch = Multimodal.decodeBatches(

@@ -117,4 +117,72 @@ class MediaHeadersSpec extends AnyFunSuite {
     val mp4 = MediaSynth.synthAv(2L)
     assert(MediaHeaders.decodeAv(mp4.take(40)) == MediaHeaders.Unknown)
   }
+
+  test("pcm round-trip: every synthesized sample survives decode, for many seeds") {
+    (0L until 64L).foreach { id =>
+      val pcm = MediaHeaders.decodePcm(MediaSynth.synthPcm(id))
+        .getOrElse(fail(s"id=$id refused a well-formed PCM16 WAV"))
+      assert(pcm.sampleRate == MediaSynth.pcmSampleRate(id), s"id=$id")
+      assert(pcm.channels == MediaSynth.pcmChannels(id), s"id=$id")
+      val total = MediaSynth.pcmTotalSamples(id).toInt
+      assert(pcm.samples.length == total, s"id=$id")
+      // byte-for-byte: LE order + sign extension, checked sample by sample
+      (0 until total).foreach { k =>
+        assert(pcm.samples(k).toInt == MediaSynth.pcmSample(id, k.toLong),
+          s"id=$id k=$k")
+      }
+    }
+  }
+
+  test("pcm refuse contract: truncation, odd length, non-PCM, non-16-bit") {
+    val good = MediaSynth.synthPcm(5L)
+    // truncated data chunk — declared size exceeds the payload
+    assert(MediaHeaders.decodePcm(good.dropRight(2)).isEmpty)
+    // header-only wav (q78 synth declares data it never ships) refuses
+    assert(MediaHeaders.decodePcm(MediaSynth.synthAv(0L)).isEmpty)
+    // non-PCM format code refuses
+    val ieee = good.clone(); ieee(20) = 3 // WAVE_FORMAT_IEEE_FLOAT
+    assert(MediaHeaders.decodePcm(ieee).isEmpty)
+    // non-16-bit refuses
+    val b8 = good.clone(); b8(34) = 8
+    assert(MediaHeaders.decodePcm(b8).isEmpty)
+    // not a wav at all
+    assert(MediaHeaders.decodePcm(null).isEmpty)
+    assert(MediaHeaders.decodePcm(MediaSynth.synth(0L)).isEmpty)
+    // decodeAv still reads the sample-bearing wav's header normally
+    val meta = MediaHeaders.decodeAv(good)
+    assert(meta.format == "wav" &&
+      meta.sampleRate == MediaSynth.pcmSampleRate(5L))
+  }
+
+  test("wavFrameSlice: block-aligned real audio at the timestamp, clipped at the end") {
+    // pick a stereo seed (blockAlign 4) with a known rate
+    val id = 1L // channels = 1 + 1%2 = 2, rate = 8000*(1+1%4) = 16000
+    val b = MediaSynth.synthPcm(id)
+    val ch = MediaSynth.pcmChannels(id)
+    assert(ch == 2)
+    val slice = MediaHeaders.wavFrameSlice(b, 0, 16).get
+    // ts=0: the first 16 data-chunk bytes = samples 0..7 little-endian
+    (0 until 8).foreach { k =>
+      val v = MediaSynth.pcmSample(id, k.toLong)
+      assert((slice(2 * k) & 0xff) == (v & 0xff), s"k=$k lo")
+      assert((slice(2 * k + 1) & 0xff) == ((v >> 8) & 0xff), s"k=$k hi")
+    }
+    // a mid-stream timestamp: patch the fmt rate down to 100 Hz so ts=1
+    // lands inside the clip (id=1 has 263 frames) — slice must start at
+    // byte 1·100·blockAlign of the data chunk, i.e. raw sample 100·ch
+    val slow = b.clone()
+    slow(24) = 100; slow(25) = 0; slow(26) = 0; slow(27) = 0
+    val s3 = MediaHeaders.wavFrameSlice(slow, 1, 16).get
+    val k0 = 1 * 100 * ch
+    (0 until 8).foreach { j =>
+      val v = MediaSynth.pcmSample(id, (k0 + j).toLong)
+      assert((s3(2 * j) & 0xff) == (v & 0xff), s"j=$j lo")
+      assert((s3(2 * j + 1) & 0xff) == ((v >> 8) & 0xff), s"j=$j hi")
+    }
+    // past-the-end timestamp yields None, not a wrapped slice
+    assert(MediaHeaders.wavFrameSlice(b, 3600, 16).isEmpty)
+    // header-only wav (no payload bytes) yields None
+    assert(MediaHeaders.wavFrameSlice(MediaSynth.synthAv(0L), 0, 16).isEmpty)
+  }
 }

@@ -97,6 +97,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q65_media_decode" -> 0,
     // q78 = audio/video synth + header decode, pure map stage
     "q78_av_decode" -> 0,
+    "q79_pcm_windows" -> 0,
     // q66 = magic hora encode/decode, pure map stage
     "q66_magic_hora" -> 0,
     // q67 = (source,word) tf agg + word df agg + join re-key + source window
