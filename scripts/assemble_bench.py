@@ -38,9 +38,11 @@ def main(b01, d01, b1, d1, out):
         # carry the full per-query telemetry (runs/p50/p95/task-seconds/
         # shuffle bytes/stage counts + fresh-session cross-check) so
         # round-over-round drift is attributable to compute vs environment
+        # stage_top included since r11 so merge_bench_min --prev can name
+        # the stage behind a round-over-round wall delta
         for k in ("runs", "p50", "p95", "task_sec", "shuffle_bytes",
-                  "stages", "fresh", "fresh_total",
-                  "shared_total_on_fresh_subset"):
+                  "stages", "stage_top", "fresh", "fresh_total",
+                  "shared_total_on_fresh_subset", "drift_vs_prev"):
             if k in spark:
                 block[k] = spark[k]
         return block
