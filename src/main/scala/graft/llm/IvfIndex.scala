@@ -208,21 +208,34 @@ object IvfIndex {
     * model). Each topK batch otherwise re-runs 1-2 driver jobs that
     * depend only on (root, pinned centroid version) — measured as the
     * dominant scheduler contention under concurrent serving
-    * (SCALE_SERVE_CONC: 16 clients × per-batch coarse collects). One
-    * entry per (app, root, kind); a rebuild publishes a new pin version
-    * and the stale entry is replaced on the next serve. */
-  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String), (Long, Model)]()
+    * (SCALE_SERVE_CONC: 16 clients × per-batch coarse collects).
+    *
+    * Keyed by (app, root, kind, VERSION) with bounded LRU eviction — a
+    * single per-(root, kind) slot would make a time-travel serve against
+    * an older pinned version and a current-version client alternately
+    * evict each other, rebuilding the model per batch. Stale versions
+    * age out of the LRU; a rebuild publishes a new pin version and is
+    * served from its own entry (an entry is immutable for its version,
+    * so nothing stale can ever serve). Two concurrent misses on one key
+    * may run mk twice — benign (identical model, one redundant job). */
+  private val ModelCacheEntries = 32
+  private val modelCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String, String, Long), Model](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String, Long), Model]): Boolean =
+        size() > ModelCacheEntries
+    })
 
   private[graft] def memoModel(spark: SparkSession, root: String,
       kind: String, version: Long)(mk: => Model): Model = {
     val key = (spark.sparkContext.applicationId,
-      new java.io.File(root).getAbsolutePath, kind)
+      new java.io.File(root).getAbsolutePath, kind, version)
     val hit = modelCache.get(key)
-    if (hit != null && hit._1 == version) hit._2
+    if (hit != null) hit
     else {
       val m = mk
-      modelCache.put(key, (version, m))
+      modelCache.put(key, m)
       m
     }
   }

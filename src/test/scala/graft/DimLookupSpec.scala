@@ -120,6 +120,43 @@ class DimLookupSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, null)).toDF("k", "lbl"), "k", "lbl").isEmpty)
   }
 
+  test("labeled-probe cap co-evolution: ordinal domain always fits the bitmap bound") {
+    // buildLabeled packs `labelId << 32 | ordinal` with BOTH halves
+    // bounded by the map entry cap; bitmap_distinct refuses indices past
+    // its own addressing bound. The probe's contract is that every
+    // ordinal it can emit is consumable by bitmap_distinct — pin the
+    // inequality so the two caps cannot drift apart silently.
+    assert(graft.operators.LongLongMap.MaxMapEntries - 1 <=
+      graft.functions.GrowableBitmap.MaxIndex,
+      "DimLookup ordinal domain outgrew BitmapDistinct addressing — " +
+        "co-evolve the caps")
+    // and the lid half must survive the << 32 pack without touching sign
+    assert(graft.operators.LongLongMap.MaxMapEntries.toLong < (1L << 31))
+  }
+
+  test("labeled probe with > 2^16 labels: lid width survives pack/unpack") {
+    import spark.implicits._
+    // 70,000 labels (past the u16 line) across 140,000 keys — two keys
+    // per label so ordinals exercise 0 and 1 under every wide lid
+    val n = 70000
+    val dim = spark.range(0, 2L * n)
+      .select(col("id").as("k"),
+        concat(lit("lbl_"), (col("id") % n).cast("string")).as("lbl"))
+    val (probe, labels) = DimLookup.forFrameLabeled(dim, "k", "lbl").get
+    assert(labels.length == n)
+    val packs = dim.select(col("k"), probe(col("k")).as("p"))
+      .select(col("k"), shiftright(col("p"), 32).cast("int").as("lid"),
+        col("p").bitwiseAND(lit(0xffffffffL)).as("ord"))
+      .collect()
+    assert(packs.length == 2 * n)
+    packs.foreach { r =>
+      val k = r.getLong(0); val lid = r.getInt(1); val ord = r.getLong(2)
+      assert(lid >= 0 && lid < n, s"k=$k lid=$lid")
+      assert(labels(lid) == s"lbl_${k % n}", s"k=$k lid=$lid")
+      assert(ord == (if (k < n) 0L else 1L), s"k=$k ord=$ord")
+    }
+  }
+
   test("bitmap_distinct == count(DISTINCT) on a dense domain; nulls skip; bounds refuse") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

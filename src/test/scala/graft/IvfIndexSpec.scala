@@ -342,7 +342,9 @@ class IvfIndexSpec extends AnyFunSuite {
     // the memo keys on (root, kind, version): within one pinned version
     // the query-independent model collect runs once across serve calls
     // (the concurrency-contention fix); a rebuild publishes a new version
-    // and the stale entry is replaced, never served
+    // with its own entry — an entry is immutable for its version, so a
+    // wrong-version model can never serve, and old versions age out of
+    // the bounded LRU instead of fighting the current one
     val root = java.nio.file.Files.createTempDirectory("ivf_memo").toString
     var builds = 0
     def mk(tag: Int): IvfIndex.Model = {
@@ -358,5 +360,17 @@ class IvfIndexSpec extends AnyFunSuite {
     IvfIndex.memoModel(spark, root, "flat", 4L)(mk(4)): Unit
     assert(builds == 3)
     assert(IvfIndex.memoModel(spark, root, "coarse", 4L)(mk(5)) eq c)
+    // r11: versions coexist — a time-travel serve against the OLD pin
+    // must not evict the current version (and vice versa); each version
+    // holds its own immutable entry, so alternating clients never
+    // rebuild per batch
+    val old = IvfIndex.memoModel(spark, root, "coarse", 3L)(mk(6))
+    assert(builds == 3 && (old eq a),
+      "the old pinned version stays served from its own entry")
+    assert(IvfIndex.memoModel(spark, root, "coarse", 4L)(mk(7)) eq c,
+      "serving the old version must not evict the current one")
+    assert(IvfIndex.memoModel(spark, root, "coarse", 3L)(mk(8)) eq old,
+      "alternating versions must both stay cached")
+    assert(builds == 3)
   }
 }
