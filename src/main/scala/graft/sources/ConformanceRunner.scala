@@ -374,7 +374,17 @@ object ConformanceLake {
       val s = c.newSession()
       s.conf.set("spark.sql.ansi.enabled", "false")
       s.conf.set("spark.sql.adaptive.enabled", "false")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // 4 partitions, not 1 (r11 A/B at the 100x slice, min-of-5 via
+      // spark.graft.conformance.narrowPartitions): 1 partition SLOWS
+      // t_venta 1.14 -> 2.85 s (its stages serialize through one
+      // reducer) and buys estructura only ~0.2 s; 2 == 4 within host
+      // noise. The residual ~0.5 s estructura wall is per-STAGE dispatch
+      // across ~20 stages of unchanging sub-MB data — irreducible
+      // without collapsing the plan itself. Floor documented; knob kept
+      // for re-measurement.
+      s.conf.set("spark.sql.shuffle.partitions",
+        c.conf.getOption("spark.graft.conformance.narrowPartitions")
+          .getOrElse("4"))
       s
     })
 
