@@ -21,19 +21,25 @@ import org.apache.spark.sql.types.DecimalType
   *   sum     = plain long sum          — codegen, map-side combined
   *   valor   = (sum AS DECIMAL(38,0)) / 1e6, cast double
   *
-  * Exactness argument (why rint equals the decimal(38,6) HALF_UP cast here):
-  * the stored double is within a few ulp (≤ ~5e-11 absolute at the 1e5
-  * value range) of its true grid rational t = k·1e-4; t·1e6 = 100·k is an
-  * integer, and x·1e6 lands within ~1e-4 of it — far inside rint's 0.5
-  * window, and t itself is ≥ 5e-7 from every 6-dp rounding boundary, so
-  * both HALF_UP-of-exact-expansion and rint pick the same integer. The
-  * final decimal division is exact (power-of-ten divisor, scale grows) and
-  * the decimal→double cast is correctly rounded — bit-identical to
-  * summing decimal(38,6) and casting, at plain-long speed.
+  * Exactness argument (why rint equals the decimal(38,6) HALF_UP cast
+  * here): the stored double is within a few ulp (≤ ~6e-11 absolute at the
+  * 1e5 value range) of its true grid rational t = k·1e-6 (a ≤6-dp value —
+  * stored 2-dp amounts, 4-dp two-factor products like price·(1−disc),
+  * 6-dp three-factor products like price·(1−disc)·(1+tax)); t·1e6 = k is
+  * an integer, and x·1e6 lands within ~1e-4 of it — far inside rint's 0.5
+  * window. The decimal cast of x rounds x's exact expansion at 6 dp, and
+  * x sits within 6e-11 of the representable grid point t, so both paths
+  * pick the same k. The final decimal division is exact (power-of-ten
+  * divisor, scale grows) and the decimal→double cast is correctly rounded
+  * — bit-identical to summing decimal(38,6) and casting, at plain-long
+  * speed.
   *
   * NOT valid for arbitrary doubles (a value within 5e-7 of a 6-dp
   * half-boundary can round differently) — use the decimal sum for
-  * non-currency measures.
+  * non-currency measures. The margin collapses only when the value's true
+  * grid is FINER than 1e-6 or the double carries accumulated error
+  * approaching 5e-7 — neither happens for stored business amounts and
+  * their 2-3-factor products.
   *
   * Overflow bound: the per-GROUP long sum caps at 2^63/1e6 ≈ 9.2e12 in
   * currency units — at a 1e5 max amount that is ~87 billion rows PER

@@ -80,7 +80,8 @@ object AnalyticsQueries {
         year(col("o_orderdate")).as("anio"), col("o_totalprice"))
       .rollup(col("nacion"), col("anio"))
       .agg(count(lit(1)).as("n_pedidos"),
-        sum(dec(col("o_totalprice"))).cast("double").as("imp_total"))
+        graft.operators.CurrencyMicros.toAmount(sum(
+          graft.operators.CurrencyMicros.micros(col("o_totalprice")))).as("imp_total"))
   }
 
   val q43Sql: String =
@@ -141,7 +142,8 @@ object AnalyticsQueries {
     val cst = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))
     val revenue = ord.groupBy(col("o_custkey"))
-      .agg(sum(dec(col("o_totalprice"))).cast("double").as("imp_total"))
+      .agg(graft.operators.CurrencyMicros.toAmount(sum(
+        graft.operators.CurrencyMicros.micros(col("o_totalprice")))).as("imp_total"))
       .join(cst, col("o_custkey") === col("c_custkey"))
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("imp_total").desc, col("o_custkey"))
@@ -182,7 +184,8 @@ object AnalyticsQueries {
       .byBins(ord, col("o_totalprice"), bands, col("lo"), col("hi"), 20000.0)
       .groupBy(col("banda"))
       .agg(count(lit(1)).as("n_pedidos"),
-        sum(dec(col("o_totalprice"))).cast("double").as("imp_total"))
+        graft.operators.CurrencyMicros.toAmount(sum(
+          graft.operators.CurrencyMicros.micros(col("o_totalprice")))).as("imp_total"))
   }
 
   val q48Sql: String =

@@ -21,7 +21,13 @@ import graft.operators._
 object CoreQueries {
   private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
   /** Exact decimal sum, emitted as double (order-independent then portable). */
-  private def moneySum(c: Column): Column = sum(dec(c)).cast("double")
+  // exact long-micros currency sum (operators/CurrencyMicros): identical
+  // output to sum(CAST(c AS DECIMAL(38,6))) cast double on the lake's
+  // currency-grid columns, at codegen-long speed — the decimal sum paid a
+  // per-row BigDecimal allocation that dominated scan-bound rollups
+  private def moneySum(c: Column): Column =
+    graft.operators.CurrencyMicros.toAmount(
+      sum(graft.operators.CurrencyMicros.micros(c)))
 
   // ---------------------------------------------------------------- q1
   /** Pricing summary: groupBy agg with exact money math (the reference's
@@ -35,7 +41,7 @@ object CoreQueries {
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
         moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
   }
 
@@ -213,16 +219,20 @@ object CoreQueries {
     * window on a month index — same semantics, one shuffle (SURVEY §4). */
   def q6Trailing3m(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
+    // the whole money pipeline — monthly rollup AND the trailing RANGE
+    // window — runs in exact long micros (operators/CurrencyMicros); the
+    // decimal is reconstructed once per output row
+    import graft.operators.CurrencyMicros
     val monthly = ord.groupBy(
         col("o_custkey"),
         Periods.monthStart(col("o_orderdate")).as("mes"))
-      .agg(sum(dec(col("o_totalprice"))).as("imp_mes"))
+      .agg(sum(CurrencyMicros.micros(col("o_totalprice"))).as("imp_mes"))
       .withColumn("mes_idx", Periods.monthIndex(col("mes")))
     TrailingAgg.trailingSums(monthly, Seq("o_custkey"), "mes_idx",
         Seq("imp_mes" -> "imp_3m"), months = 3)
       .select(col("o_custkey"), Periods.periodOf(col("mes")).as("id_periodo"),
-        col("imp_mes").cast("double").as("imp_mes"),
-        col("imp_3m").cast("double").as("imp_3m"))
+        CurrencyMicros.toAmount(col("imp_mes")).as("imp_mes"),
+        CurrencyMicros.toAmount(col("imp_3m")).as("imp_3m"))
   }
 
   val q6Sql: String =

@@ -59,7 +59,8 @@ object ExtraQueries {
     ord.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice").as("imp_pedido"))
       .withColumn("saldo_acumulado",
-        sum(dec(col("imp_pedido"))).over(w).cast("double"))
+        graft.operators.CurrencyMicros.toAmount(sum(
+          graft.operators.CurrencyMicros.micros(col("imp_pedido"))).over(w)))
   }
 
   val q28Sql: String =

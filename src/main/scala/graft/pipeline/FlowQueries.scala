@@ -146,7 +146,8 @@ object FlowQueries {
         min(col("ts")).as("inicio"),
         max(col("ts")).as("fin"),
         count(lit(1)).as("n_eventos"),
-        sum(dec(col("value"))).cast("double").as("imp_valor"))
+        graft.operators.CurrencyMicros.toAmount(sum(
+          graft.operators.CurrencyMicros.micros(col("value")))).as("imp_valor"))
   }
 
   val q13Sql: String =
@@ -268,8 +269,8 @@ object FlowQueries {
         explode(sequence(h0 - 2, h0)).as("ventana_h"))
       .groupBy(col("ventana_h"), col("event_type"))
       .agg(count(lit(1)).as("n_eventos"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-          .cast("double").as("imp_valor"))
+        graft.operators.CurrencyMicros.toAmount(sum(
+          graft.operators.CurrencyMicros.micros(col("value")))).as("imp_valor"))
       .withColumn("ventana", timestamp_micros(col("ventana_h") * hourUs))
       .drop("ventana_h")
   }

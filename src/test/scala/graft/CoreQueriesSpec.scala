@@ -31,19 +31,40 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("q1 sums decimal internally, emits portable doubles") {
+  test("q1 money sums are exact (long micros) and emit portable doubles") {
     val df = CoreQueries.q1PricingSummary(spark, sf)
     // output schema is all-double for money (decimal types canonicalize
-    // differently across parquet readers); the exact decimal sum must still
-    // appear INSIDE the plan so results stay order-independent under AQE
+    // differently across parquet readers); the sum itself must stay EXACT
+    // and order-independent under AQE — since r11 that is the long-micros
+    // form (operators/CurrencyMicros): rint to the 1e-6 grid, plain long
+    // sum, one decimal reconstruction per group. The plan must carry both
+    // halves — no double accumulation anywhere.
     import org.apache.spark.sql.types.DoubleType
     assert(df.schema("sum_qty").dataType == DoubleType)
     assert(df.schema("sum_charge").dataType == DoubleType)
-    assert(df.queryExecution.optimizedPlan.toString.contains("decimal(38,6)"),
-      "expected exact decimal aggregation inside the plan")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("rint") && plan.contains("as bigint"),
+      s"expected the exact long-micros sum inside the plan:\n$plan")
+    assert(plan.contains("decimal(38,0)"),
+      s"expected the exact decimal reconstruction inside the plan:\n$plan")
     val row = df.filter("l_returnflag = 'R' and l_linestatus = 'F'").collect()
     assert(row.length <= 1)
     row.headOption.foreach(r => assert(r.getAs[Double]("sum_qty") > 0))
+    // and the micros form equals the decimal-sum form it replaced, value
+    // for value (both exact; the oracle gate pins this against DuckDB too)
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val viaDecimal = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("sum_charge"))
+    val got = df.select("l_returnflag", "l_linestatus", "sum_qty", "sum_charge")
+    assert(got.exceptAll(viaDecimal).isEmpty && viaDecimal.exceptAll(got).isEmpty,
+      "micros form diverged from the decimal-sum form")
   }
 
   test("q4 dedup keeps exactly one row per customer") {
