@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "float_dot" -> (exprs => FloatDotProduct(exprs(0), exprs(1))),
     "token_count" -> (exprs => TokenCount(exprs.head)),
     "rolling_min_hash" -> (exprs => RollingMinHashExpr(exprs.head, 16)),
+    "gram_hashes" -> (exprs => GramHashesExpr(exprs(0), intLit(exprs(1)))),
+    "top_k_double" -> (exprs =>
+      TopKByDouble(exprs(0), exprs(1), intLit(exprs(2))).toAggregateExpression()),
     "cdc_boundaries" -> (exprs =>
       CdcBoundariesExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
     "bottom_k_sample" -> (exprs =>

@@ -13,7 +13,7 @@ object GraftFunctions {
     "max_word_freq", "minhash_bands", "simhash64_md5", "marker_count",
     "bloom_agg", "bloom_might_contain", "lsh_probe_buckets",
     "lsh_probe_buckets_margin", "cdc_boundaries", "multi_distinct_count",
-    "bitmap_distinct")
+    "bitmap_distinct", "gram_hashes", "top_k_double")
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -26,6 +26,11 @@ object GraftFunctions {
       exprs => TokenCount(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("rolling_min_hash",
       exprs => RollingMinHashExpr(exprs.head, 16), "built-in")
+    reg.createOrReplaceTempFunction("gram_hashes",
+      exprs => GramHashesExpr(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("top_k_double",
+      exprs => TopKByDouble(exprs(0), exprs(1),
+        intLit(exprs(2))).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("cdc_boundaries",
       exprs => CdcBoundariesExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("multi_distinct_count",

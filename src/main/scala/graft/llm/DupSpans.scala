@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-substring detection across a corpus (SURVEY §2
+  * row 80) — the hash-anchored re-expression of Lee et al. 2022's
+  * suffix-array ExactSubstr dedup, built for a shuffle-bound engine.
+  *
+  * A position p in document d is a *duplicate anchor* when the L-character
+  * gram starting at p also occurs in some OTHER document. The pipeline:
+  *
+  *  1. Anchor pass — `gram_hashes(text, L)` (native codegen, O(chars))
+  *     explodes to (doc_id, pos, h) rows: the corpus-wide exchange
+  *     carries 8-byte hashes, never gram strings.
+  *  2. Cross-doc candidates — group by h keeping min/max doc_id; a hash
+  *     seen in two distinct documents has min != max. No count(distinct),
+  *     no set state: two longs per group, fully map-side combinable.
+  *  3. Verify — only candidate anchors (a tiny fraction of the corpus)
+  *     join back to their text and materialize the real gram via
+  *     substring(); grouping by the gram string discards hash collisions
+  *     (kept iff >= 2 distinct documents genuinely share the gram).
+  *  4. Span union — verified anchors cover [pos, pos+L); overlapping
+  *     anchors merge into maximal islands with the classic
+  *     running-max-end window (one doc_id exchange, no per-position
+  *     explode), yielding exact duplicated-character coverage per doc.
+  *
+  * At 100 TB: passes 1–2 are one scan + one hash-keyed exchange of
+  * fixed-width rows; pass 3 touches only collision groups; pass 4 is
+  * proportional to verified anchors. Nothing is quadratic in corpus size
+  * and no stage carries document text beyond its own partition except for
+  * the candidate re-read.
+  */
+object DupSpans {
+
+  /** (doc_id, pos, h) for every L-gram window; pos is the 1-based char
+    * position `substring(text, pos, L)` reads back. */
+  def anchors(docs: DataFrame, textCol: String, idCol: String, L: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    docs
+      .filter(length(col(textCol)) >= L)
+      .select(col(idCol).as("doc_id"),
+        posexplode(call_function("gram_hashes", col(textCol), lit(L)))
+          .as(Seq("idx", "h")))
+      .select(col("doc_id"), (col("idx") + 1).as("pos"), col("h"))
+  }
+
+  /** Hashes whose anchor set spans >= 2 distinct documents (collision
+    * candidates; verified against real grams downstream). */
+  def crossDocHashes(anchorDf: DataFrame): DataFrame =
+    anchorDf.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
+      .filter(col("d_min") =!= col("d_max"))
+      .select(col("h"))
+
+  /** Verified duplicate anchors: (doc_id, pos) whose ACTUAL L-gram occurs
+    * in >= 2 distinct documents. `docs` must still carry idCol/textCol. */
+  def verifiedAnchors(docs: DataFrame, textCol: String, idCol: String,
+                      L: Int): DataFrame = {
+    val a = anchors(docs, textCol, idCol, L)
+    val candidates = crossDocHashes(a)
+    // candidate anchors re-read their text to materialize the gram; the
+    // candidate set is collision-group-sized, so the join input is small
+    val candAnchors = a.join(candidates, Seq("h"), "left_semi")
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        substring_index_safe(col("__text"), col("pos"), L).as("gram"))
+    val verified = candAnchors.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("g_min"), max(col("doc_id")).as("g_max"))
+      .filter(col("g_min") =!= col("g_max"))
+      .select(col("gram"))
+    candAnchors.join(verified, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+  }
+
+  // substring with a Column start — functions.substring takes literal
+  // ints only; expr-level Substring accepts columns
+  private def substring_index_safe(text: Column, pos: Column, len: Int): Column =
+    text.substr(pos, lit(len))
+
+  /** Per-document duplicated-span report: number of duplicate anchors,
+    * exact duplicated-char coverage (union of [pos, pos+L) intervals via
+    * the running-max-end island merge), and the coverage ratio. */
+  def report(docs: DataFrame, textCol: String, idCol: String, L: Int,
+             nCharsCol: String): DataFrame = {
+    val va = verifiedAnchors(docs, textCol, idCol, L)
+      .withColumn("fin", col("pos") + L) // exclusive end
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // island boundary: this anchor starts past everything seen so far
+    val prevMaxEnd = max(col("fin")).over(byDoc.rowsBetween(
+      Window.unboundedPreceding, -1))
+    val islands = va
+      .withColumn("nueva", when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L)
+        .otherwise(0L))
+      .withColumn("isla", sum(col("nueva")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands.groupBy(col("doc_id"), col("isla"))
+      .agg((max(col("fin")) - min(col("pos"))).as("span_chars"),
+        count(lit(1)).as("n_anclas"))
+    spans.groupBy(col("doc_id"))
+      .agg(sum(col("n_anclas")).as("n_dup_anchors"),
+        sum(col("span_chars")).as("dup_chars"))
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(nCharsCol).cast("long").as("n_chars")), Seq("doc_id"))
+      .withColumn("dup_ratio",
+        col("dup_chars").cast("double") / col("n_chars").cast("double"))
+      .select(col("doc_id"), col("n_dup_anchors"), col("dup_chars"),
+        col("n_chars"), col("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+}

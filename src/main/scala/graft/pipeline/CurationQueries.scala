@@ -372,6 +372,36 @@ object CurationQueries {
       |WHERE rango <= 5""".stripMargin
 
   // ---------------------------------------------------------------- maps
+  // ---------------------------------------------------------------- q81
+  /** Deterministic weighted sampling per source (Priority Sampling,
+    * Duffield–Lund–Thorup JACM'07 — graft.operators.WeightedSample): the
+    * 10 documents per source with the largest priorities w/u, where the
+    * weight w is the document length and u is a hash-derived uniform —
+    * inclusion probability proportional to length, reproducible across
+    * retries/partitionings, and selected by the bounded-state
+    * `top_k_double` aggregate so the shuffle carries at most k pairs per
+    * (source, partition) instead of the corpus. The priority formula is
+    * pure integer arithmetic + two correctly-rounded IEEE double ops, so
+    * the DuckDB oracle reproduces it bit-exactly (no pow/ln). */
+  def q81WeightedSample(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    graft.operators.WeightedSample.perGroup(
+      Tables.documents(spark, dir), Seq("source"), "doc_id", "n_chars", k)
+      .orderBy(col("source"), col("rk"))
+
+  val q81Sql: String =
+    """WITH s AS (
+      |  SELECT source, doc_id,
+      |    (CAST(n_chars AS DOUBLE) * 4294967296.0) /
+      |      CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE) AS priority
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, priority,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY priority DESC, doc_id ASC) AS rn
+      |  FROM s)
+      |SELECT source, CAST(rn AS INTEGER) AS rk, doc_id, priority
+      |FROM r WHERE rn <= 10 ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_boilerplate"     -> ((s, d) => q56Boilerplate(s, d)),
     "q57_temperature_mix" -> (q57TemperatureMix _),
@@ -379,7 +409,8 @@ object CurationQueries {
     "q61_corpus_report"   -> (q61CorpusReport _),
     "q62_quantize"        -> (q62Quantize _),
     "q64_collocations"    -> ((s, d) => q64Collocations(s, d)),
-    "q67_tfidf"           -> ((s, d) => q67TfIdf(s, d)))
+    "q67_tfidf"           -> ((s, d) => q67TfIdf(s, d)),
+    "q81_weighted_sample" -> ((s, d) => q81WeightedSample(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q56_boilerplate"     -> q56Sql,
@@ -388,5 +419,6 @@ object CurationQueries {
     "q61_corpus_report"   -> q61Sql,
     "q62_quantize"        -> q62Sql,
     "q64_collocations"    -> q64Sql,
-    "q67_tfidf"           -> q67Sql)
+    "q67_tfidf"           -> q67Sql,
+    "q81_weighted_sample" -> q81Sql)
 }

@@ -1158,8 +1158,47 @@ object LLMQueries {
       |  CAST(sum(muestra * (k % 512 + 1)) AS BIGINT) AS suma_ponderada
       |FROM m GROUP BY 1, 2, 3, 4""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** Exact duplicated-substring coverage (Lee et al. 2022's ExactSubstr,
+    * hash-anchored — graft.llm.DupSpans): for every document, how many
+    * 48-char gram anchors also occur in another document, and exactly how
+    * many characters those duplicated grams cover once overlapping
+    * anchors are merged into maximal spans. The corpus-wide exchange
+    * carries 8-byte rolling hashes (gram_hashes kernel); gram strings are
+    * materialized only for the cross-doc collision candidates and
+    * verified by value, so a hash collision can never fabricate a
+    * duplicate. Span union is the running-max-end island merge — one
+    * doc_id window, no per-position explode. */
+  def q80DupSpans(spark: SparkSession, dir: String): DataFrame =
+    DupSpans.report(Tables.documents(spark, dir), "text", "doc_id",
+      L = 48, nCharsCol = "n_chars")
+
+  val q80Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    substr(text, CAST(i AS INT), 48) AS gram
+      |  FROM documents, LATERAL (
+      |    SELECT unnest(range(1, length(text) - 48 + 2)) AS i) t
+      |  WHERE length(text) >= 48),
+      |dup AS (
+      |  SELECT gram FROM g GROUP BY gram
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |a AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+      |cov AS (
+      |  SELECT doc_id, count(DISTINCT p) AS dup_chars
+      |  FROM a, LATERAL (SELECT unnest(range(a.pos, a.pos + 48)) AS p) u
+      |  GROUP BY doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n_dup_anchors FROM a GROUP BY doc_id)
+      |SELECT cnt.doc_id, cnt.n_dup_anchors, cov.dup_chars, d.n_chars,
+      |  CAST(cov.dup_chars AS DOUBLE) / CAST(d.n_chars AS DOUBLE) AS dup_ratio
+      |FROM cnt
+      |JOIN cov ON cov.doc_id = cnt.doc_id
+      |JOIN documents d ON d.doc_id = cnt.doc_id
+      |ORDER BY cnt.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_pcm_windows"      -> (q79PcmWindows _),
+    "q80_dup_spans"        -> (q80DupSpans _),
     "q55_ann_ivf"          -> ((s, d) => q55AnnIvf(s, d)),
     "q77_ann_pq"           -> ((s, d) => q77AnnPq(s, d)),
     "q60_incremental_dedup" -> ((s, d) => q60IncrementalDedup(s, d)),
@@ -1186,6 +1225,7 @@ object LLMQueries {
 
   val oracles: Map[String, String] = Map(
     "q79_pcm_windows"      -> q79Sql,
+    "q80_dup_spans"        -> q80Sql,
     "q55_ann_ivf"          -> q55Sql,
     "q77_ann_pq"           -> q77Sql,
     "q60_incremental_dedup" -> q60Sql,

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.GramHashes
+import graft.llm.DupSpans
+import graft.operators.WeightedSample
+
+class DupSpansSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ------------------------------------------------------ gram_hashes
+  private def bruteHashes(s: String, w: Int): Seq[Long] =
+    if (s.length < w) Seq.empty
+    else (0 to s.length - w).map { i =>
+      s.substring(i, i + w).foldLeft(0L)((h, c) => h * GramHashes.Base + c.toLong)
+    }
+
+  test("gram_hashes: rolling equals brute-force per-window hash") {
+    for (s <- Seq("", "a", "abcabcabc", "the quick brown fox", "aaaaaaa");
+         w <- Seq(1, 3, 5)) {
+      val got = GramHashes.compute(UTF8String.fromString(s), w).toLongArray.toSeq
+      assert(got == bruteHashes(s, w), s"s='$s' w=$w")
+    }
+  }
+
+  test("gram_hashes: char-indexed, not byte-indexed (non-ASCII text)") {
+    val s = "ñandú ñandú" // multi-byte UTF-8, 11 chars
+    val w = 5
+    val got = GramHashes.compute(UTF8String.fromString(s), w).toLongArray.toSeq
+    assert(got.length == s.length - w + 1) // char windows, so 7, not byte windows
+    assert(got == bruteHashes(s, w))
+    // equal grams at different positions hash equal: "ñandú" at 0 and 6
+    assert(got.head == got.last)
+  }
+
+  test("gram_hashes: shorter-than-window text yields an empty array") {
+    assert(GramHashes.compute(UTF8String.fromString("ab"), 3).numElements() == 0)
+  }
+
+  // -------------------------------------------------------- dup spans
+  private def docsDf(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("verifiedAnchors: only cross-document grams anchor") {
+    // L=4: "WXYZ" shared by docs 1 and 2; "QQQQ..." repeats only inside doc 3
+    val d = docsDf(
+      1L -> "aaWXYZbb",
+      2L -> "ccccWXYZ",
+      3L -> "QQQQQQQQ")
+    val got = DupSpans.verifiedAnchors(d, "text", "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((1L, 3), (2L, 5)), s"got $got")
+  }
+
+  test("report: overlapping anchors merge into one span, disjoint stay separate") {
+    // docs 1 and 2 share "ABCDEFGH" (8 chars) -> with L=4, doc 1 anchors at
+    // pos 1..5 overlap into ONE island of 8 chars; they also share a
+    // disjoint "ZZZZ" at the tail of doc 1
+    val d = docsDf(
+      1L -> "ABCDEFGHxxxxZZZZ",
+      2L -> "yyABCDEFGHyyyyZZZZy")
+    val got = DupSpans.report(d, "text", "doc_id", 4, "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // doc 1: anchors 1..5 (ABCD..EFGH) + anchor 13 (ZZZZ) = 6 anchors,
+    // coverage 8 + 4 = 12; doc 2: anchors 3..7 + 15 = 6 anchors, 12 chars
+    assert(got == List((1L, 6L, 12L), (2L, 6L, 12L)), s"got $got")
+  }
+
+  test("report: dup_ratio is exact coverage over n_chars") {
+    val d = docsDf(1L -> "ABCD1234", 2L -> "ABCDxxxx")
+    val row = DupSpans.report(d, "text", "doc_id", 4, "n_chars")
+      .filter(col("doc_id") === 1L).head()
+    assert(row.getLong(2) == 4L && row.getLong(3) == 8L)
+    assert(row.getDouble(4) == 0.5)
+  }
+
+  test("report: document shorter than L never appears") {
+    val d = docsDf(1L -> "ABCDE", 2L -> "ABCDE", 3L -> "AB")
+    val ids = DupSpans.report(d, "text", "doc_id", 4, "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L))
+  }
+
+  // -------------------------------------------------- weighted sample
+  test("weighted sample: equals the window-rank formulation and is partition-stable") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (s"g${i % 3}", i, 10L + (i * 7) % 90))
+      .toDF("source", "doc_id", "n_chars")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      WeightedSample.perGroup(d, Seq("source"), "doc_id", "n_chars", 5)
+        .orderBy(col("source"), col("rk"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toList
+    val expected = {
+      val pri = WeightedSample.priority(col("n_chars"), col("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(pri.desc, col("doc_id").asc)
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .orderBy(col("source"), col("rk"))
+        .collect().map(r => (r.getString(0), r.getAs[Int]("rk"), r.getLong(1))).toList
+    }
+    val one = run(df.repartition(1))
+    val many = run(df.repartition(16))
+    assert(one == expected)
+    assert(many == expected) // merge path: map-side partials agree
+  }
+
+  test("top_k_double: k past group size returns the whole group, best-first") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered()
+    val df = Seq((1.0, 10L), (3.0, 30L), (2.0, 20L), (3.0, 5L)).toDF("q", "id")
+    val got = df.agg(call_function("top_k_double", col("q"), col("id"), lit(9)))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1))).toList
+    // ties on score=3.0 break by payload ascending
+    assert(got == List((3.0, 5L), (3.0, 30L), (2.0, 20L), (1.0, 10L)))
+  }
+}

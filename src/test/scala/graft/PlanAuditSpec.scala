@@ -98,6 +98,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // q78 = audio/video synth + header decode, pure map stage
     "q78_av_decode" -> 0,
     "q79_pcm_windows" -> 0,
+    // q80 = anchor hash agg + candidate semi-join re-key + text join +
+    // gram verify agg/semi + doc_id window + final agg (n_chars side
+    // broadcasts; candidate sets are collision-group-sized)
+    "q80_dup_spans" -> 7,
+    // q81 = ONE source exchange carrying bounded top-k partials + the
+    // presentation sort over the (sources × k)-row result
+    "q81_weighted_sample" -> 2,
     // q66 = magic hora encode/decode, pure map stage
     "q66_magic_hora" -> 0,
     // q67 = (source,word) tf agg + word df agg + join re-key + source window
