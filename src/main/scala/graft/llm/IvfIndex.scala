@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -395,7 +395,8 @@ object IvfIndex {
     * false` to pay exactly `coarseProbes` and take the recall trade. */
   def topK(queries: DataFrame, root: String, idCol: String, vecCol: String,
            k: Int, probes: Int = 4, pruned: Boolean = true,
-           coarseProbes: Int = 8, autoWiden: Boolean = true): DataFrame = {
+           coarseProbes: Int = 8, autoWiden: Boolean = true,
+           where: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
     val sv = resolveServe(queries, root, vecCol, probes, coarseProbes,
       autoWiden, needProbed = pruned)
@@ -406,7 +407,41 @@ object IvfIndex {
         // entries with an unparseable/absent part path stay in the scan
         // (pruning must never drop data it cannot prove irrelevant)
         at.readParts(sv.av)(p => cellOf(p).forall(sv.probed.contains))
-    Similarity.ivfTopKWith(queries, assigned, sv.model, idCol, vecCol, k,
+    // `where` filters the candidate scan on the assignment table's own
+    // columns (id/vector/cell); for metadata predicates use
+    // [[topKFiltered]], which joins the source-table attributes in.
+    val candidates = where.fold(assigned)(assigned.filter)
+    Similarity.ivfTopKWith(queries, candidates, sv.model, idCol, vecCol, k,
+      probes)
+  }
+
+  /** Metadata-FILTERED approximate nearest neighbors — the vector-store
+    * "filtered search" form. The persisted index stores only (id, vector,
+    * cell); attributes live in the source table, lakehouse-style. The
+    * predicate evaluates against `meta`, and the surviving ids semi-join
+    * the candidate scan AFTER partition pruning and BEFORE scoring — so
+    * the serve cost is (probed cells ∩ filter), the result is a true
+    * top-k of the filtered corpus within the probed cells, and a serve
+    * can never return a neighbor the predicate excludes. Routing (cell
+    * structure, coarse widening) stays that of the FULL index: the
+    * filter narrows candidates, not the geometry — raise `probes` as the
+    * predicate gets more selective. At scale the filtered id side is
+    * predicate-selective, so AQE picks a broadcast semi-join against the
+    * probed cells; nothing rescans the unfiltered corpus. */
+  def topKFiltered(queries: DataFrame, root: String, idCol: String,
+                   vecCol: String, k: Int, meta: DataFrame, where: Column,
+                   probes: Int = 4, pruned: Boolean = true,
+                   coarseProbes: Int = 8, autoWiden: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val sv = resolveServe(queries, root, vecCol, probes, coarseProbes,
+      autoWiden, needProbed = pruned)
+    val at = assignmentTable(spark, root)
+    val assigned =
+      if (!pruned) at.readVersion(sv.av)
+      else at.readParts(sv.av)(p => cellOf(p).forall(sv.probed.contains))
+    val keep = meta.filter(where).select(col(idCol))
+    val candidates = assigned.join(keep, Seq(idCol), "left_semi")
+    Similarity.ivfTopKWith(queries, candidates, sv.model, idCol, vecCol, k,
       probes)
   }
 

@@ -1196,9 +1196,110 @@ object LLMQueries {
       |JOIN documents d ON d.doc_id = cnt.doc_id
       |ORDER BY cnt.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Metadata-FILTERED approximate nearest neighbors — the vector-store
+    * "filtered search" form (query RAG stores run constantly: top-k
+    * within a predicate). Same deterministic IVF geometry as q55
+    * (md5-chosen centroids, max-cosine assignment, top-cell probing),
+    * but the CANDIDATE set is restricted to even-labeled vectors at the
+    * probed-cell scan — filter-then-score, so the serve cost is
+    * (probed cells ∩ filter) and the result is a true top-3 of the
+    * filtered corpus within the probed cells, never a post-top-k filter
+    * that silently returns fewer rows. Routing stays that of the FULL
+    * index (the filter narrows candidates, not the geometry); queries
+    * probe 3 cells to compensate for the thinner cells. Production
+    * twin: IvfIndex.topKFiltered — the predicate evaluates against the
+    * source metadata table and semi-joins the probed-partition scan. */
+  def q82AnnFiltered(spark: SparkSession, dir: String, probes: Int = 3,
+                     nCells: Int = 16, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.select(col("vec_id"), col("embedding"), col("label"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val cents: Seq[(Long, Seq[Float], Double)] = base
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq, r.getDouble(2)))
+      .toSeq
+    val centLit = typedLit(cents)
+    def cellScores(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(centLit).as("c"))
+      .select(col("vec_id"), col("c._1").as("cid"),
+        Similarity.cosine(col("embedding"), col("c._2"), col("nrm"),
+          col("c._3")).as("cos"))
+    val assigned = cellScores(base)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("b"))
+      .select(col("vec_id"), (-col("b.neg")).as("celda"))
+    // the filter lands HERE: candidates = probed cells ∩ predicate
+    val inCells = base.filter(pmod(col("label"), lit(2)) === 0)
+      .join(assigned, Seq("vec_id"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid").asc)
+    val probed = cellScores(base.filter(col("vec_id") < 8))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= probes)
+      .select(col("vec_id").as("query_id"), col("cid").as("celda"))
+    val queriesSide = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probed.join(queriesSide, Seq("query_id"))
+      .join(inCells, Seq("celda"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosine(col("qv"), col("embedding"), col("qn"),
+          col("nrm")).as("cosine"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cosine"))
+  }
+
+  val q82Sql: String = {
+    def dot2(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"""WITH n AS (SELECT vec_id, embedding, label, $normSql AS nrm FROM embeddings),
+      |cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |scored AS (
+      |  SELECT n.vec_id, cent.cid,
+      |    ${dot2("n.embedding", "cent.cvec")} / (n.nrm * cent.cnrm) AS cos
+      |  FROM n, cent),
+      |assign AS (
+      |  SELECT vec_id, cid AS celda FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id AS query_id, cid AS celda FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cid ASC) AS rn FROM scored WHERE vec_id < 8)
+      |  WHERE rn <= 3),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probe p JOIN assign a USING (celda)
+      |  JOIN n f ON f.vec_id = a.vec_id AND f.label % 2 = 0
+      |  WHERE a.vec_id <> p.query_id),
+      |fin AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    ${dot2("q.embedding", "b.embedding")} / (q.nrm * b.nrm) AS cosine
+      |  FROM cand c JOIN n q ON q.vec_id = c.query_id
+      |  JOIN n b ON b.vec_id = c.neighbor_id)
+      |SELECT query_id, CAST(rn AS INTEGER) AS rk, neighbor_id, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM fin)
+      |WHERE rn <= 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_pcm_windows"      -> (q79PcmWindows _),
     "q80_dup_spans"        -> (q80DupSpans _),
+    "q82_ann_filtered"     -> ((s, d) => q82AnnFiltered(s, d)),
     "q55_ann_ivf"          -> ((s, d) => q55AnnIvf(s, d)),
     "q77_ann_pq"           -> ((s, d) => q77AnnPq(s, d)),
     "q60_incremental_dedup" -> ((s, d) => q60IncrementalDedup(s, d)),
@@ -1226,6 +1327,7 @@ object LLMQueries {
   val oracles: Map[String, String] = Map(
     "q79_pcm_windows"      -> q79Sql,
     "q80_dup_spans"        -> q80Sql,
+    "q82_ann_filtered"     -> q82Sql,
     "q55_ann_ivf"          -> q55Sql,
     "q77_ann_pq"           -> q77Sql,
     "q60_incremental_dedup" -> q60Sql,

@@ -48,6 +48,34 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(inMem.nonEmpty)
   }
 
+  test("filtered serve: full-probe top-k == brute force over the filtered corpus") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_f").toString
+    val model = IvfIndex.buildAndSave(emb, "vec_id", "embedding", root)
+    val pred = pmod(col("label"), lit(2)) === 0
+    // full probes ⇒ every cell is a candidate cell, so the filtered serve
+    // must be EXACT over the filtered corpus — any divergence means the
+    // semi-join dropped/added a candidate
+    val served = IvfIndex.topKFiltered(queries, root, "vec_id", "embedding",
+        k = 5, meta = emb, where = pred, probes = model.length)
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.bruteForceTopK(queries, emb.filter(pred),
+        "vec_id", "embedding", k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(served == brute, "filtered full-probe serve diverged from brute force")
+    // every served neighbor satisfies the predicate
+    val evenIds = emb.filter(pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val servedIds = served.map(_(2).asInstanceOf[Long]) // (query_id, rango, neighbor_id, cosine)
+    assert(servedIds.nonEmpty && servedIds.subsetOf(evenIds))
+    // pruned and unpruned filtered serves agree at default probes
+    val p = IvfIndex.topKFiltered(queries, root, "vec_id", "embedding",
+      k = 5, meta = emb, where = pred).collect().map(_.toSeq).toSet
+    val u = IvfIndex.topKFiltered(queries, root, "vec_id", "embedding",
+      k = 5, meta = emb, where = pred, pruned = false)
+      .collect().map(_.toSeq).toSet
+    assert(p == u, "pruned filtered serve diverged from unpruned")
+  }
+
   test("pruned serve reads only the probed cells' partitions") {
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_pr").toString
     val model = IvfIndex.buildAndSave(emb, "vec_id", "embedding", root)
