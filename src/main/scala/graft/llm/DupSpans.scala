@@ -55,7 +55,16 @@ object DupSpans {
       .select(col("h"))
 
   /** Verified duplicate anchors: (doc_id, pos) whose ACTUAL L-gram occurs
-    * in >= 2 distinct documents. `docs` must still carry idCol/textCol. */
+    * in >= 2 distinct documents. `docs` must still carry idCol/textCol.
+    *
+    * Verification is a WINDOW over the candidate set, not an agg +
+    * self-join: min/max(doc_id) over (partition by gram) computes the
+    * cross-doc test in the same pass that keeps the anchor rows, so the
+    * candidate pipeline (explode → hash agg → broadcast semi → text
+    * join) plans ONCE — the agg/join form replayed that whole subtree,
+    * including the corpus-wide hash exchange, a second time for the
+    * join's right side (measured 2× the shuffle at the 10× slice). The
+    * window's gram exchange carries only collision candidates. */
   def verifiedAnchors(docs: DataFrame, textCol: String, idCol: String,
                       L: Int): DataFrame = {
     val a = anchors(docs, textCol, idCol, L)
@@ -67,11 +76,11 @@ object DupSpans {
         Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         substring_index_safe(col("__text"), col("pos"), L).as("gram"))
-    val verified = candAnchors.groupBy(col("gram"))
-      .agg(min(col("doc_id")).as("g_min"), max(col("doc_id")).as("g_max"))
+    val wg = Window.partitionBy(col("gram"))
+    candAnchors
+      .withColumn("g_min", min(col("doc_id")).over(wg))
+      .withColumn("g_max", max(col("doc_id")).over(wg))
       .filter(col("g_min") =!= col("g_max"))
-      .select(col("gram"))
-    candAnchors.join(verified, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos"))
   }
 

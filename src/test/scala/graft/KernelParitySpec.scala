@@ -214,6 +214,28 @@ class KernelParitySpec extends AnyFunSuite {
         s"(survived $surviving of ${orig.size})")
   }
 
+  test("gram_hashes kernel equals per-window brute force on the mixed corpus") {
+    // through Spark's codegen path (not direct compute() calls), over
+    // adversarial + seeded-random strings with multi-byte chars: pins the
+    // CHAR (code-unit) indexing contract — substring(text, i+1, w) must
+    // hash to exactly result[i] — and the rolling update's algebra
+    graft.functions.GraftFunctions.ensureRegistered()
+    val w = 5
+    val got = corpus
+      .select(col("text"), call_function("gram_hashes", col("text"), lit(w)).as("hs"))
+      .collect()
+    val bad = got.flatMap { r =>
+      val s = r.getString(0)
+      val hs = r.getSeq[Long](1)
+      val brute =
+        if (s.length < w) Seq.empty[Long]
+        else (0 to s.length - w).map(i => s.substring(i, i + w)
+          .foldLeft(0L)((h, c) => h * graft.functions.GramHashes.Base + c.toLong))
+      if (hs == brute) None else Some(s.take(30))
+    }
+    assert(bad.isEmpty, s"gram_hashes diverged on: ${bad.take(3).mkString(" | ")}")
+  }
+
   test("kernels stay inside whole-stage codegen") {
     // a literal corpus constant-folds to LocalTableScan; use the lake table
     val plan = graft.core.Tables.documents(spark, sf).select(
@@ -237,7 +259,8 @@ class KernelParitySpec extends AnyFunSuite {
       "q20_simhash" -> "simhash64_md5",
       "q25_fingerprint" -> "rolling_min_hash",
       "q35_repetition" -> "max_word_freq",
-      "q39_pii_scrub" -> "regexp_replace")
+      "q39_pii_scrub" -> "regexp_replace",
+      "q80_dup_spans" -> "gram_hashes")
     val broken = cases.flatMap { case (q, token) =>
       val df = SparkEntry.queries(q)(spark, sf)
       // AQE wraps plans with exchanges: codegen markers only appear in the

@@ -101,10 +101,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q78 = audio/video synth + header decode, pure map stage
     "q78_av_decode" -> 0,
     "q79_pcm_windows" -> 0,
-    // q80 = anchor hash agg + candidate semi-join re-key + text join +
-    // gram verify agg/semi + doc_id window + final agg (n_chars side
-    // broadcasts; candidate sets are collision-group-sized)
-    "q80_dup_spans" -> 7,
+    // q80 = ONE corpus-wide anchor-hash agg exchange + the candidate-only
+    // gram-verify window + doc_id island window + presentation sort (the
+    // candidate semi and text joins broadcast; r11 rework — the agg +
+    // self-join verify form replayed the whole candidate subtree twice)
+    "q80_dup_spans" -> 4,
     // q81 = ONE source exchange carrying bounded top-k partials + the
     // presentation sort over the (sources × k)-row result
     "q81_weighted_sample" -> 2,
