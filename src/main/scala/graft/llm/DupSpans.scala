@@ -71,8 +71,17 @@ object DupSpans {
     val candidates = crossDocHashes(a)
     // candidate anchors re-read their text to materialize the gram; the
     // candidate set is collision-group-sized, so the join input is small
+    // The text re-read joins two candidate-/table-sized sides, BOTH of
+    // which grow with the corpus — broadcasting either is a driver-memory
+    // cliff (measured: the planner picked a candidate-anchor broadcast at
+    // the 100x slice and died at the default heap). shuffle_hash keeps it
+    // an executor-side join keyed on doc_id: two bounded exchanges, no
+    // cliff at any corpus size. (The dup-hash semi above stays
+    // broadcast: that set is dup-gram-sized, the q34 IN-set pattern —
+    // on a duplicate-heavy corpus AQE's runtime size demotes it.)
     val candAnchors = a.join(candidates, Seq("h"), "left_semi")
-      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+        .hint("shuffle_hash"),
         Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         substring_index_safe(col("__text"), col("pos"), L).as("gram"))

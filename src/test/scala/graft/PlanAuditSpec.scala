@@ -101,11 +101,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // q78 = audio/video synth + header decode, pure map stage
     "q78_av_decode" -> 0,
     "q79_pcm_windows" -> 0,
-    // q80 = ONE corpus-wide anchor-hash agg exchange + the candidate-only
-    // gram-verify window + doc_id island window + presentation sort (the
-    // candidate semi and text joins broadcast; r11 rework — the agg +
-    // self-join verify form replayed the whole candidate subtree twice)
-    "q80_dup_spans" -> 4,
+    // q80 = ONE corpus-wide anchor-hash agg exchange + the shuffle_hash
+    // text re-read (two candidate-/table-sized doc_id exchanges — the
+    // broadcast form died at the 100x slice's driver heap) + the
+    // candidate-only gram-verify window + doc_id island window +
+    // presentation sort (r11 rework — the agg + self-join verify form
+    // replayed the whole candidate subtree twice)
+    "q80_dup_spans" -> 6,
     // q81 = ONE source exchange carrying bounded top-k partials + the
     // presentation sort over the (sources × k)-row result
     "q81_weighted_sample" -> 2,
