@@ -11,12 +11,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Returns one Karp–Rabin polynomial hash per `window`-CHARACTER window of
   * the text — index i of the result hashes the gram starting at 1-based
-  * character position i+1, i.e. `substring(text, i+1, window)`. Character
-  * (not byte) positions, so the anchor positions land exactly where
-  * Spark's `substring` and the SQL oracle's `substr` read the gram back
-  * for collision verification; a byte-indexed hash would silently
-  * mis-anchor any non-ASCII document. Empty array when the text is
-  * shorter than the window.
+  * character position i+1, i.e. `substring(text, i+1, window)`.
+  * "Character" means Unicode CODE POINT, exactly the unit Spark's
+  * `substring` (UTF8String.substringSQL) and the SQL oracle's `substr`
+  * count — a byte- or UTF-16-code-unit-indexed hash would silently
+  * mis-anchor documents containing multi-byte or supplementary-plane
+  * characters, and the downstream substring() verify would read the
+  * wrong gram. Empty array when the text is shorter than the window.
   *
   * Scale shape: this is the "hash first, materialize later" half of the
   * dup-span pipeline — the corpus-wide shuffle carries 8-byte hashes, and
@@ -52,13 +53,13 @@ object GramHashes {
   // collision needs two genuinely different windows, not a degenerate base.
   final val Base = 1000003L
 
-  /** One hash per w-char window of `s`, rolling O(n); empty when
-    * numChars < w. Called from generated code. */
+  /** One hash per w-code-point window of `s`, rolling O(n); empty when
+    * the text has fewer than w code points. Called from generated code. */
   def compute(s: UTF8String, w: Int): GenericArrayData = {
-    // char-indexed: UTF-16 code units via String — positions must match
-    // substring()/substr() semantics, which count chars, not bytes
-    val cs = s.toString
-    val n = cs.length
+    // code-point indexed: positions must match substring()/substr()
+    // semantics (code points), not Java chars (UTF-16 units) or bytes
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     if (n < w) return new GenericArrayData(Array.emptyLongArray)
     var basePow = 1L
     var i = 0
@@ -66,11 +67,11 @@ object GramHashes {
     val out = new Array[Long](n - w + 1)
     var h = 0L
     i = 0
-    while (i < w) { h = h * Base + cs.charAt(i).toLong; i += 1 }
+    while (i < w) { h = h * Base + cps(i).toLong; i += 1 }
     out(0) = h
     i = w
     while (i < n) {
-      h = (h - cs.charAt(i - w).toLong * basePow) * Base + cs.charAt(i).toLong
+      h = (h - cps(i - w).toLong * basePow) * Base + cps(i).toLong
       out(i - w + 1) = h
       i += 1
     }

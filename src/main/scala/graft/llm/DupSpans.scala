@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object DupSpans {
 
-  /** (doc_id, pos, h) for every L-gram window; pos is the 1-based char
+  /** (doc_id, pos, h) for every L-gram window; pos is the 1-based code-point
     * position `substring(text, pos, L)` reads back. */
   def anchors(docs: DataFrame, textCol: String, idCol: String, L: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered()
@@ -79,6 +79,20 @@ object DupSpans {
     // cliff at any corpus size. (The dup-hash semi above stays
     // broadcast: that set is dup-gram-sized, the q34 IN-set pattern —
     // on a duplicate-heavy corpus AQE's runtime size demotes it.)
+    candidateAnchorsWithOwner(docs, textCol, idCol, L)
+      .filter(col("g_min") =!= col("g_max"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Collision-candidate anchors with their gram's ownership stats:
+    * (doc_id, pos, g_min, g_max) where g_min/g_max are the smallest and
+    * largest doc_ids sharing the anchor's ACTUAL gram. g_min != g_max
+    * certifies a cross-document duplicate; g_min is the canonical owner
+    * the drop policy keeps. */
+  private def candidateAnchorsWithOwner(docs: DataFrame, textCol: String,
+                                        idCol: String, L: Int): DataFrame = {
+    val a = anchors(docs, textCol, idCol, L)
+    val candidates = crossDocHashes(a)
     val candAnchors = a.join(candidates, Seq("h"), "left_semi")
       .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
         .hint("shuffle_hash"),
@@ -89,8 +103,23 @@ object DupSpans {
     candAnchors
       .withColumn("g_min", min(col("doc_id")).over(wg))
       .withColumn("g_max", max(col("doc_id")).over(wg))
-      .filter(col("g_min") =!= col("g_max"))
-      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Maximal disjoint spans per doc from (doc_id, pos) anchors covering
+    * [pos, pos+L): the running-max-end island merge. Output
+    * (doc_id, isla, ini, fin, n_anclas), fin exclusive. */
+  private def islandSpans(anchorDf: DataFrame, L: Int): DataFrame = {
+    val va = anchorDf.withColumn("fin0", col("pos") + L)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMaxEnd = max(col("fin0")).over(byDoc.rowsBetween(
+      Window.unboundedPreceding, -1))
+    va.withColumn("nueva", when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L)
+        .otherwise(0L))
+      .withColumn("isla", sum(col("nueva")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isla"))
+      .agg(min(col("pos")).as("ini"), max(col("fin0")).as("fin"),
+        count(lit(1)).as("n_anclas"))
   }
 
   // substring with a Column start — functions.substring takes literal
@@ -103,20 +132,8 @@ object DupSpans {
     * the running-max-end island merge), and the coverage ratio. */
   def report(docs: DataFrame, textCol: String, idCol: String, L: Int,
              nCharsCol: String): DataFrame = {
-    val va = verifiedAnchors(docs, textCol, idCol, L)
-      .withColumn("fin", col("pos") + L) // exclusive end
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // island boundary: this anchor starts past everything seen so far
-    val prevMaxEnd = max(col("fin")).over(byDoc.rowsBetween(
-      Window.unboundedPreceding, -1))
-    val islands = va
-      .withColumn("nueva", when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L)
-        .otherwise(0L))
-      .withColumn("isla", sum(col("nueva")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val spans = islands.groupBy(col("doc_id"), col("isla"))
-      .agg((max(col("fin")) - min(col("pos"))).as("span_chars"),
-        count(lit(1)).as("n_anclas"))
+    val spans = islandSpans(verifiedAnchors(docs, textCol, idCol, L), L)
+      .withColumn("span_chars", col("fin") - col("ini"))
     spans.groupBy(col("doc_id"))
       .agg(sum(col("n_anclas")).as("n_dup_anchors"),
         sum(col("span_chars")).as("dup_chars"))
@@ -126,6 +143,51 @@ object DupSpans {
         col("dup_chars").cast("double") / col("n_chars").cast("double"))
       .select(col("doc_id"), col("n_dup_anchors"), col("dup_chars"),
         col("n_chars"), col("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The APPLY side of exact-substring dedup (Lee et al. 2022's actual
+    * transform): rewrite each document with its duplicated spans CUT,
+    * keeping the canonical occurrence. The drop policy is deterministic
+    * and simple: a character is cut iff it is covered by a duplicate
+    * anchor whose gram's canonical owner (the SMALLEST doc_id sharing
+    * the gram) is a different document — so exactly one document keeps
+    * each duplicated region, and it is always the same one.
+    *
+    * Output: (doc_id, n_cut, new_text) for EVERY input document —
+    * untouched docs pass through with n_cut = 0. The rebuild is pure
+    * Column algebra over the per-doc sorted span array (bounded by the
+    * doc's own length), so the whole transform stays executor-side; no
+    * driver text surgery, no UDF. */
+  def dropSpans(docs: DataFrame, textCol: String, idCol: String,
+                L: Int): DataFrame = {
+    val cutAnchors = candidateAnchorsWithOwner(docs, textCol, idCol, L)
+      .filter(col("g_min") =!= col("g_max") && col("doc_id") =!= col("g_min"))
+      .select(col("doc_id"), col("pos"))
+    val spansPerDoc = islandSpans(cutAnchors, L)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("ini"), col("fin")))).as("sp"),
+        sum(col("fin") - col("ini")).as("n_cut"))
+    val t = col("__text")
+    val s = col("sp")
+    val n = size(s)
+    // kept text = head-before-first-span + gaps-between-spans + tail:
+    // piece 0 = [1, s1), piece i = [e_i, s_{i+1}), piece n = [e_n, len]
+    val pieces = transform(sequence(lit(0), n), i =>
+      when(i === lit(0),
+        t.substr(lit(1), element_at(s, 1)("ini") - 1))
+        .when(i === n,
+          t.substr(element_at(s, n)("fin"),
+            length(t) - element_at(s, n)("fin") + 1))
+        .otherwise(
+          t.substr(element_at(s, i)("fin"),
+            element_at(s, i + 1)("ini") - element_at(s, i)("fin"))))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(spansPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        when(col("sp").isNull, t)
+          .otherwise(array_join(pieces, "")).as("new_text"))
       .orderBy(col("doc_id"))
   }
 }

@@ -1296,10 +1296,58 @@ object LLMQueries {
       |WHERE rn <= 3""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q83
+  /** The APPLY side of q80 (Lee et al. 2022's actual dedup transform —
+    * graft.llm.DupSpans.dropSpans): every document is rewritten with its
+    * duplicated 48-gram spans CUT unless this document is the gram's
+    * canonical owner (the smallest doc_id sharing it), so exactly one
+    * copy of each duplicated region survives, deterministically. The
+    * rebuild is pure Column algebra over each doc's sorted span array —
+    * executor-side end to end — and the oracle reconstructs the same
+    * text character-by-character (anti-join on cut positions +
+    * string_agg), so a one-off error in ANY span boundary, the ownership
+    * rule, or the gap stitching diverges on the full rebuilt string. */
+  def q83DupDrop(spark: SparkSession, dir: String): DataFrame =
+    DupSpans.dropSpans(Tables.documents(spark, dir), "text", "doc_id", L = 48)
+
+  val q83Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    substr(text, CAST(i AS INT), 48) AS gram
+      |  FROM documents, LATERAL (
+      |    SELECT unnest(range(1, length(text) - 48 + 2)) AS i) t
+      |  WHERE length(text) >= 48),
+      |own AS (
+      |  SELECT gram, min(doc_id) AS owner, count(DISTINCT doc_id) AS nd
+      |  FROM g GROUP BY gram),
+      |cuts AS (
+      |  SELECT g.doc_id, g.pos FROM g JOIN own USING (gram)
+      |  WHERE own.nd >= 2 AND g.doc_id <> own.owner),
+      |cutpos AS (
+      |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+      |  FROM cuts, LATERAL (SELECT unnest(range(cuts.pos, cuts.pos + 48)) AS p) u),
+      |allpos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    substr(text, CAST(i AS INT), 1) AS ch
+      |  FROM documents, LATERAL (
+      |    SELECT unnest(range(1, length(text) + 1)) AS i) t),
+      |kept AS (
+      |  SELECT a.doc_id, COALESCE(string_agg(a.ch, '' ORDER BY a.i), '') AS new_text
+      |  FROM allpos a LEFT JOIN cutpos c ON c.doc_id = a.doc_id AND c.p = a.i
+      |  WHERE c.p IS NULL GROUP BY a.doc_id),
+      |nc AS (SELECT doc_id, count(*) AS n_cut FROM cutpos GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(nc.n_cut, 0) AS n_cut,
+      |  COALESCE(k.new_text, '') AS new_text
+      |FROM documents d
+      |LEFT JOIN nc ON nc.doc_id = d.doc_id
+      |LEFT JOIN kept k ON k.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_pcm_windows"      -> (q79PcmWindows _),
     "q80_dup_spans"        -> (q80DupSpans _),
     "q82_ann_filtered"     -> ((s, d) => q82AnnFiltered(s, d)),
+    "q83_dup_drop"         -> (q83DupDrop _),
     "q55_ann_ivf"          -> ((s, d) => q55AnnIvf(s, d)),
     "q77_ann_pq"           -> ((s, d) => q77AnnPq(s, d)),
     "q60_incremental_dedup" -> ((s, d) => q60IncrementalDedup(s, d)),
@@ -1328,6 +1376,7 @@ object LLMQueries {
     "q79_pcm_windows"      -> q79Sql,
     "q80_dup_spans"        -> q80Sql,
     "q82_ann_filtered"     -> q82Sql,
+    "q83_dup_drop"         -> q83Sql,
     "q55_ann_ivf"          -> q55Sql,
     "q77_ann_pq"           -> q77Sql,
     "q60_incremental_dedup" -> q60Sql,

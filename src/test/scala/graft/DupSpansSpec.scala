@@ -11,11 +11,13 @@ class DupSpansSpec extends AnyFunSuite {
   import TestSpark._
 
   // ------------------------------------------------------ gram_hashes
-  private def bruteHashes(s: String, w: Int): Seq[Long] =
-    if (s.length < w) Seq.empty
-    else (0 to s.length - w).map { i =>
-      s.substring(i, i + w).foldLeft(0L)((h, c) => h * GramHashes.Base + c.toLong)
+  private def bruteHashes(s: String, w: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < w) Seq.empty
+    else (0 to cps.length - w).map { i =>
+      (i until i + w).foldLeft(0L)((h, j) => h * GramHashes.Base + cps(j).toLong)
     }
+  }
 
   test("gram_hashes: rolling equals brute-force per-window hash") {
     for (s <- Seq("", "a", "abcabcabc", "the quick brown fox", "aaaaaaa");
@@ -25,18 +27,58 @@ class DupSpansSpec extends AnyFunSuite {
     }
   }
 
-  test("gram_hashes: char-indexed, not byte-indexed (non-ASCII text)") {
-    val s = "ñandú ñandú" // multi-byte UTF-8, 11 chars
+  test("gram_hashes: code-point indexed, not byte- or UTF-16-unit-indexed") {
+    val s = "ñandú ñandú" // multi-byte UTF-8, 11 code points
     val w = 5
     val got = GramHashes.compute(UTF8String.fromString(s), w).toLongArray.toSeq
-    assert(got.length == s.length - w + 1) // char windows, so 7, not byte windows
+    assert(got.length == s.length - w + 1) // code-point windows, so 7
     assert(got == bruteHashes(s, w))
     // equal grams at different positions hash equal: "ñandú" at 0 and 6
     assert(got.head == got.last)
+    // supplementary plane: 🚀 is ONE code point (two UTF-16 units) — the
+    // window count must follow code points, the unit substring() uses
+    val astral = "a🚀b🚀a🚀b"
+    val got2 = GramHashes.compute(UTF8String.fromString(astral), 3).toLongArray.toSeq
+    assert(got2.length == 5) // 7 code points, not 11 chars
+    assert(got2 == bruteHashes(astral, 3))
+    assert(got2(0) == got2(4)) // "a🚀b" recurs at code points 0 and 4
   }
 
   test("gram_hashes: shorter-than-window text yields an empty array") {
     assert(GramHashes.compute(UTF8String.fromString("ab"), 3).numElements() == 0)
+  }
+
+  // -------------------------------------------------------- dropSpans
+  test("dropSpans: non-owners lose covered spans, the owner keeps its text") {
+    // docs 1 and 2 share "ABCDEFGH"; doc 1 (smallest id) owns it
+    val d = docsDf(
+      1L -> "ABCDEFGHxx",
+      2L -> "yyABCDEFGHzz",
+      3L -> "no dup here")
+    val got = DupSpans.dropSpans(d, "text", "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(got == List(
+      (1L, 0L, "ABCDEFGHxx"),          // owner untouched
+      (2L, 8L, "yyzz"),                // covered span [3,11) cut
+      (3L, 0L, "no dup here")))        // untouched doc passes through
+  }
+
+  test("dropSpans: disjoint spans stitch the gaps back in order") {
+    // doc 2 shares two separate regions with doc 1: "AAAA" and "BBBB"
+    val d = docsDf(
+      1L -> "AAAAxBBBB",
+      2L -> "1AAAA23BBBB4")
+    val got = DupSpans.dropSpans(d, "text", "doc_id", 4)
+      .filter(col("doc_id") === 2L).head()
+    assert(got.getLong(1) == 8L)
+    assert(got.getString(2) == "1234")
+  }
+
+  test("dropSpans: a fully-covered document becomes the empty string") {
+    val d = docsDf(1L -> "ABCD", 2L -> "ABCD")
+    val got = DupSpans.dropSpans(d, "text", "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(got == List((1L, 0L, "ABCD"), (2L, 4L, "")))
   }
 
   // -------------------------------------------------------- dup spans

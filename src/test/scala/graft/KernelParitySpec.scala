@@ -217,7 +217,7 @@ class KernelParitySpec extends AnyFunSuite {
   test("gram_hashes kernel equals per-window brute force on the mixed corpus") {
     // through Spark's codegen path (not direct compute() calls), over
     // adversarial + seeded-random strings with multi-byte chars: pins the
-    // CHAR (code-unit) indexing contract — substring(text, i+1, w) must
+    // CODE-POINT indexing contract — substring(text, i+1, w) must
     // hash to exactly result[i] — and the rolling update's algebra
     graft.functions.GraftFunctions.ensureRegistered()
     val w = 5
@@ -227,10 +227,11 @@ class KernelParitySpec extends AnyFunSuite {
     val bad = got.flatMap { r =>
       val s = r.getString(0)
       val hs = r.getSeq[Long](1)
+      val cps = s.codePoints().toArray
       val brute =
-        if (s.length < w) Seq.empty[Long]
-        else (0 to s.length - w).map(i => s.substring(i, i + w)
-          .foldLeft(0L)((h, c) => h * graft.functions.GramHashes.Base + c.toLong))
+        if (cps.length < w) Seq.empty[Long]
+        else (0 to cps.length - w).map(i => (i until i + w)
+          .foldLeft(0L)((h, j) => h * graft.functions.GramHashes.Base + cps(j).toLong))
       if (hs == brute) None else Some(s.take(30))
     }
     assert(bad.isEmpty, s"gram_hashes diverged on: ${bad.take(3).mkString(" | ")}")

@@ -108,6 +108,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // presentation sort (r11 rework — the agg + self-join verify form
     // replayed the whole candidate subtree twice)
     "q80_dup_spans" -> 6,
+    // q83 = q80's candidate pipeline + cut-span islands + per-doc span
+    // arrays + the text-rebuild join + presentation sort
+    "q83_dup_drop" -> 7,
     // q81 = ONE source exchange carrying bounded top-k partials + the
     // presentation sort over the (sources × k)-row result
     "q81_weighted_sample" -> 2,
