@@ -74,6 +74,23 @@ class DupSpansSpec extends AnyFunSuite {
     assert(got.getString(2) == "1234")
   }
 
+  test("dropSpans: a cut anchor overrides an overlapping OWNED gram's chars") {
+    // d2 owns gram "CDQQ" (shared with d3, min id = 2) but its C and D
+    // chars are also covered by the non-owned "ABCD" anchor (owner d1) —
+    // the policy is char-level: covered-by-any-non-owned-anchor cuts, so
+    // d2 keeps only the QQ tail of its owned gram
+    val d = docsDf(
+      1L -> "ABCD",
+      2L -> "PPABCDQQ",
+      3L -> "CDQQZZZZ")
+    val got = DupSpans.dropSpans(d, "text", "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(got == List(
+      (1L, 0L, "ABCD"),     // owner of ABCD
+      (2L, 4L, "PPQQ"),     // [3,7) cut; owned CDQQ keeps only chars 7-8
+      (3L, 4L, "ZZZZ")))    // CDQQ owned by d2, so d3's copy [1,5) is cut
+  }
+
   test("dropSpans: a fully-covered document becomes the empty string") {
     val d = docsDf(1L -> "ABCD", 2L -> "ABCD")
     val got = DupSpans.dropSpans(d, "text", "doc_id", 4)
