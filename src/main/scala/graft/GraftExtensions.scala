@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "token_count" -> (exprs => TokenCount(exprs.head)),
     "rolling_min_hash" -> (exprs => RollingMinHashExpr(exprs.head, 16)),
     "gram_hashes" -> (exprs => GramHashesExpr(exprs(0), intLit(exprs(1)))),
+    "gram_hashes_winnowed" -> (exprs =>
+      WinnowedGramHashesExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
     "top_k_double" -> (exprs =>
       TopKByDouble(exprs(0), exprs(1), intLit(exprs(2))).toAggregateExpression()),
     "cdc_boundaries" -> (exprs =>

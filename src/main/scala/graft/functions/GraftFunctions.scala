@@ -13,7 +13,7 @@ object GraftFunctions {
     "max_word_freq", "minhash_bands", "simhash64_md5", "marker_count",
     "bloom_agg", "bloom_might_contain", "lsh_probe_buckets",
     "lsh_probe_buckets_margin", "cdc_boundaries", "multi_distinct_count",
-    "bitmap_distinct", "gram_hashes", "top_k_double")
+    "bitmap_distinct", "gram_hashes", "gram_hashes_winnowed", "top_k_double")
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -28,6 +28,9 @@ object GraftFunctions {
       exprs => RollingMinHashExpr(exprs.head, 16), "built-in")
     reg.createOrReplaceTempFunction("gram_hashes",
       exprs => GramHashesExpr(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("gram_hashes_winnowed",
+      exprs => WinnowedGramHashesExpr(exprs(0), intLit(exprs(1)),
+        intLit(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("top_k_double",
       exprs => TopKByDouble(exprs(0), exprs(1),
         intLit(exprs(2))).toAggregateExpression(), "built-in")

@@ -3,6 +3,7 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import scala.collection.mutable
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -31,6 +32,18 @@ case class TopKByDouble(
   require(k >= 1, s"top_k_double k must be >= 1, got $k")
 
   override def children: Seq[Expression] = Seq(scoreChild, payloadChild)
+  // user-callable SQL function: reject non-(double, bigint) arguments at
+  // ANALYSIS time instead of a runtime ClassCastException deep in the
+  // aggregate (callers widen explicitly; silent implicit casts would hide
+  // a lossy long→double score conversion)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (scoreChild.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_double score must be DOUBLE, got ${scoreChild.dataType.sql}")
+    else if (payloadChild.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_double payload must be BIGINT, got ${payloadChild.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -41,10 +54,16 @@ case class TopKByDouble(
 
   // "worse" = smaller score, then LARGER payload (so among equal scores the
   // kept set prefers small payloads). Min-heap on this ordering: head is
-  // the worst kept element, evicted first.
+  // the worst kept element, evicted first. Scores compare via
+  // java.lang.Double.compare — a TOTAL order (IEEE `<`/`==` both answer
+  // false against NaN, making fromLessThan non-transitive and heap
+  // eviction arbitrary for NaN inputs): NaN sorts as the LARGEST score
+  // and -0.0 below 0.0, deterministically.
   private val ord: Ordering[(Double, Long)] =
-    Ordering.fromLessThan[(Double, Long)]((a, b) =>
-      a._1 < b._1 || (a._1 == b._1 && a._2 > b._2))
+    Ordering.fromLessThan[(Double, Long)] { (a, b) =>
+      val c = java.lang.Double.compare(a._1, b._1)
+      c < 0 || (c == 0 && a._2 > b._2)
+    }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     new mutable.PriorityQueue[(Double, Long)]()(ord.reverse) // head = worst

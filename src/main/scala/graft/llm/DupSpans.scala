@@ -46,6 +46,32 @@ object DupSpans {
       .select(col("doc_id"), (col("idx") + 1).as("pos"), col("h"))
   }
 
+  /** WINNOWED (doc_id, pos, h) anchors — Schleimer–Wilkerson–Aiken 2003:
+    * per window of `w` consecutive gram hashes keep only the rightmost
+    * minimum (unsigned order), cutting the corpus-wide anchor exchange
+    * ~ (w+1)/2 × while GUARANTEEING that any substring shared by two
+    * documents with code-point length >= L + w - 1 still produces a
+    * common selected gram in both (the shared region contains a full
+    * window of w identical gram hashes, and the selection is a pure
+    * function of the window's contents). This is the scale lever for the
+    * exact-substring pipeline: the exact anchor pass shuffles one 8-byte
+    * hash PER CHARACTER POSITION (~1.6× the corpus in exchange bytes at
+    * 100 TB); the winnowed pass shuffles ~1/8 of that at w = 16, at the
+    * cost of only detecting duplicated spans >= L + w - 1 (plus whatever
+    * shorter spans happen to anchor). Selection runs inside the
+    * gram_hashes_winnowed codegen kernel — O(chars) per document,
+    * scan-fused, nothing explodes before the winnow. */
+  def winnowedAnchors(docs: DataFrame, textCol: String, idCol: String,
+                      L: Int, w: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    docs
+      .filter(length(col(textCol)) >= L)
+      .select(col(idCol).as("doc_id"),
+        explode(call_function("gram_hashes_winnowed", col(textCol), lit(L),
+          lit(w))).as("a"))
+      .select(col("doc_id"), col("a.pos").as("pos"), col("a.h"))
+  }
+
   /** Hashes whose anchor set spans >= 2 distinct documents (collision
     * candidates; verified against real grams downstream). */
   def crossDocHashes(anchorDf: DataFrame): DataFrame =
@@ -66,43 +92,60 @@ object DupSpans {
     * join's right side (measured 2× the shuffle at the 10× slice). The
     * window's gram exchange carries only collision candidates. */
   def verifiedAnchors(docs: DataFrame, textCol: String, idCol: String,
-                      L: Int): DataFrame = {
-    val a = anchors(docs, textCol, idCol, L)
-    val candidates = crossDocHashes(a)
-    // candidate anchors re-read their text to materialize the gram; the
-    // candidate set is collision-group-sized, so the join input is small
-    // The text re-read joins two candidate-/table-sized sides, BOTH of
-    // which grow with the corpus — broadcasting either is a driver-memory
-    // cliff (measured: the planner picked a candidate-anchor broadcast at
-    // the 100x slice and died at the default heap). shuffle_hash keeps it
-    // an executor-side join keyed on doc_id: two bounded exchanges, no
-    // cliff at any corpus size. (The dup-hash semi above stays
-    // broadcast: that set is dup-gram-sized, the q34 IN-set pattern —
-    // on a duplicate-heavy corpus AQE's runtime size demotes it.)
-    candidateAnchorsWithOwner(docs, textCol, idCol, L)
+                      L: Int, winnowWindow: Int = 1): DataFrame =
+    candidateAnchorsWithOwner(docs, textCol, idCol, L, winnowWindow)
       .filter(col("g_min") =!= col("g_max"))
       .select(col("doc_id"), col("pos"))
-  }
 
   /** Collision-candidate anchors with their gram's ownership stats:
     * (doc_id, pos, g_min, g_max) where g_min/g_max are the smallest and
     * largest doc_ids sharing the anchor's ACTUAL gram. g_min != g_max
     * certifies a cross-document duplicate; g_min is the canonical owner
-    * the drop policy keeps. */
+    * the drop policy keeps. `winnowWindow > 1` runs the whole candidate
+    * pipeline over the winnowed anchor subset ([[winnowedAnchors]]).
+    *
+    * Candidate anchors re-read their text to materialize the gram; the
+    * candidate set is collision-group-sized, so the join input is small.
+    * The text re-read joins two candidate-/table-sized sides, BOTH of
+    * which grow with the corpus — broadcasting either is a driver-memory
+    * cliff (measured: the planner picked a candidate-anchor broadcast at
+    * the 100x slice and died at the default heap). shuffle_hash keeps it
+    * an executor-side join keyed on doc_id: two bounded exchanges, no
+    * cliff at any corpus size. (The dup-hash semi stays broadcast: that
+    * set is dup-gram-sized, the q34 IN-set pattern — on a
+    * duplicate-heavy corpus AQE's runtime size demotes it.) */
   private def candidateAnchorsWithOwner(docs: DataFrame, textCol: String,
-                                        idCol: String, L: Int): DataFrame = {
-    val a = anchors(docs, textCol, idCol, L)
+                                        idCol: String, L: Int,
+                                        winnowWindow: Int = 1): DataFrame = {
+    val a =
+      if (winnowWindow <= 1) anchors(docs, textCol, idCol, L)
+      else winnowedAnchors(docs, textCol, idCol, L, winnowWindow)
     val candidates = crossDocHashes(a)
     val candAnchors = a.join(candidates, Seq("h"), "left_semi")
       .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
         .hint("shuffle_hash"),
         Seq("doc_id"))
-      .select(col("doc_id"), col("pos"),
+      .select(col("doc_id"), col("pos"), col("h"),
         substring_index_safe(col("__text"), col("pos"), L).as("gram"))
-    val wg = Window.partitionBy(col("gram"))
+    // Verification is a WINDOW over the candidate set, not an agg +
+    // self-join: min/max(doc_id) over (partition by h, gram) computes the
+    // cross-doc test in the same pass that keeps the anchor rows, so the
+    // candidate pipeline (explode → hash agg → broadcast semi → text
+    // join) plans ONCE — the agg/join form replayed that whole subtree,
+    // including the corpus-wide hash exchange, a second time for the
+    // join's right side (measured 2× the shuffle at the 10× slice). The
+    // exchange is KEYED on the 8-byte hash (explicit repartition);
+    // HashPartitioning(h) satisfies the (h, gram) window's clustering
+    // requirement, so gram equality is verified with a LOCAL sort inside
+    // the hash partitions — collision rejection without a string-keyed
+    // exchange (grouping by (h, gram) rather than gram alone is the same
+    // partition law: equal grams always share h).
+    val wg = Window.partitionBy(col("h"), col("gram"))
     candAnchors
+      .repartition(col("h"))
       .withColumn("g_min", min(col("doc_id")).over(wg))
       .withColumn("g_max", max(col("doc_id")).over(wg))
+      .drop("h")
   }
 
   /** Maximal disjoint spans per doc from (doc_id, pos) anchors covering
@@ -129,10 +172,14 @@ object DupSpans {
 
   /** Per-document duplicated-span report: number of duplicate anchors,
     * exact duplicated-char coverage (union of [pos, pos+L) intervals via
-    * the running-max-end island merge), and the coverage ratio. */
+    * the running-max-end island merge), and the coverage ratio.
+    * `winnowWindow > 1` reports over the winnowed anchor subset — every
+    * span of length >= L + winnowWindow - 1 still detected, exchange
+    * ~ (winnowWindow+1)/2 × smaller. */
   def report(docs: DataFrame, textCol: String, idCol: String, L: Int,
-             nCharsCol: String): DataFrame = {
-    val spans = islandSpans(verifiedAnchors(docs, textCol, idCol, L), L)
+             nCharsCol: String, winnowWindow: Int = 1): DataFrame = {
+    val spans = islandSpans(
+      verifiedAnchors(docs, textCol, idCol, L, winnowWindow), L)
       .withColumn("span_chars", col("fin") - col("ini"))
     spans.groupBy(col("doc_id"))
       .agg(sum(col("n_anclas")).as("n_dup_anchors"),

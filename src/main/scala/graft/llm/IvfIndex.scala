@@ -400,19 +400,26 @@ object IvfIndex {
     val spark = queries.sparkSession
     val sv = resolveServe(queries, root, vecCol, probes, coarseProbes,
       autoWiden, needProbed = pruned)
-    val at = assignmentTable(spark, root)
-    val assigned =
-      if (!pruned) at.readVersion(sv.av)
-      else
-        // entries with an unparseable/absent part path stay in the scan
-        // (pruning must never drop data it cannot prove irrelevant)
-        at.readParts(sv.av)(p => cellOf(p).forall(sv.probed.contains))
+    val assigned = candidateScan(spark, root, sv, pruned)
     // `where` filters the candidate scan on the assignment table's own
     // columns (id/vector/cell); for metadata predicates use
     // [[topKFiltered]], which joins the source-table attributes in.
     val candidates = where.fold(assigned)(assigned.filter)
     Similarity.ivfTopKWith(queries, candidates, sv.model, idCol, vecCol, k,
       probes)
+  }
+
+  /** The probed candidate scan for one resolved serve view — shared by
+    * [[topK]] and [[topKFiltered]] so the prune law cannot drift between
+    * the filtered and unfiltered serve paths. */
+  private def candidateScan(spark: SparkSession, root: String,
+                            sv: ServeView, pruned: Boolean): DataFrame = {
+    val at = assignmentTable(spark, root)
+    if (!pruned) at.readVersion(sv.av)
+    else
+      // entries with an unparseable/absent part path stay in the scan
+      // (pruning must never drop data it cannot prove irrelevant)
+      at.readParts(sv.av)(p => cellOf(p).forall(sv.probed.contains))
   }
 
   /** Metadata-FILTERED approximate nearest neighbors — the vector-store
@@ -435,10 +442,7 @@ object IvfIndex {
     val spark = queries.sparkSession
     val sv = resolveServe(queries, root, vecCol, probes, coarseProbes,
       autoWiden, needProbed = pruned)
-    val at = assignmentTable(spark, root)
-    val assigned =
-      if (!pruned) at.readVersion(sv.av)
-      else at.readParts(sv.av)(p => cellOf(p).forall(sv.probed.contains))
+    val assigned = candidateScan(spark, root, sv, pruned)
     val keep = meta.filter(where).select(col(idCol))
     val candidates = assigned.join(keep, Seq(idCol), "left_semi")
     Similarity.ivfTopKWith(queries, candidates, sv.model, idCol, vecCol, k,

@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *    not rand() — the sample is a pure function of the data, stable
   *    across retries, speculative tasks and repartitioning (the
   *    BottomKSample property, with weights).
-  *  - ORACLE-EXACT: u = (id*2654435761 mod 2^32 + 1) / 2^33-free integer
-  *    math plus two IEEE-754 divisions/multiplies, every step correctly
-  *    rounded — any engine computing the same formula gets bit-identical
-  *    priorities, so the selected set value-checks across engines (a
-  *    pow()/ln() scheme would be at the mercy of each libm's last ulp).
+  *  - ORACLE-EXACT: u's numerator is (id·2654435761 mod 2^32) + 1 in
+  *    overflow-free split-multiply integer math (every partial product
+  *    < 2^49 — see [[hashNumerator]]), then the priority is two IEEE-754
+  *    correctly-rounded double ops — any engine computing the same
+  *    formula gets bit-identical priorities AT ANY id SCALE, so the
+  *    selected set value-checks across engines (a pow()/ln() scheme
+  *    would be at the mercy of each libm's last ulp).
   *  - BOUNDED STATE: selection runs on the `top_k_double` aggregate
   *    (graft.functions.TopKByDouble) — O(k) state per group, merged
   *    map-side, so the shuffle carries at most k (priority, id) pairs per
@@ -36,10 +38,26 @@ object WeightedSample {
   /** Knuth multiplicative-hash constant; u lands in (0, 1]. */
   final val HashMul = 2654435761L
   final val HashMod = 4294967296L // 2^32
+  /** (HashMul << 16) mod 2^32 — the high-half partial product's factor. */
+  final val HashMulHi = (HashMul << 16) & 0xFFFFFFFFL // 2041643008
 
-  /** The deterministic uniform's integer numerator: hash(id) in [1, 2^32]. */
-  def hashNumerator(id: Column): Column =
-    pmod(id * lit(HashMul), lit(HashMod)) + 1
+  /** The deterministic uniform's integer numerator: hash(id) in [1, 2^32].
+    *
+    * (id·M) mod 2^32 computed OVERFLOW-FREE: the naive `id * M` product
+    * leaves the Long range for id ≥ 2^63/M ≈ 3.47e9 — Spark (non-ANSI)
+    * silently wraps mod 2^64 (which happens to preserve the mod-2^32
+    * residue), but an oracle engine computing the same literal formula in
+    * BIGINT raises on overflow, so the bit-portability claim would only
+    * hold for small ids. Splitting a = id mod 2^32 into 16-bit halves
+    * keeps every partial product under 2^49:
+    *   a·M ≡ lo·M + hi·(M·2^16 mod 2^32)  (mod 2^32).
+    * Identical values to the wrapped product at every id. */
+  def hashNumerator(id: Column): Column = {
+    val a = pmod(id, lit(HashMod))
+    val lo = a.bitwiseAND(lit(0xFFFFL))
+    val hi = shiftright(a, 16)
+    pmod(lo * lit(HashMul) + hi * lit(HashMulHi), lit(HashMod)) + 1
+  }
 
   /** Priority q = w / u = (w * 2^32) / numerator — two correctly-rounded
     * double ops over exact integers; bit-portable across engines. */

@@ -389,11 +389,19 @@ object CurationQueries {
       .orderBy(col("source"), col("rk"))
 
   val q81Sql: String =
-    """WITH s AS (
+    """WITH hn AS (
+      |  -- (doc_id * 2654435761) mod 2^32 via 16-bit split partial
+      |  -- products (each < 2^49) so BIGINT never overflows at any id
+      |  SELECT source, doc_id, n_chars,
+      |    (((doc_id % 4294967296) % 65536) * 2654435761
+      |     + ((doc_id % 4294967296) // 65536) * 2041643008) % 4294967296
+      |      + 1 AS num
+      |  FROM documents),
+      |s AS (
       |  SELECT source, doc_id,
       |    (CAST(n_chars AS DOUBLE) * 4294967296.0) /
-      |      CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE) AS priority
-      |  FROM documents),
+      |      CAST(num AS DOUBLE) AS priority
+      |  FROM hn),
       |r AS (
       |  SELECT source, doc_id, priority,
       |    row_number() OVER (PARTITION BY source

@@ -1343,7 +1343,66 @@ object LLMQueries {
       |LEFT JOIN kept k ON k.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** WINNOWED exact duplicated-substring coverage (r12 — Schleimer–
+    * Wilkerson–Aiken 2003 over the q80 pipeline): the anchor pass keeps
+    * only the rightmost-minimum gram hash per window of 16 consecutive
+    * positions, so the corpus-wide exchange carries ~2/17 of q80's rows
+    * (~8× fewer bytes — the single biggest scale cost in the repo,
+    * ~1.6× the corpus at 100 TB, engineered down to ~0.2×) while STILL
+    * GUARANTEEING detection of every duplicated span of code-point
+    * length >= 48 + 16 - 1 = 63 (a shared span that long contains a full
+    * window of identical hashes in both documents, and winnow selection
+    * is a pure function of the window's contents — both docs select the
+    * same gram). Everything downstream is the q80 machinery unchanged:
+    * cross-doc candidacy on the 8-byte hash, gram strings materialized
+    * only for collision candidates and verified by value, running-max-end
+    * island merge. The oracle replays the Karp–Rabin stream in HUGEINT
+    * mod-2^64 arithmetic and the rightmost-min selection via a
+    * (hash·2^32 + reversed-position) composite min — bit-portable
+    * unsigned order, so any selection defect diverges. Docs with fewer
+    * than 16 grams winnow as one truncated window (their minimal gram
+    * still anchors). */
+  def q84DupSpansWinnowed(spark: SparkSession, dir: String): DataFrame =
+    DupSpans.report(Tables.documents(spark, dir), "text", "doc_id",
+      L = 48, nCharsCol = "n_chars", winnowWindow = 16)
+
+  val q84Sql: String =
+    """WITH hs AS (
+      |  SELECT doc_id, text,
+      |    list_transform(range(1, length(text) - 48 + 2),
+      |      i -> list_reduce(
+      |        list_transform(range(i, i + 48), j -> CAST(ord(text[j]) AS HUGEINT)),
+      |        (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT)) AS us
+      |  FROM documents WHERE length(text) >= 48),
+      |sel AS (
+      |  SELECT doc_id, text,
+      |    list_distinct(list_transform(
+      |      range(1, len(us) - least(16, len(us)) + 2),
+      |      j -> 4294967295 - CAST(list_min(list_transform(
+      |             range(j, j + least(16, len(us))),
+      |             p -> us[p] * 4294967296::HUGEINT
+      |                  + CAST(4294967295 - p AS HUGEINT))) % 4294967296::HUGEINT AS BIGINT))) AS poss
+      |  FROM hs),
+      |g AS (
+      |  SELECT doc_id, CAST(p AS BIGINT) AS pos, substr(text, CAST(p AS INT), 48) AS gram
+      |  FROM sel, LATERAL (SELECT unnest(poss) AS p) t),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |a AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+      |cov AS (
+      |  SELECT doc_id, count(DISTINCT p) AS dup_chars
+      |  FROM a, LATERAL (SELECT unnest(range(a.pos, a.pos + 48)) AS p) u
+      |  GROUP BY doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n_dup_anchors FROM a GROUP BY doc_id)
+      |SELECT cnt.doc_id, cnt.n_dup_anchors, cov.dup_chars, d.n_chars,
+      |  CAST(cov.dup_chars AS DOUBLE) / CAST(d.n_chars AS DOUBLE) AS dup_ratio
+      |FROM cnt
+      |JOIN cov ON cov.doc_id = cnt.doc_id
+      |JOIN documents d ON d.doc_id = cnt.doc_id
+      |ORDER BY cnt.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_dup_spans_winnowed" -> (q84DupSpansWinnowed _),
     "q79_pcm_windows"      -> (q79PcmWindows _),
     "q80_dup_spans"        -> (q80DupSpans _),
     "q82_ann_filtered"     -> ((s, d) => q82AnnFiltered(s, d)),
@@ -1373,6 +1432,7 @@ object LLMQueries {
     "q69_cluster_medoids" -> ((s, d) => q69ClusterMedoids(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q84_dup_spans_winnowed" -> q84Sql,
     "q79_pcm_windows"      -> q79Sql,
     "q80_dup_spans"        -> q80Sql,
     "q82_ann_filtered"     -> q82Sql,

@@ -48,6 +48,137 @@ class DupSpansSpec extends AnyFunSuite {
     assert(GramHashes.compute(UTF8String.fromString("ab"), 3).numElements() == 0)
   }
 
+  // ------------------------------------------------ gram_hashes_winnowed
+  /** Independent reference winnow: per window of `w` consecutive gram
+    * hashes take the rightmost unsigned minimum; distinct positions. */
+  private def bruteWinnow(s: String, gramLen: Int, w: Int): Seq[(Int, Long)] = {
+    val hs = bruteHashes(s, gramLen)
+    if (hs.isEmpty) Seq.empty
+    else {
+      val win = math.min(w, hs.length)
+      (0 to hs.length - win).map { j =>
+        (j until j + win).reduceLeft { (best, t) =>
+          if (java.lang.Long.compareUnsigned(hs(t), hs(best)) <= 0) t else best
+        }
+      }.distinct.map(p => (p + 1, hs(p)))
+    }
+  }
+
+  test("winnow: kernel equals the brute-force rightmost-min reference") {
+    for (s <- Seq("", "a", "abcabcabcabcabc", "the quick brown fox jumps",
+                  "aaaaaaaaaaaa", "abab" * 10);
+         gl <- Seq(1, 3, 4); w <- Seq(1, 2, 4, 16)) {
+      val got = GramHashes.winnow(UTF8String.fromString(s), gl, w)
+      val rows = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getInt(0), r.getLong(1))
+      }
+      assert(rows == bruteWinnow(s, gl, w), s"s='$s' gl=$gl w=$w")
+    }
+  }
+
+  test("winnow: w=1 selects every position (degenerates to gram_hashes)") {
+    val s = "the quick brown fox"
+    val got = GramHashes.winnow(UTF8String.fromString(s), 4, 1)
+    val all = GramHashes.compute(UTF8String.fromString(s), 4).toLongArray
+    assert(got.numElements() == all.length)
+    (0 until got.numElements()).foreach { i =>
+      val r = got.getStruct(i, 2)
+      assert(r.getInt(0) == i + 1 && r.getLong(1) == all(i))
+    }
+  }
+
+  test("winnow: selection is content-local — identical windows select identically") {
+    // the winnowing guarantee's mechanism: a shared substring with >= w
+    // consecutive gram positions selects the same gram (by content) in
+    // any embedding context
+    val core = "WINNOWING-GUARANTEE-SHARED-REGION-0123456789"
+    val a = "xxxx" + core + "yyyy"
+    val b = "qqqqqqqq" + core + "rr"
+    val gl = 8; val w = 4
+    def sel(s: String) = {
+      val got = GramHashes.winnow(UTF8String.fromString(s), gl, w)
+      (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getInt(0), r.getLong(1))
+      }
+    }
+    // grams fully inside core, by content (the substring the pos reads)
+    def coreGrams(s: String) =
+      sel(s).map { case (p, _) => s.substring(p - 1, p - 1 + gl) }
+        .filter(g => core.contains(g)).toSet
+    val shared = coreGrams(a).intersect(coreGrams(b))
+    assert(shared.nonEmpty, "no common selected gram inside the shared region")
+  }
+
+  test("winnow: supplementary-plane positions stay code-point-indexed") {
+    val astral = "x🚀y🚀x🚀y🚀x🚀y🚀x🚀y" // repeats "x🚀y🚀" — code points, not chars
+    val got = GramHashes.winnow(UTF8String.fromString(astral), 3, 2)
+    (0 until got.numElements()).foreach { i =>
+      val r = got.getStruct(i, 2)
+      val p = r.getInt(0)
+      // the hash at pos p must equal the brute hash of the code-point gram
+      assert(r.getLong(1) == bruteHashes(astral, 3)(p - 1))
+    }
+  }
+
+  test("winnowed anchors are a subset of exact anchors, ~2/(w+1) dense") {
+    val d = docsDf(
+      1L -> ("abcdefghij" * 20),
+      2L -> ("jihgfedcba" * 20),
+      3L -> "completely different content here with no repeats at all")
+    val exact = DupSpans.anchors(d, "text", "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val win = DupSpans.winnowedAnchors(d, "text", "doc_id", 8, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(win.subsetOf(exact))
+    assert(win.size < exact.size / 3, s"${win.size} vs ${exact.size}")
+  }
+
+  test("winnowed report: every exact span >= L + w - 1 still detected") {
+    // plant shared spans of length exactly L + w - 1 = 4 + 4 - 1 = 7 in
+    // otherwise-unrelated documents; the winnowed pipeline must anchor
+    // inside every one of them
+    val shared1 = "SHAREDA"   // 7 chars
+    val shared2 = "ZZCOMMQ"   // 7 chars
+    val d = docsDf(
+      1L -> ("aaa1bbb2ccc" + shared1 + "ddd3eee"),
+      2L -> ("fff4ggg" + shared1 + "hhh5iii6" + shared2),
+      3L -> ("jjj7kkk8lll" + shared2 + "mmm9nnn"))
+    val L = 4; val w = 4
+    val winAnchors = DupSpans.verifiedAnchors(d, "text", "doc_id", L, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // each planted span, in each doc containing it, must contain an anchor
+    val docs = Map(1L -> ("aaa1bbb2ccc" + shared1 + "ddd3eee"),
+      2L -> ("fff4ggg" + shared1 + "hhh5iii6" + shared2),
+      3L -> ("jjj7kkk8lll" + shared2 + "mmm9nnn"))
+    for ((id, text) <- docs; sh <- Seq(shared1, shared2)
+         if text.contains(sh)) {
+      val start = text.indexOf(sh) + 1 // 1-based
+      val inSpan = winAnchors.exists { case (d0, p) =>
+        d0 == id && p >= start && p + L <= start + sh.length }
+      assert(inSpan, s"doc $id span '$sh' at $start has no winnowed anchor")
+    }
+  }
+
+  test("winnowed == exact when winnowWindow = 1") {
+    val d = docsDf(
+      1L -> "ABCDEFGHxxxxZZZZ",
+      2L -> "yyABCDEFGHyyyyZZZZy")
+    val exact = DupSpans.report(d, "text", "doc_id", 4, "n_chars")
+      .collect().map(_.toSeq).toList
+    val win1 = DupSpans.report(d, "text", "doc_id", 4, "n_chars",
+      winnowWindow = 1)
+      .collect().map(_.toSeq).toList
+    assert(exact == win1)
+  }
+
+  test("winnow: short docs (< w grams) anchor their minimal gram — exact short dups detectable") {
+    val d = docsDf(1L -> "ABCDE", 2L -> "ABCDE") // 2 grams at L=4, w=16
+    val got = DupSpans.report(d, "text", "doc_id", 4, "n_chars",
+      winnowWindow = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got.nonEmpty && got.forall(_._2 >= 1L), s"got $got")
+  }
+
   // -------------------------------------------------------- dropSpans
   test("dropSpans: non-owners lose covered spans, the owner keeps its text") {
     // docs 1 and 2 share "ABCDEFGH"; doc 1 (smallest id) owns it
@@ -179,5 +310,49 @@ class DupSpansSpec extends AnyFunSuite {
       .map(r => (r.getDouble(0), r.getLong(1))).toList
     // ties on score=3.0 break by payload ascending
     assert(got == List((3.0, 5L), (3.0, 30L), (2.0, 20L), (1.0, 10L)))
+  }
+
+  test("top_k_double: NaN scores totally ordered (largest), never corrupt the heap") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered()
+    val df = Seq((Double.NaN, 1L), (5.0, 2L), (Double.NaN, 3L), (7.0, 4L),
+      (1.0, 5L)).toDF("q", "id")
+    val got = df.agg(call_function("top_k_double", col("q"), col("id"), lit(3)))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0).isNaN, r.getLong(1))).toList
+    // Double.compare puts NaN above every number; ties by payload asc
+    assert(got == List((true, 1L), (true, 3L), (false, 4L)))
+  }
+
+  test("top_k_double: wrong argument types fail at analysis time") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered()
+    val df = Seq(("x", 1L)).toDF("q", "id")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(call_function("top_k_double", col("q"), col("id"), lit(2))).head()
+    }
+    assert(e.getMessage.contains("top_k_double score must be DOUBLE"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(call_function("top_k_double", lit(1.0), col("q"), lit(2))).head()
+    }
+    assert(e2.getMessage.contains("top_k_double payload must be BIGINT"))
+  }
+
+  test("hashNumerator: overflow-free split multiply matches BigInt at any id") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(0L, 1L, 7L, 3470000000L, Int.MaxValue.toLong,
+      1L << 40, Long.MaxValue - 1, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select(col("id"), WeightedSample.hashNumerator(col("id")).as("num"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    ids.foreach { id =>
+      val expect = ((BigInt(id) * WeightedSample.HashMul) %
+        WeightedSample.HashMod).toLong + 1
+      assert(got(id) == expect, s"id=$id")
+      assert(got(id) >= 1 && got(id) <= WeightedSample.HashMod)
+    }
   }
 }

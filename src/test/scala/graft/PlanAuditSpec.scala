@@ -108,6 +108,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // presentation sort (r11 rework — the agg + self-join verify form
     // replayed the whole candidate subtree twice)
     "q80_dup_spans" -> 6,
+    // q84 = q80's exact shape over the winnowed anchor subset (the
+    // gram_hashes_winnowed kernel thins rows BEFORE the first exchange,
+    // so the exchange COUNT is identical and the BYTES are ~8× smaller)
+    "q84_dup_spans_winnowed" -> 6,
     // q83 = q80's candidate pipeline + cut-span islands + per-doc span
     // arrays + the text-rebuild join + presentation sort
     "q83_dup_drop" -> 7,
