@@ -193,6 +193,82 @@ object DupSpans {
       .orderBy(col("doc_id"))
   }
 
+  /** Asymmetric (increment-vs-corpus) exact-substring dedup — the
+    * daily-ingest shape of q80 (the q60 pattern for gram anchors): an
+    * increment anchor at (doc_id, pos) is a duplicate iff its ACTUAL
+    * L-gram occurs anywhere in the STANDING corpus. Corpus × corpus is
+    * never compared; corpus-internal duplication is invisible here by
+    * design (it was adjudicated when those docs were ingested).
+    *
+    * Output: one row per increment document — (doc_id, n_dup_anchors,
+    * dup_chars, n_chars, dup_ratio), zeros for clean docs (unlike
+    * [[report]], which only emits documents that anchored — an ingest
+    * gate needs the clean rows to admit).
+    *
+    * This inline form computes the corpus anchor pass itself (the gate
+    * needs a self-contained plan); production feeds the corpus side from
+    * the PERSISTED inverted file instead — [[DupSpansIndex.flag]] — so a
+    * daily run hashes only its own churn. Scale shape either way: the
+    * corpus side is probed with a SEMI join on the increment's 8-byte
+    * hash set (churn-sized, broadcastable for a daily increment — AQE
+    * decides), gram strings materialize only for hash hits on BOTH
+    * sides, and the final verify is a (h, gram) semi join — collision
+    * can never fabricate a duplicate. */
+  def flagIncrement(increment: DataFrame, corpus: DataFrame,
+                    textCol: String, idCol: String, L: Int,
+                    nCharsCol: String, winnowWindow: Int = 1): DataFrame = {
+    val corA =
+      if (winnowWindow <= 1) anchors(corpus, textCol, idCol, L)
+      else winnowedAnchors(corpus, textCol, idCol, L, winnowWindow)
+    flagAgainst(increment, corpus, corA, textCol, idCol, L, nCharsCol,
+      winnowWindow)
+  }
+
+  /** The shared increment-flag core: `corpusAnchors` is (doc_id, pos, h)
+    * — computed inline ([[flagIncrement]]) or read from the standing
+    * inverted file ([[DupSpansIndex.flag]]); `corpusText` resolves
+    * candidate corpus grams by doc_id (only hash-hit documents' text is
+    * touched — at scale a stats-pruned [[graft.sources.TxnTable]] read). */
+  private[llm] def flagAgainst(increment: DataFrame, corpusText: DataFrame,
+                               corpusAnchors: DataFrame, textCol: String,
+                               idCol: String, L: Int, nCharsCol: String,
+                               winnowWindow: Int): DataFrame = {
+    val incA =
+      if (winnowWindow <= 1) anchors(increment, textCol, idCol, L)
+      else winnowedAnchors(increment, textCol, idCol, L, winnowWindow)
+    // probe: hashes on both sides (bounded by the increment's churn)
+    val incHashes = incA.select(col("h")).distinct()
+    val candInc = incA.join(corpusAnchors.select(col("h")), Seq("h"),
+      "left_semi")
+    val candCor = corpusAnchors.join(incHashes, Seq("h"), "left_semi")
+    // grams materialize only for hash hits; text joins stay executor-side
+    def withGram(cand: DataFrame, text: DataFrame) = cand
+      .join(text.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+        .hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("h"),
+        substring_index_safe(col("__text"), col("pos"), L).as("gram"))
+    val incG = withGram(candInc, increment)
+    val corG = withGram(candCor, corpusText).select(col("h"), col("gram"))
+    // verified: the increment anchor's ACTUAL gram occurs in the corpus
+    val dupA = incG.join(corG, Seq("h", "gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val agg = islandSpans(dupA, L)
+      .withColumn("span_chars", col("fin") - col("ini"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_anclas")).as("n_dup_anchors"),
+        sum(col("span_chars")).as("dup_chars"))
+    increment
+      .select(col(idCol).as("doc_id"),
+        col(nCharsCol).cast("long").as("n_chars"))
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_anchors", "dup_chars"))
+      .withColumn("dup_ratio",
+        col("dup_chars").cast("double") / col("n_chars").cast("double"))
+      .select(col("doc_id"), col("n_dup_anchors"), col("dup_chars"),
+        col("n_chars"), col("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The APPLY side of exact-substring dedup (Lee et al. 2022's actual
     * transform): rewrite each document with its duplicated spans CUT,
     * keeping the canonical occurrence. The drop policy is deterministic

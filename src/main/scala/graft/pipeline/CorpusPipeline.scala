@@ -177,8 +177,32 @@ object CorpusPipeline {
                       ivfRoot: String,
                       embIdCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      minJ: Double = 0.8): (org.apache.spark.sql.DataFrame, Long) = {
-    val flags = dedupIncrement(docs, fromV, toV, minJ)
+                      minJ: Double = 0.8,
+                      spansRoot: Option[String] = None): (org.apache.spark.sql.DataFrame, Long) = {
+    val nearDup = dedupIncrement(docs, fromV, toV, minJ)
+    // exact-substring coverage rides the same CDC read when a standing
+    // gram-hash inverted file is published (r12): the increment probes
+    // the index (never re-anchoring the corpus), its coverage columns
+    // join the near-dup flags, and the increment's OWN anchors append so
+    // the NEXT batch probes a current index — O(churn·L) end to end,
+    // the exact-substring twin of the MinHash banded-table maintenance.
+    val flags = spansRoot.fold(nearDup) { root =>
+      val inc = docs.changes(fromV, toV)
+        .filter(col("_change_type") === "insert")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("__nc"))
+      val corpus = docs.readVersion(toV)
+        .join(inc.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text"))
+      val spans = graft.llm.DupSpansIndex.flag(inc, corpus, root,
+          "text", "doc_id", "__nc")
+        .select(col("doc_id"), col("n_dup_anchors").as("span_anchors"),
+          col("dup_chars").as("span_chars"), col("dup_ratio").as("span_ratio"))
+      graft.llm.DupSpansIndex.append(inc, "text", "doc_id", root): Unit
+      nearDup.join(spans, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("span_anchors", "span_chars"))
+        .na.fill(0.0, Seq("span_ratio"))
+    }
     val survivors = flags.filter(col("n_matches") === 0)
       .select(col("doc_id").as(embIdCol))
     val vecs = embeddings.join(survivors, Seq(embIdCol), "left_semi")

@@ -1401,7 +1401,60 @@ object LLMQueries {
       |JOIN documents d ON d.doc_id = cnt.doc_id
       |ORDER BY cnt.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Incremental exact-substring dedup (r12 — the q60 daily-ingest shape
+    * for the q80 anchor pipeline): an increment slice (doc_id % 10 == 3,
+    * the q60 convention) is flagged AGAINST the standing corpus — an
+    * increment anchor is a duplicate iff its actual 48-gram occurs in a
+    * corpus document; corpus × corpus is never compared. Per increment
+    * doc: verified dup-anchor count, exact island-merged duplicated-char
+    * coverage, ratio — zeros for clean docs, so an ingest gate can admit
+    * on the same row set it scores. The corpus side is probed with a
+    * SEMI join on the increment's 8-byte hash set and gram strings
+    * materialize only for hash hits on BOTH sides (the q80 exactness
+    * contract). This inline form computes the corpus anchors only
+    * because the gate needs a self-contained plan; production reads them
+    * from the PERSISTED hash-partitioned inverted file instead
+    * (graft.llm.DupSpansIndex — build once, probe + append per batch,
+    * O(churn·L), never a corpus re-anchor), spec-pinned equal to this
+    * twin. */
+  def q85IncrementalSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val inc = col("doc_id") % 10 === 3
+    DupSpans.flagIncrement(d.filter(inc), d.filter(!inc), "text", "doc_id",
+      L = 48, nCharsCol = "n_chars")
+  }
+
+  val q85Sql: String =
+    """WITH gi AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    substr(text, CAST(i AS INT), 48) AS gram
+      |  FROM documents, LATERAL (
+      |    SELECT unnest(range(1, length(text) - 48 + 2)) AS i) t
+      |  WHERE length(text) >= 48 AND doc_id % 10 = 3),
+      |gc AS (
+      |  SELECT DISTINCT substr(text, CAST(i AS INT), 48) AS gram
+      |  FROM documents, LATERAL (
+      |    SELECT unnest(range(1, length(text) - 48 + 2)) AS i) t
+      |  WHERE length(text) >= 48 AND doc_id % 10 <> 3),
+      |a AS (SELECT gi.doc_id, gi.pos FROM gi JOIN gc USING (gram)),
+      |cov AS (
+      |  SELECT doc_id, count(DISTINCT p) AS dup_chars
+      |  FROM a, LATERAL (SELECT unnest(range(a.pos, a.pos + 48)) AS p) u
+      |  GROUP BY doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n_dup_anchors FROM a GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(cnt.n_dup_anchors, 0) AS n_dup_anchors,
+      |  coalesce(cov.dup_chars, 0) AS dup_chars, d.n_chars,
+      |  CAST(coalesce(cov.dup_chars, 0) AS DOUBLE)
+      |    / CAST(d.n_chars AS DOUBLE) AS dup_ratio
+      |FROM documents d
+      |LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+      |LEFT JOIN cov ON cov.doc_id = d.doc_id
+      |WHERE d.doc_id % 10 = 3
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_incremental_spans" -> (q85IncrementalSpans _),
     "q84_dup_spans_winnowed" -> (q84DupSpansWinnowed _),
     "q79_pcm_windows"      -> (q79PcmWindows _),
     "q80_dup_spans"        -> (q80DupSpans _),
@@ -1432,6 +1485,7 @@ object LLMQueries {
     "q69_cluster_medoids" -> ((s, d) => q69ClusterMedoids(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q85_incremental_spans" -> q85Sql,
     "q84_dup_spans_winnowed" -> q84Sql,
     "q79_pcm_windows"      -> q79Sql,
     "q80_dup_spans"        -> q80Sql,

@@ -171,6 +171,44 @@ class CorpusPipelineSpec extends AnyFunSuite {
       k = 5, probes = 4).count() > 0)
   }
 
+  test("corpusIncrement: spansRoot rides the same CDC — coverage columns + index append") {
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val txn = graft.sources.TxnTable(spark,
+      Files.createTempDirectory("graft_corpus_spans").toString)
+    val base = docs.filter(col("doc_id") % 10 =!= 3)
+    val incDf = docs.filter(col("doc_id") % 10 === 3)
+    val v1 = txn.append(base)
+    val v2 = txn.append(incDf)
+    val ivfRoot = Files.createTempDirectory("graft_spans_ivf").toString
+    graft.llm.IvfIndex.buildAndSave(
+      emb.join(base.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi"), "vec_id", "embedding", ivfRoot): Unit
+    val spansRoot = Files.createTempDirectory("graft_spans_idx").toString
+    graft.llm.DupSpansIndex.build(base, "text", "doc_id", spansRoot,
+      L = 48, w = 16, nCells = 16): Unit
+    val (flags, _) = CorpusPipeline.corpusIncrement(
+      txn, v1, v2, emb, ivfRoot, spansRoot = Some(spansRoot))
+    // coverage columns present, one row per increment doc, and equal to
+    // the standalone index probe
+    val standalone = graft.llm.DupSpansIndex.flag(
+        incDf.withColumn("__nc", length(col("text")).cast("long")),
+        base, spansRoot, "text", "doc_id", "__nc")
+      .select(col("doc_id"), col("n_dup_anchors"), col("dup_chars"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val got = flags.select("doc_id", "span_anchors", "span_chars")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == standalone)
+    assert(got.values.exists(_._1 > 0L),
+      "the sf corpus has cross-slice duplicated spans; some must flag")
+    // the increment's anchors were appended: next-day probe sees them
+    val idxDocs = graft.sources.TxnTable(spark, s"$spansRoot/anchors")
+      .read().select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(idxDocs.exists(_ % 10 == 3), "increment anchors must be appended")
+  }
+
   test("ingestStage lands a mixed-format corpus: errors preserved, q40 chunk grain") {
     // synthesized mixed corpus: decodable docx + txt + pdf, one
     // unsupported binary, one corrupt office file

@@ -276,6 +276,84 @@ class DupSpansSpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L))
   }
 
+  // ------------------------------------------------- incremental spans
+  test("flagIncrement: asymmetric — inc-vs-corpus anchors only, zeros for clean docs") {
+    // doc 13 shares "ABCDEFGH" with corpus doc 1; docs 23 and 33 share a
+    // gram only with EACH OTHER (inc-vs-inc — must NOT flag); doc 43 is
+    // clean and must still appear with zeros
+    val corpus = docsDf(1L -> "ABCDEFGHxx", 2L -> "unrelated corpus text")
+    val inc = docsDf(
+      13L -> "yyABCDEFGH",
+      23L -> "WWWWQQQQRRRR",
+      33L -> "zzWWWWQQQQ",
+      43L -> "totally clean")
+    val got = DupSpans.flagIncrement(inc, corpus, "text", "doc_id", 4,
+      "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // doc 13: grams ABCD..EFGH at pos 3..7 -> 5 anchors, 8 chars covered
+    assert(got == List((13L, 5L, 8L), (23L, 0L, 0L), (33L, 0L, 0L),
+      (43L, 0L, 0L)), s"got $got")
+  }
+
+  test("DupSpansIndex: persisted probe == inline twin (exact and winnowed)") {
+    val corpus = docsDf(
+      1L -> ("corpus body one " + "SHARED-REGION-ALPHA-0123456789 " + "tail"),
+      2L -> ("another corpus doc with " + "SHARED-REGION-BETA-abcdefghij"),
+      3L -> "nothing in common at all")
+    val inc = docsDf(
+      13L -> ("inc doc " + "SHARED-REGION-ALPHA-0123456789 " + "suffix"),
+      23L -> ("prefix " + "SHARED-REGION-BETA-abcdefghij" + " more"),
+      33L -> "a clean increment document")
+    for (w <- Seq(1, 4)) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_spanidx_w$w").toString
+      graft.llm.DupSpansIndex.build(corpus, "text", "doc_id", root,
+        L = 8, w = w, nCells = 8)
+      val viaIndex = graft.llm.DupSpansIndex
+        .flag(inc, corpus, root, "text", "doc_id", "n_chars")
+        .collect().map(_.toSeq).toList
+      val inline = DupSpans.flagIncrement(inc, corpus, "text", "doc_id",
+          L = 8, nCharsCol = "n_chars", winnowWindow = w)
+        .collect().map(_.toSeq).toList
+      assert(viaIndex == inline, s"w=$w")
+      assert(viaIndex.exists(r => r(1).asInstanceOf[Long] > 0L))
+    }
+  }
+
+  test("DupSpansIndex: append keeps the index equal to a full rebuild on the union") {
+    val corpus = docsDf(
+      1L -> "day zero corpus content SHARED-SPAN-XYZVW here",
+      2L -> "more standing corpus text")
+    val day1 = docsDf(13L -> "first increment with SHARED-SPAN-XYZVW inside")
+    val day2 = docsDf(23L -> "second day also has SHARED-SPAN-XYZVW copy")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_spanidx_append").toString
+    graft.llm.DupSpansIndex.build(corpus, "text", "doc_id", root,
+      L = 8, w = 4, nCells = 8)
+    graft.llm.DupSpansIndex.append(day1, "text", "doc_id", root): Unit
+    // the appended index == a fresh build over corpus ∪ day1 (row sets)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_spanidx_rebuild").toString
+    val union = corpus.unionByName(day1)
+    graft.llm.DupSpansIndex.build(union, "text", "doc_id", rebuilt,
+      L = 8, w = 4, nCells = 8)
+    def rows(r: String) = graft.sources.TxnTable(spark, s"$r/anchors")
+      .read().select("doc_id", "pos", "h")
+      .collect().map(_.toSeq).toSet
+    assert(rows(root) == rows(rebuilt))
+    // and day-2 flagging against the appended index == the inline twin
+    // over the full standing union
+    val viaIndex = graft.llm.DupSpansIndex
+      .flag(day2, union, root, "text", "doc_id", "n_chars")
+      .collect().map(_.toSeq).toList
+    val inline = DupSpans.flagIncrement(day2, union, "text", "doc_id",
+        L = 8, nCharsCol = "n_chars", winnowWindow = 4)
+      .collect().map(_.toSeq).toList
+    assert(viaIndex == inline)
+    assert(viaIndex.head(1).asInstanceOf[Long] > 0L,
+      "day-2 duplicate of a day-1 span must be caught via the index")
+  }
+
   // -------------------------------------------------- weighted sample
   test("weighted sample: equals the window-rank formulation and is partition-stable") {
     val s = spark
