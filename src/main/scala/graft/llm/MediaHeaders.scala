@@ -243,15 +243,41 @@ object MediaHeaders {
   // well-formed PCM16 payload decodes to None — a truncated data chunk
   // must never yield silently-partial samples.
 
-  /** Decoded PCM16 audio: `samples` is the raw interleaved stream. */
+  /** Decoded linear audio: `samples` is the raw interleaved 16-bit
+    * stream; `codec` names the wire encoding it was expanded from —
+    * "pcm16" (the bytes ARE the samples) or "ulaw"/"alaw" (G.711 8-bit
+    * companded bytes, expanded through the ITU table — r12). */
   final case class PcmAudio(sampleRate: Int, channels: Int,
-                            samples: Array[Short])
+                            samples: Array[Short], codec: String = "pcm16")
 
-  /** Chunk walk shared by [[decodePcm]] and [[wavFrameSlice]]: the fmt
-    * fields plus the data chunk's (offset, length) — but only when the
-    * payload is PCM (format 1), 16-bit, and the data bytes are FULLY
-    * present and even-length. None otherwise. */
-  private def pcmLayout(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+  /** ITU-T G.711 μ-law byte → 16-bit linear (the public-domain CCITT
+    * formula: complement, then ((mantissa·8 + 0x84) << exponent) − 0x84,
+    * sign from the complemented high bit). Range ±32124. */
+  private[graft] val UlawTable: Array[Short] = Array.tabulate(256) { c =>
+    val u = ~c & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** ITU-T G.711 A-law byte → 16-bit linear (xor 0x55, segment expand;
+    * sign bit SET means positive in A-law). Range ±32256. */
+  private[graft] val AlawTable: Array[Short] = Array.tabulate(256) { c =>
+    val a = c ^ 0x55
+    val t0 = (a & 0x0f) << 4
+    val seg = (a >> 4) & 7
+    val t = seg match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case s => (t0 + 0x108) << (s - 1)
+    }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  /** Structural WAV chunk walk shared by the sample decoders: the fmt
+    * fields plus the data chunk's (offset, length), with the payload
+    * FULLY present — format policy (which codecs decode) stays with the
+    * callers. None on non-WAV, missing chunks, or truncation. */
+  private def wavLayout(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
     if (b == null || !isWav(b)) return None
     var i = 12L
     var fmtCode = 0; var channels = 0; var rate = 0; var bits = 0
@@ -270,24 +296,51 @@ object MediaHeaders {
       }
       i += 8L + size + (size & 1L)
     }
-    if (fmtCode != 1 || bits != 16 || rate <= 0 || channels <= 0 ||
-      dataOff < 0 || (dataLen & 1) != 0) None
-    else Some((rate, channels, dataOff, dataLen))
+    if (rate <= 0 || channels <= 0 || dataOff < 0) None
+    else Some((fmtCode, bits, rate, channels, dataOff, dataLen))
   }
 
-  /** Decode the full PCM16 sample stream; None under the refuse contract
-    * above (non-WAV, non-PCM, non-16-bit, truncated, odd data length). */
+  /** [[wavLayout]] restricted to complete 16-bit PCM payloads — the
+    * frame-slice path's contract (block align = 2·channels). */
+  private def pcmLayout(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    wavLayout(b) match {
+      case Some((1, 16, rate, channels, dataOff, dataLen))
+        if (dataLen & 1) == 0 => Some((rate, channels, dataOff, dataLen))
+      case _ => None
+    }
+
+  /** Decode the full linear sample stream; None under the refuse
+    * contract (non-WAV, truncated, unsupported codec). Three codec-free
+    * wire formats decode for real: PCM16 (format 1, 16-bit, even data
+    * length — LE i16 bytes ARE the samples) and the two G.711 companded
+    * families (μ-law format 7 / A-law format 6, 8-bit — one table lookup
+    * per byte, the public ITU expansion). Anything else — IEEE float,
+    * ADPCM, a 16-bit G.711 claim, an odd PCM16 chunk — refuses rather
+    * than guessing. */
   def decodePcm(b: Array[Byte]): Option[PcmAudio] =
-    pcmLayout(b).map { case (rate, channels, dataOff, dataLen) =>
-      val n = dataLen / 2
-      val out = new Array[Short](n)
-      var k = 0
-      while (k < n) {
-        val at = dataOff + 2 * k
-        out(k) = (u8(b, at) | (u8(b, at + 1) << 8)).toShort // LE i16
-        k += 1
-      }
-      PcmAudio(rate, channels, out)
+    wavLayout(b) match {
+      case Some((1, 16, rate, channels, dataOff, dataLen))
+        if (dataLen & 1) == 0 =>
+        val n = dataLen / 2
+        val out = new Array[Short](n)
+        var k = 0
+        while (k < n) {
+          val at = dataOff + 2 * k
+          out(k) = (u8(b, at) | (u8(b, at + 1) << 8)).toShort // LE i16
+          k += 1
+        }
+        Some(PcmAudio(rate, channels, out, "pcm16"))
+      case Some((fmt, 8, rate, channels, dataOff, dataLen))
+        if fmt == 6 || fmt == 7 =>
+        val table = if (fmt == 7) UlawTable else AlawTable
+        val out = new Array[Short](dataLen)
+        var k = 0
+        while (k < dataLen) {
+          out(k) = table(u8(b, dataOff + k))
+          k += 1
+        }
+        Some(PcmAudio(rate, channels, out, if (fmt == 7) "ulaw" else "alaw"))
+      case _ => None
     }
 
   /** The real audio bytes at a frame timestamp: `nBytes` of the data

@@ -285,4 +285,46 @@ object MediaSynth {
     }
     o.toByteArray
   }
+
+  // -------------------------------------------------------- G.711 (q87)
+  // Companded 8-bit WAVs (μ-law format 7 / A-law format 6): the k-th wire
+  // BYTE is the closed-form (id·11 + k·29) mod 256, so the oracle
+  // re-derives every expanded 16-bit sample by replaying the public ITU
+  // expansion formula in SQL integer arithmetic — a wrong table, wrong
+  // codec dispatch, or byte off-by-one diverges on the window stats.
+
+  /** μ-law for even ids, A-law for odd — WAV format code 7 / 6. */
+  def g711Format(id: Long): Int = if (math.floorMod(id, 2L) == 0L) 7 else 6
+  def g711Channels(id: Long): Int = (1 + math.floorMod(id / 2L, 2L)).toInt
+  /** Frames per channel — same oracle-friendly bound as the PCM synth. */
+  def g711Frames(id: Long): Long = 200L + math.floorMod(id * 5L, 500L)
+  def g711TotalSamples(id: Long): Long = g711Frames(id) * g711Channels(id)
+  /** The k-th companded wire byte, in [0, 255]. */
+  def g711Code(id: Long, k: Long): Int =
+    math.floorMod(id * 11L + k * 29L, 256L).toInt
+
+  /** A complete G.711 WAV: RIFF/fmt/data with 8-bit companded bytes
+    * (block align = channels, bits = 8, rate 8000 — the G.711 wire). */
+  def synthG711(id: Long): Array[Byte] = {
+    val ch = g711Channels(id)
+    val total = g711TotalSamples(id).toInt
+    val o = new ByteArrayOutputStream(44 + total)
+    def leU32i(v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    "RIFF".foreach(c => o.write(c.toInt)); leU32i(36L + total)
+    "WAVE".foreach(c => o.write(c.toInt))
+    "fmt ".foreach(c => o.write(c.toInt)); leU32i(16L)
+    leU16(o, g711Format(id)); leU16(o, ch)         // μ-law/A-law, channels
+    leU32i(8000L); leU32i(8000L * ch)              // rate, byte rate
+    leU16(o, ch); leU16(o, 8)                      // block align, bits
+    "data".foreach(c => o.write(c.toInt)); leU32i(total.toLong)
+    var k = 0
+    while (k < total) {
+      o.write(g711Code(id, k.toLong))
+      k += 1
+    }
+    o.toByteArray
+  }
 }

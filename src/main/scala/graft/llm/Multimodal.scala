@@ -138,6 +138,7 @@ object Multimodal {
     import org.apache.spark.sql.types._
     val schema = StructType(df.schema.fields ++ Array(
       StructField("sample_rate", IntegerType), StructField("canales", IntegerType),
+      StructField("codec", StringType),
       StructField("ventana", IntegerType), StructField("n_muestras", IntegerType),
       StructField("pico", IntegerType), StructField("suma_cuadrados", LongType),
       StructField("suma_ponderada", LongType)))
@@ -166,8 +167,8 @@ object Multimodal {
                 sumW += v.toLong * (k - from + 1)
                 k += 1
               }
-              Row.fromSeq(base ++ Seq[Any](pcm.sampleRate, pcm.channels, w,
-                until - from, pico, sumSq, sumW))
+              Row.fromSeq(base ++ Seq[Any](pcm.sampleRate, pcm.channels,
+                pcm.codec, w, until - from, pico, sumSq, sumW))
             }
         }
       }

@@ -324,7 +324,35 @@ object PqIndex {
   def topK(queries: DataFrame, root: String, idCol: String, vecCol: String,
            k: Int, probes: Int = 4, refine: Int = 4,
            coarseProbes: Int = 8, autoWiden: Boolean = true,
-           maxQueries: Int = 100000): DataFrame = {
+           maxQueries: Int = 100000): DataFrame =
+    serve(queries, root, idCol, vecCol, k, probes, refine, coarseProbes,
+      autoWiden, maxQueries, keep = None)
+
+  /** Metadata-FILTERED ADC serve — [[IvfIndex.topKFiltered]]'s semantics
+    * over PQ codes, so filtered RAG serving gets the m+8-bytes-per-row
+    * scan too. The predicate evaluates against `meta` (attributes live in
+    * the source table, lakehouse-style) and the surviving ids semi-join
+    * the probed-cell CODES scan AFTER partition pruning and BEFORE the
+    * distance-table loop: the ADC stage streams only (probed cells ∩
+    * filter) rows, the shortlist is a true top of the FILTERED corpus
+    * within the probed cells, and the exact rescore touches shortlist
+    * rows only (already filtered — the rescore join keys on the
+    * shortlist). Routing stays that of the full index; raise `probes` /
+    * `refine` as the predicate gets more selective. */
+  def topKFiltered(queries: DataFrame, root: String, idCol: String,
+                   vecCol: String, k: Int, meta: DataFrame,
+                   where: org.apache.spark.sql.Column,
+                   probes: Int = 4, refine: Int = 4,
+                   coarseProbes: Int = 8, autoWiden: Boolean = true,
+                   maxQueries: Int = 100000): DataFrame =
+    serve(queries, root, idCol, vecCol, k, probes, refine, coarseProbes,
+      autoWiden, maxQueries,
+      keep = Some(meta.filter(where).select(col(idCol))))
+
+  private def serve(queries: DataFrame, root: String, idCol: String,
+                    vecCol: String, k: Int, probes: Int, refine: Int,
+                    coarseProbes: Int, autoWiden: Boolean,
+                    maxQueries: Int, keep: Option[DataFrame]): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val sv = IvfIndex.resolveServe(queries, root, vecCol, probes,
@@ -361,8 +389,12 @@ object PqIndex {
       }
     val bq = spark.sparkContext.broadcast(qArr)
     val shortK = math.max(k, k * refine)
-    val codesDf = codesTable(spark, root)
+    val codesScan = codesTable(spark, root)
       .readParts(codesV)(p => IvfIndex.cellOf(p).forall(sv.probed.contains))
+    // the filter lands here: after partition pruning, before ADC — the
+    // predicate-selective keep side broadcasts against the pruned scan
+    val codesDf = keep.fold(codesScan)(ks =>
+      codesScan.join(ks, Seq(idCol), "left_semi"))
     val partials = codesDf
       .select(col(idCol).cast("long"), col("codes"), col("vnorm"),
         col("cell").cast("int"))

@@ -993,7 +993,22 @@ object LLMQueries {
     * [[graft.llm.IvfIndex]] (IVF-PQ: route by coarse cell, ADC-score
     * only probed cells' codes). */
   def q77AnnPq(spark: SparkSession, dir: String, m: Int = 4,
-               k: Int = 16): DataFrame = {
+               k: Int = 16): DataFrame =
+    pqAdcScored(spark, dir, m, k, candWhere = None)
+      .select(col("query_id"),
+        struct(col("adc"), col("nid")).as("cand"))
+      .groupBy(col("query_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("query_id"), col("best")("nid").as("neighbor_id"),
+        col("best")("adc").as("adc"))
+
+  /** The shared ADC scoring core of q77/q86: every (query, candidate)
+    * pair's fixed-order ADC distance as (query_id, nid, adc) rows —
+    * codebooks and query tables always come from the FULL corpus (the
+    * filter narrows candidates, not the geometry), `candWhere` restricts
+    * the candidate side BEFORE scoring. */
+  private def pqAdcScored(spark: SparkSession, dir: String, m: Int, k: Int,
+                          candWhere: Option[Column]): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // anchors: bounded deterministic sample (the q55 centroid pattern) —
     // exactly k rows cross the driver regardless of corpus size
@@ -1023,7 +1038,9 @@ object LLMQueries {
       array_min(transform(typedLit(cb(i)), c =>
         struct(d2(slice(col("embedding"), i * sub + 1, sub), c("_2")).as("d"),
           c("_1").as("j")))).getField("j")
-    val encoded = emb.select(
+    // the candidate filter lands BEFORE encode/score — filter-then-score
+    val candSide = candWhere.fold(emb)(emb.filter)
+    val encoded = candSide.select(
       col("vec_id") +: (0 until m).map(i => codeFor(i).as(s"c$i")): _*)
     // per-query ADC tables (query_id, m → j → d2), driver-built with the
     // SAME double arithmetic and element order as the SQL side; bounded
@@ -1058,12 +1075,8 @@ object LLMQueries {
     val adc = (1 until m).foldLeft(tl(0))((acc, i) => acc + tl(i))
     withQ
       .filter(col("vec_id") =!= col("q")("_1"))
-      .select(col("q")("_1").as("query_id"),
-        struct(adc.as("adc"), col("vec_id").as("nid")).as("cand"))
-      .groupBy(col("query_id"))
-      .agg(min(col("cand")).as("best"))
-      .select(col("query_id"), col("best")("nid").as("neighbor_id"),
-        col("best")("adc").as("adc"))
+      .select(col("q")("_1").as("query_id"), col("vec_id").as("nid"),
+        adc.as("adc"))
   }
 
   val q77Sql: String = {
@@ -1109,6 +1122,81 @@ object LLMQueries {
       |    ORDER BY ((t0 + t1) + t2) + t3 ASC, neighbor_id ASC) AS rn
       |  FROM agg)
       |WHERE rn = 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q86
+  /** Metadata-FILTERED product-quantization ANN (r12 — the q82 filter
+    * law composed with q77's ADC scoring): top-3 neighbors per query by
+    * asymmetric-distance over PQ codes, with the CANDIDATE set
+    * restricted to even-labeled vectors BEFORE encoding/scoring —
+    * filter-then-score, so the result is a true top-3 of the filtered
+    * corpus, never a post-top-k filter returning short rows. Codebooks
+    * and per-query distance tables come from the FULL corpus (the
+    * filter narrows candidates, not the geometry — the
+    * PqIndex.topKFiltered law, spec-pinned against the full-vector
+    * filtered serve). Selection runs on the bounded `top_k_double`
+    * aggregate (score = −adc, ties to the smaller neighbor id): O(3)
+    * state per query, map-side merged — the shuffle carries ≤3 pairs
+    * per (query, partition), not the candidate set. Production twin:
+    * graft.llm.PqIndex.topKFiltered (keep-ids semi-join after cell
+    * pruning, before the distance-table loop). */
+  def q86AnnPqFiltered(spark: SparkSession, dir: String, m: Int = 4,
+                       k: Int = 16, topN: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    pqAdcScored(spark, dir, m, k,
+        candWhere = Some(pmod(col("label"), lit(2)) === 0))
+      .groupBy(col("query_id"))
+      .agg(call_function("top_k_double", -col("adc"), col("nid"),
+        lit(topN)).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("query_id"), (col("__i") + 1).as("rk"),
+        col("__e.payload").as("neighbor_id"), (-col("__e.score")).as("adc"))
+  }
+
+  val q86Sql: String = {
+    def sl(x: String, mExpr: String) = s"$x[$mExpr*16+1 : $mExpr*16+16]"
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+      |anch AS (
+      |  SELECT row_number() OVER (
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+      |    embedding AS av
+      |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |mm AS (SELECT unnest(range(4)) AS m),
+      |cb AS (
+      |  SELECT mm.m, anch.j,
+      |    list_transform(${sl("anch.av", "mm.m")}, x -> CAST(x AS DOUBLE)) AS cw
+      |  FROM anch CROSS JOIN mm),
+      |enc0 AS (
+      |  SELECT e.vec_id, cb.m, cb.j,
+      |    list_sum(list_transform(list_zip(${sl("e.embedding", "cb.m")}, cb.cw),
+      |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))
+      |      AS d2
+      |  FROM e, cb),
+      |enc AS (
+      |  SELECT vec_id, m, j AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY d2 ASC, j ASC) AS rn FROM enc0)
+      |  WHERE rn = 1
+      |  AND vec_id IN (SELECT vec_id FROM e WHERE label % 2 = 0)),
+      |qt AS (SELECT vec_id AS query_id, m, j, d2 FROM enc0 WHERE vec_id < 5),
+      |pairs AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, c.m, q.d2
+      |  FROM enc c JOIN qt q ON q.m = c.m AND q.j = c.code
+      |  WHERE c.vec_id <> q.query_id),
+      |agg AS (
+      |  SELECT query_id, neighbor_id,
+      |    max(CASE WHEN m = 0 THEN d2 END) AS t0,
+      |    max(CASE WHEN m = 1 THEN d2 END) AS t1,
+      |    max(CASE WHEN m = 2 THEN d2 END) AS t2,
+      |    max(CASE WHEN m = 3 THEN d2 END) AS t3
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT query_id, CAST(rn AS INTEGER) AS rk, neighbor_id,
+      |  ((t0 + t1) + t2) + t3 AS adc FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY ((t0 + t1) + t2) + t3 ASC, neighbor_id ASC) AS rn
+      |  FROM agg)
+      |WHERE rn <= 3""".stripMargin
   }
 
   // ---------------------------------------------------------------- q79
@@ -1157,6 +1245,68 @@ object LLMQueries {
       |  CAST(sum(muestra * muestra) AS BIGINT) AS suma_cuadrados,
       |  CAST(sum(muestra * (k % 512 + 1)) AS BIGINT) AS suma_ponderada
       |FROM m GROUP BY 1, 2, 3, 4""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+  /** REAL G.711 audio decode (r12, r11 verdict residual 1 — a SECOND
+    * value-real audio family beyond q79's PCM16): μ-law (WAV format 7,
+    * even ids) and A-law (format 6, odd ids) 8-bit companded WAVs
+    * synthesized with closed-form wire bytes (MediaSynth.synthG711 —
+    * byte k is (id·11 + k·29) mod 256), expanded to 16-bit linear by
+    * MediaHeaders.decodePcm through the public-domain ITU G.711 tables
+    * (codec-free: 256-entry formula decode, no external library), then
+    * reduced to the q79 window stats. The oracle replays the EXPANSION
+    * FORMULA itself in SQL integer arithmetic (complement/xor, segment
+    * shift, bias), so a wrong table entry, a μ/A dispatch swap, or a
+    * byte off-by-one diverges on peak / sum-of-squares / checksum.
+    * Zero-shuffle, scan-fused like q79. */
+  def q87G711Windows(spark: SparkSession, dir: String): DataFrame = {
+    val synthUdf = udf((id: Long) => MediaSynth.synthG711(id))
+    val withBin = Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("payload", synthUdf(col("doc_id")))
+    Multimodal.pcmWindows(withBin, "payload")()
+      .select(col("doc_id"), col("sample_rate"), col("canales"),
+        col("codec"), col("ventana"), col("n_muestras"), col("pico"),
+        col("suma_cuadrados"), col("suma_ponderada"))
+  }
+
+  val q87Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+      |    CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS canales,
+      |    (200 + (doc_id * 5) % 500) * (1 + (doc_id // 2) % 2) AS total
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, codec, canales, unnest(range(0, total)) AS k
+      |  FROM p),
+      |b AS (
+      |  SELECT doc_id, codec, canales, k,
+      |    255 - (doc_id * 11 + k * 29) % 256 AS u,
+      |    xor((doc_id * 11 + k * 29) % 256, 85) AS a
+      |  FROM v),
+      |mag AS (
+      |  SELECT doc_id, codec, canales, k, u, a,
+      |    ((u % 16) * 8 + 132) << ((u // 16) % 8) AS ut,
+      |    CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+      |         WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+      |         ELSE ((a % 16) * 16 + 264) << ((a // 16) % 8 - 1) END AS at
+      |  FROM b),
+      |m AS (
+      |  SELECT doc_id, codec, canales, k,
+      |    CASE WHEN codec = 'ulaw' THEN
+      |      CASE WHEN u >= 128 THEN 132 - ut ELSE ut - 132 END
+      |    ELSE
+      |      CASE WHEN a >= 128 THEN at ELSE -at END
+      |    END AS muestra
+      |  FROM mag)
+      |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate, canales, codec,
+      |  CAST(k // 512 AS INTEGER) AS ventana,
+      |  CAST(count(*) AS INTEGER) AS n_muestras,
+      |  CAST(max(abs(muestra)) AS INTEGER) AS pico,
+      |  CAST(sum(muestra * muestra) AS BIGINT) AS suma_cuadrados,
+      |  CAST(sum(muestra * (k % 512 + 1)) AS BIGINT) AS suma_ponderada
+      |FROM m GROUP BY 1, 2, 3, 4, 5""".stripMargin
 
   // ---------------------------------------------------------------- q80
   /** Exact duplicated-substring coverage (Lee et al. 2022's ExactSubstr,
@@ -1454,6 +1604,8 @@ object LLMQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_g711_windows"     -> (q87G711Windows _),
+    "q86_ann_pq_filtered"  -> ((s, d) => q86AnnPqFiltered(s, d)),
     "q85_incremental_spans" -> (q85IncrementalSpans _),
     "q84_dup_spans_winnowed" -> (q84DupSpansWinnowed _),
     "q79_pcm_windows"      -> (q79PcmWindows _),
@@ -1485,6 +1637,8 @@ object LLMQueries {
     "q69_cluster_medoids" -> ((s, d) => q69ClusterMedoids(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q87_g711_windows"     -> q87Sql,
+    "q86_ann_pq_filtered"  -> q86Sql,
     "q85_incremental_spans" -> q85Sql,
     "q84_dup_spans_winnowed" -> q84Sql,
     "q79_pcm_windows"      -> q79Sql,

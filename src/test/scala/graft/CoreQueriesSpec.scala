@@ -24,6 +24,30 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert((q -- o).isEmpty, s"unexpected rows-only queries: ${q -- o}")
   }
 
+  test("q2 over-cap fallback: broadcast-star join value-identical to the probe form") {
+    // r11 verdict item 6: the >cap fallback (DimLookup.forFrameLabeled
+    // answers None, CoreQueries:121) was documented but nothing drove it.
+    // Lowering the entry cap to 1 forces every dim over it — the cached
+    // probe entry also stops hitting (the cache checks e.n <= cap) — and
+    // the broadcast-star join must produce the identical result set.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val probeDf = CoreQueries.q2StarJoin(spark, sf)
+    assert(probeDf.queryExecution.executedPlan.toString.contains("dim_lookup"),
+      "default path must be the DimLookup probe form")
+    val probe = rows(probeDf)
+    // a sibling session with the cap floored: forFrameLabeled answers
+    // None (the cache also stops hitting — it checks e.n <= cap) and the
+    // query plans the broadcast-star join instead
+    val tiny = spark.newSession()
+    tiny.conf.set("spark.graft.dimLookup.maxEntries", "1")
+    val fbDf = CoreQueries.q2StarJoin(tiny, sf)
+    assert(!fbDf.queryExecution.executedPlan.toString.contains("dim_lookup"),
+      "over-cap path must not plan a lookup probe")
+    assert(rows(fbDf) == probe,
+      "fallback join must be value-identical to the probe form")
+  }
+
   test("all core queries produce rows at sf0.001") {
     CoreQueries.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()

@@ -155,6 +155,57 @@ class MediaHeadersSpec extends AnyFunSuite {
       meta.sampleRate == MediaSynth.pcmSampleRate(5L))
   }
 
+  test("g711 round-trip: every companded byte expands through the ITU table, many seeds") {
+    (0L until 32L).foreach { id =>
+      val pcm = MediaHeaders.decodePcm(MediaSynth.synthG711(id))
+        .getOrElse(fail(s"id=$id refused a well-formed G.711 WAV"))
+      val expectCodec = if (id % 2 == 0) "ulaw" else "alaw"
+      assert(pcm.codec == expectCodec, s"id=$id codec")
+      assert(pcm.sampleRate == 8000 &&
+        pcm.channels == MediaSynth.g711Channels(id), s"id=$id header")
+      val total = MediaSynth.g711TotalSamples(id).toInt
+      assert(pcm.samples.length == total, s"id=$id length")
+      val table = if (id % 2 == 0) MediaHeaders.UlawTable
+                  else MediaHeaders.AlawTable
+      (0 until total).foreach { k =>
+        assert(pcm.samples(k) == table(MediaSynth.g711Code(id, k.toLong)),
+          s"id=$id k=$k")
+      }
+    }
+  }
+
+  test("g711 tables: ITU landmark values and closure under the formula") {
+    // μ-law: 0xFF encodes +0; 0x7F encodes -0; 0x80 is the positive max
+    assert(MediaHeaders.UlawTable(0xff) == 0)
+    assert(MediaHeaders.UlawTable(0x7f) == 0)
+    assert(MediaHeaders.UlawTable(0x80) == 32124)
+    assert(MediaHeaders.UlawTable(0x00) == -32124)
+    // A-law: 0xD5 (0x80 after xor 0x55) is +8, 0x55 (0x00) is -8; extremes
+    assert(MediaHeaders.AlawTable(0xd5) == 8)
+    assert(MediaHeaders.AlawTable(0x55) == -8)
+    assert(MediaHeaders.AlawTable.max == 32256)
+    assert(MediaHeaders.AlawTable.min == -32256)
+    // μ-law decode is symmetric: code c and its sign-flipped twin negate
+    // (excluding the two zero codes)
+    (0 until 128).filter(_ != 0x7f).foreach { c =>
+      assert(MediaHeaders.UlawTable(c) == -MediaHeaders.UlawTable(c | 0x80),
+        s"c=$c")
+    }
+  }
+
+  test("g711 refuse contract: 16-bit G.711 claims and truncation refuse") {
+    val good = MediaSynth.synthG711(4L)
+    // a G.711 format claiming 16 bits is malformed: refuse, don't guess
+    val w16 = good.clone(); w16(34) = 16
+    assert(MediaHeaders.decodePcm(w16).isEmpty)
+    // truncated data chunk refuses
+    assert(MediaHeaders.decodePcm(good.dropRight(1)).isEmpty)
+    // 8-bit PLAIN PCM (format 1, bits 8) still refuses — only the
+    // companded families decode at 8 bits
+    val pcm8 = good.clone(); pcm8(20) = 1
+    assert(MediaHeaders.decodePcm(pcm8).isEmpty)
+  }
+
   test("wavFrameSlice: block-aligned real audio at the timestamp, clipped at the end") {
     // pick a stereo seed (blockAlign 4) with a known rate
     val id = 1L // channels = 1 + 1%2 = 2, rate = 8000*(1+1%4) = 16000

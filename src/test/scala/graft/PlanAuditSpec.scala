@@ -101,6 +101,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // q78 = audio/video synth + header decode, pure map stage
     "q78_av_decode" -> 0,
     "q79_pcm_windows" -> 0,
+    // q87 = G.711 synth + ITU table expand + window stats, pure map stage
+    "q87_g711_windows" -> 0,
     // q80 = ONE corpus-wide anchor-hash agg exchange + the shuffle_hash
     // text re-read (two candidate-/table-sized doc_id exchanges — the
     // broadcast form died at the 100x slice's driver heap) + the
@@ -112,6 +114,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // gram_hashes_winnowed kernel thins rows BEFORE the first exchange,
     // so the exchange COUNT is identical and the BYTES are ~8× smaller)
     "q84_dup_spans_winnowed" -> 6,
+    // q85 = the q80 candidate pipeline run ASYMMETRICALLY over two anchor
+    // streams (increment + corpus): churn-sized hash-set distinct, two
+    // hash semi joins (probe), two shuffle_hash text re-reads (gram
+    // materialization per side), the (h, gram) verify semi, the island
+    // window, the all-increment left join and the presentation sort —
+    // each bounded by churn or hash hits, none corpus-quadratic; the
+    // production twin (DupSpansIndex probe) replaces the corpus anchor
+    // subtree with a pruned index read
+    "q85_incremental_spans" -> 10,
     // q83 = q80's candidate pipeline + cut-span islands + per-doc span
     // arrays + the text-rebuild join + presentation sort
     "q83_dup_drop" -> 7,
@@ -129,6 +140,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q77 = PQ encode + ADC are scan-fused projections over codebook /
     // query-table literals; the only exchange is the per-query argmin
     "q77_ann_pq" -> 1,
+    // q86 = q77's scan-fused ADC over the filtered candidate side; the
+    // one exchange carries <= 3 bounded top_k_double pairs per
+    // (query, partition)
+    "q86_ann_pq_filtered" -> 1,
     // q70–q73 run whole reference jobs (multi-step dedup-latest chains,
     // distinct-heavy master conforms) — their budgets are the measured
     // whole-job exchange counts, pinned so a runner change that loses

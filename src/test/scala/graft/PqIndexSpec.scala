@@ -58,6 +58,35 @@ class PqIndexSpec extends AnyFunSuite {
       "wide-shortlist PQ serve must equal the full-vector serve bit-for-bit")
   }
 
+  test("filtered ADC serve equals the filtered full-vector serve exactly") {
+    // the r11-verdict gap: q82/topKFiltered served full vectors only.
+    // Same law as the wide-shortlist pin, under a metadata predicate:
+    // with refine covering the probed population, filtered-PQ top-k must
+    // be BIT-EQUAL to IvfIndex.topKFiltered on the same predicate — the
+    // semi join lands before the ADC loop, so the shortlist is a true
+    // top of the filtered corpus, never a post-top-k filter.
+    val root = java.nio.file.Files.createTempDirectory("graft_pqf").toString
+    IvfIndex.buildAndSave(emb, "vec_id", "embedding", root)
+    val codec = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 32,
+      sampleN = 200, iters = 3)
+    PqIndex.buildCodes(spark, root, "vec_id", "embedding", codec)
+    val meta = emb.select(col("vec_id"), col("label"))
+    val pred = pmod(col("label"), lit(2)) === 0
+    val full = IvfIndex.topKFiltered(queries, root, "vec_id", "embedding",
+        k = 10, meta = meta, where = pred, probes = 4)
+      .collect().map(_.toSeq).toSet
+    val pq = PqIndex.topKFiltered(queries, root, "vec_id", "embedding",
+        k = 10, meta = meta, where = pred, probes = 4, refine = 1000)
+      .collect().map(_.toSeq).toSet
+    assert(pq == full,
+      "filtered wide-shortlist PQ must equal the filtered full-vector serve")
+    // the predicate actually bit: no excluded neighbor is ever served
+    val evenIds = emb.filter(pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val served = pq.map(_(2).asInstanceOf[Long])
+    assert(served.nonEmpty && served.subsetOf(evenIds))
+  }
+
   test("clustered corpus: production-width PQ recall clears the floor") {
     import spark.implicits._
     val dim = 16
