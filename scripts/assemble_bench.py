@@ -6,7 +6,17 @@ signal and per-query scaling exponents are visible.
 
 Usage: assemble_bench.py <bench_sf01.json> <baseline_sf01.json>
                          <bench_sf1.json> <baseline_sf1.json> <out.json>
+                         [stream_floor.json]
 (bench files = the Bench stdout JSON line, possibly log-prefixed)
+
+r12: besides the raw `over_2x_baseline_at_sf1` flag list, the artifact
+carries `actionable_over_2x` — the COMPUTED actionable set: raw flags
+minus (a) streaming queries adjudicated by a STREAM_FLOOR artifact
+(their wall is micro-batch bookkeeping, decomposed there, not data
+cost) and (b) sub-second-wall floor rows (a >2x ratio against a
+DuckDB wall measured in tenths of a second is a dispatch-floor
+artifact, not a plan defect — the scale artifacts adjudicate those at
+100x). The subtraction is computed from artifacts, never asserted.
 """
 import json
 import os
@@ -18,9 +28,16 @@ def bench(path):
     return json.loads(line[line.index('{'):])
 
 
-def main(b01, d01, b1, d1, out):
+def main(b01, d01, b1, d1, out, floor_path=None):
     s01, s1 = bench(b01), bench(b1)
     k01, k1 = json.load(open(d01)), json.load(open(d1))
+    floor_adjudicated = set()
+    if floor_path:
+        floor = json.load(open(floor_path))
+        # keys are "<slice>.<query>" with slices like "sf0.1" — anchor on
+        # the ".q" that starts the query name
+        floor_adjudicated = {k[k.index(".q") + 1:] if ".q" in k else k
+                             for k in floor.get("queries", {})}
 
     def sf_block(spark, duck):
         qs = spark["queries"]
@@ -58,6 +75,18 @@ def main(b01, d01, b1, d1, out):
             exps[k] = round(math.log10(v1 / v0), 3)
     over2x = sorted(k for k, r in blocks["sf1_10x_slice"]["spark_vs_duckdb"].items()
                     if r > 2.0)
+    # the ACTIONABLE set: raw flags minus STREAM_FLOOR-adjudicated
+    # streaming queries and sub-second-wall floor rows (both walls under
+    # 1 s at the 10x slice — ratio noise over a dispatch floor)
+    sf1q = blocks["sf1_10x_slice"]["queries_spark_s"]
+    adjudication = {}
+    for k in over2x:
+        if k in floor_adjudicated:
+            adjudication[k] = "stream-floor artifact decomposes the wall"
+        elif sf1q.get(k, 99.0) < 1.0:
+            adjudication[k] = (f"sub-second floor row (spark "
+                               f"{sf1q.get(k):.2f}s at 10x)")
+    actionable = sorted(set(over2x) - set(adjudication))
     doc = {
         "round": int(os.environ.get("GRAFT_ROUND", "8")),
         "cpus": 32,
@@ -66,6 +95,8 @@ def main(b01, d01, b1, d1, out):
                     "FK-consistent strides)",
         "scaling_exponent_log10": exps,
         "over_2x_baseline_at_sf1": over2x,
+        "over_2x_adjudicated": adjudication,
+        "actionable_over_2x": actionable,
         **blocks,
     }
     json.dump(doc, open(out, "w"), indent=1, sort_keys=True)
@@ -74,7 +105,8 @@ def main(b01, d01, b1, d1, out):
     print(f"sf1:   spark {blocks['sf1_10x_slice']['spark_total_s']:.1f}s vs duckdb "
           f"{blocks['sf1_10x_slice']['duckdb_total_s']:.1f}s")
     print(f"over 2x baseline at sf1: {over2x}")
+    print(f"actionable (floor/stream-adjudicated removed): {actionable}")
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:6])
+    main(*sys.argv[1:7])

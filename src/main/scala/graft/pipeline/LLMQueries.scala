@@ -1517,26 +1517,66 @@ object LLMQueries {
     DupSpans.report(Tables.documents(spark, dir), "text", "doc_id",
       L = 48, nCharsCol = "n_chars", winnowWindow = 16)
 
+  // The hash replay is O(chars), not O(chars·48): with prefix sums
+  // S[j] = Σ cp(k)·B^(−k) mod 2^64 (B is odd, so B^(−1) exists mod 2^64 —
+  // 16109806864799210091), the window hash is H(i) = B^(i+47)·(S[i+47] −
+  // S[i−1]) — one cumulative window sum over per-character rows plus a
+  // recursive power table, instead of a 48-term fold per position. The
+  // 64×64→64-bit modular products split into 32-bit halves so HUGEINT
+  // (signed 128) never overflows. Winnow selection is the same composite
+  // min as before, expressed as a 16-row window frame; rows past the last
+  // full window are excluded (the kernel's windows are full windows; a
+  // doc with < 16 grams keeps only its j = 1 truncated window).
   val q84Sql: String =
-    """WITH hs AS (
-      |  SELECT doc_id, text,
-      |    list_transform(range(1, length(text) - 48 + 2),
-      |      i -> list_reduce(
-      |        list_transform(range(i, i + 48), j -> CAST(ord(text[j]) AS HUGEINT)),
-      |        (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT)) AS us
-      |  FROM documents WHERE length(text) >= 48),
+    """WITH RECURSIVE pw(k, bp, ib) AS (
+      |  SELECT 0, 1::HUGEINT, 1::HUGEINT
+      |  UNION ALL
+      |  SELECT k + 1, (bp * 1000003) % 18446744073709551616::HUGEINT,
+      |    ((ib % 4294967296) * 16109806864799210091::HUGEINT
+      |      + (((ib // 4294967296) * (16109806864799210091 % 4294967296)) % 4294967296) * 4294967296::HUGEINT)
+      |      % 18446744073709551616::HUGEINT
+      |  FROM pw WHERE k < (SELECT max(length(text)) + 48 FROM documents)),
+      |chars AS (
+      |  SELECT doc_id, text, CAST(i AS BIGINT) AS i,
+      |    CAST(ord(text[CAST(i AS INT)]) AS HUGEINT) AS cp, length(text) AS n
+      |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) t
+      |  WHERE length(text) >= 48),
+      |s AS (
+      |  SELECT c.doc_id, c.text, c.i, c.n,
+      |    sum((c.cp * pw.ib) % 18446744073709551616::HUGEINT)
+      |      OVER (PARTITION BY c.doc_id ORDER BY c.i)
+      |      % 18446744073709551616::HUGEINT AS sacc
+      |  FROM chars c JOIN pw ON pw.k = c.i),
+      |s2 AS (
+      |  SELECT doc_id, text, i, n, sacc,
+      |    coalesce(lag(sacc) OVER (PARTITION BY doc_id ORDER BY i),
+      |      0::HUGEINT) AS sprev
+      |  FROM s),
+      |hrows AS (
+      |  SELECT a.doc_id, a.text, a.i AS pos, a.n - 47 AS m,
+      |    ((((b.sacc - a.sprev + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) % 4294967296) * pw.bp
+      |      + (((((b.sacc - a.sprev + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) // 4294967296) * (pw.bp % 4294967296)) % 4294967296) * 4294967296::HUGEINT
+      |    ) % 18446744073709551616::HUGEINT AS h
+      |  FROM s2 a
+      |  JOIN s2 b ON b.doc_id = a.doc_id AND b.i = a.i + 47
+      |  JOIN pw ON pw.k = a.i + 47
+      |  WHERE a.i + 47 <= a.n),
+      |keys AS (
+      |  SELECT doc_id, text, pos, m,
+      |    h * 4294967296::HUGEINT + CAST(4294967295 - pos AS HUGEINT) AS key
+      |  FROM hrows),
+      |selk AS (
+      |  SELECT doc_id, text, pos AS j, m,
+      |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mk
+      |  FROM keys),
       |sel AS (
-      |  SELECT doc_id, text,
-      |    list_distinct(list_transform(
-      |      range(1, len(us) - least(16, len(us)) + 2),
-      |      j -> 4294967295 - CAST(list_min(list_transform(
-      |             range(j, j + least(16, len(us))),
-      |             p -> us[p] * 4294967296::HUGEINT
-      |                  + CAST(4294967295 - p AS HUGEINT))) % 4294967296::HUGEINT AS BIGINT))) AS poss
-      |  FROM hs),
+      |  SELECT DISTINCT doc_id, text,
+      |    4294967295 - CAST(mk % 4294967296::HUGEINT AS BIGINT) AS pos
+      |  FROM selk WHERE j <= greatest(m - 15, 1)),
       |g AS (
-      |  SELECT doc_id, CAST(p AS BIGINT) AS pos, substr(text, CAST(p AS INT), 48) AS gram
-      |  FROM sel, LATERAL (SELECT unnest(poss) AS p) t),
+      |  SELECT doc_id, pos, substr(text, CAST(pos AS INT), 48) AS gram
+      |  FROM sel),
       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
       |a AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
       |cov AS (
