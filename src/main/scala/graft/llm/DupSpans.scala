@@ -236,11 +236,21 @@ object DupSpans {
     val incA =
       if (winnowWindow <= 1) anchors(increment, textCol, idCol, L)
       else winnowedAnchors(increment, textCol, idCol, L, winnowWindow)
-    // probe: hashes on both sides (bounded by the increment's churn)
+    // probe: hashes on both sides (bounded by the increment's churn).
+    // BOTH probe semi joins are hinted shuffle_hash — the q80 lesson,
+    // re-learned at the 100x slice: the corpus-anchor side is
+    // corpus-proportional (150M 8-byte rows at 100x), and a planner
+    // broadcast of EITHER side is a driver-memory cliff (measured:
+    // the unhinted form collected ~1 GB of task results and OOMed the
+    // 8 GB driver at the 100x catalog slice, where the "increment" is
+    // 10% of the corpus). An executor-side hash join is safe at every
+    // increment size; for a genuinely tiny daily batch the extra
+    // exchange is churn-sized, i.e. trivial.
     val incHashes = incA.select(col("h")).distinct()
-    val candInc = incA.join(corpusAnchors.select(col("h")), Seq("h"),
-      "left_semi")
-    val candCor = corpusAnchors.join(incHashes, Seq("h"), "left_semi")
+    val candInc = incA.join(corpusAnchors.select(col("h")).hint("shuffle_hash"),
+      Seq("h"), "left_semi")
+    val candCor = corpusAnchors.join(incHashes.hint("shuffle_hash"),
+      Seq("h"), "left_semi")
     // grams materialize only for hash hits; text joins stay executor-side
     def withGram(cand: DataFrame, text: DataFrame) = cand
       .join(text.select(col(idCol).as("doc_id"), col(textCol).as("__text"))

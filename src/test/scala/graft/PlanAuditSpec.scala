@@ -121,8 +121,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // window, the all-increment left join and the presentation sort —
     // each bounded by churn or hash hits, none corpus-quadratic; the
     // production twin (DupSpansIndex probe) replaces the corpus anchor
-    // subtree with a pruned index read
-    "q85_incremental_spans" -> 10,
+    // subtree with a pruned index read. 13 = the r12 shuffle_hash form:
+    // the probe semi joins exchange BOTH sides on h (3 more exchanges
+    // than the broadcast-semi form, which collected ~1 GB of corpus
+    // anchor hashes to the driver at the 100x slice and OOMed — the q80
+    // broadcast-cliff lesson; all three extra exchanges are 8-byte-hash
+    // streams, churn- or corpus-linear, never a driver collect)
+    "q85_incremental_spans" -> 13,
     // q83 = q80's candidate pipeline + cut-span islands + per-doc span
     // arrays + the text-rebuild join + presentation sort
     "q83_dup_drop" -> 7,
