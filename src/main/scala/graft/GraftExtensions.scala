@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CdcBoundariesExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
     "bottom_k_sample" -> (exprs =>
       BottomKSample(exprs(0), exprs(1), intLit(exprs(2))).toAggregateExpression()),
+    "mg_candidates" -> (exprs =>
+      MgCandidates(exprs(0), intLit(exprs(1))).toAggregateExpression()),
     "multi_distinct_count" -> (exprs =>
       MultiDistinctCount(exprs).toAggregateExpression()),
     "bitmap_distinct" -> (exprs =>

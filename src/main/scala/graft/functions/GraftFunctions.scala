@@ -13,7 +13,8 @@ object GraftFunctions {
     "max_word_freq", "minhash_bands", "simhash64_md5", "marker_count",
     "bloom_agg", "bloom_might_contain", "lsh_probe_buckets",
     "lsh_probe_buckets_margin", "cdc_boundaries", "multi_distinct_count",
-    "bitmap_distinct", "gram_hashes", "gram_hashes_winnowed", "top_k_double")
+    "bitmap_distinct", "gram_hashes", "gram_hashes_winnowed", "top_k_double",
+    "mg_candidates")
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -43,6 +44,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("bottom_k_sample",
       exprs => BottomKSample(exprs(0), exprs(1),
         intLit(exprs(2))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("mg_candidates",
+      exprs => MgCandidates(exprs(0), intLit(exprs(1))).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignatureExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("simhash64",

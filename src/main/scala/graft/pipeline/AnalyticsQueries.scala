@@ -330,8 +330,40 @@ object AnalyticsQueries {
       |FROM c JOIN a USING (user_id)
       |GROUP BY cohorte, periodo""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** EXACT price percentiles (p50/p90/p99) over the fact — order
+    * statistics without a global sort (operators/ExactQuantile: iterative
+    * histogram refinement, one bounded ≤65536-row exchange per level,
+    * depth ≤ 4 on any 64-bit domain; parquet min/max pushdown prunes the
+    * deeper levels' scans). The exact alternative to percentile_approx
+    * when the cut-off feeds billing/SLA logic. Values in exact long
+    * micros (operators/CurrencyMicros grid contract); quantile targets
+    * in basis points, ranks as exact integer rationals — zero
+    * floating-point ambiguity against the oracle. */
+  def q88ExactQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CurrencyMicros, ExactQuantile}
+    val micros = Tables.lineitem(spark, dir)
+      .select(CurrencyMicros.micros(col("l_extendedprice")).as("x"))
+    val res = ExactQuantile.quantilesBp(micros, "x", Seq(5000, 9000, 9900))
+    import spark.implicits._
+    res.sortBy(_._1).toDF("cuantil_bp", "valor_micros")
+  }
+
+  val q88Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS x
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |n AS (SELECT count(*) AS c FROM v),
+      |ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+      |t(cuantil_bp) AS (VALUES (5000), (9000), (9900))
+      |SELECT t.cuantil_bp AS cuantil_bp, r.x AS valor_micros
+      |FROM t, n, ranked r
+      |WHERE r.rn = GREATEST(1, (CAST(t.cuantil_bp AS BIGINT) * n.c + 9999) // 10000)
+      |ORDER BY cuantil_bp""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_exact_quantile"    -> (q88ExactQuantile _),
     "q42_scd2_history"      -> (q42Scd2History _),
     "q43_rollup"            -> (q43Rollup _),
     "q44_pivot"             -> (q44Pivot _),
@@ -342,6 +374,7 @@ object AnalyticsQueries {
     "q52_cohort_retention"  -> (q52CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q88_exact_quantile"    -> q88Sql,
     "q42_scd2_history"      -> q42Sql,
     "q43_rollup"            -> q43Sql,
     "q44_pivot"             -> q44Sql,

@@ -174,8 +174,39 @@ object ExtraQueries {
       |ORDER BY frecuencia DESC, termino ASC
       |LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** EXACT heavy hitters over the token stream: every term with frequency
+    * strictly > n/201 (k = 200 counters), with exact counts. q33's
+    * vocabulary shuffles the FULL token stream to count it; this is the
+    * scale form — a mergeable Misra–Gries pass (O(k) state, ≤ k pairs
+    * per partition in the exchange, guaranteed superset of the answer)
+    * then an exact count of the ≤ k candidates only (the stream is
+    * InSet-filtered BEFORE the exchange). Two scans, both exchanges
+    * bounded by k, results exact — operators/HeavyHitters. Tokenization
+    * identical to q33 (whitespace split, empties dropped). */
+  def q89HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("termino"))
+      .filter(length(col("termino")) > 0)
+    graft.operators.HeavyHitters.exact(tokens, "termino", k = 200)
+  }
+
+  val q89Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS termino
+      |  FROM documents),
+      |tt AS (SELECT termino FROM tok WHERE length(termino) > 0),
+      |n AS (SELECT count(*) AS c FROM tt)
+      |SELECT termino, count(*) AS frecuencia
+      |FROM tt, n
+      |GROUP BY termino, n.c
+      |HAVING count(*) * 201 > n.c
+      |ORDER BY frecuencia DESC, termino ASC
+      |LIMIT 200""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_heavy_hitters"   -> (q89HeavyHitters _),
     "q27_hierarchy_union" -> (q27HierarchyUnion _),
     "q28_running_balance" -> (q28RunningBalance _),
     "q29_anti_join"       -> (q29AntiJoin _),
@@ -185,6 +216,7 @@ object ExtraQueries {
     "q33_vocabulary"      -> (q33Vocabulary _))
 
   val oracles: Map[String, String] = Map(
+    "q89_heavy_hitters"   -> q89Sql,
     "q27_hierarchy_union" -> q27Sql,
     "q28_running_balance" -> q28Sql,
     "q29_anti_join"       -> q29Sql,

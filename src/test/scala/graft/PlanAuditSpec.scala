@@ -103,6 +103,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "q79_pcm_windows" -> 0,
     // q87 = G.711 synth + ITU table expand + window stats, pure map stage
     "q87_g711_windows" -> 0,
+    // q88 resolves its exact quantiles during construction (bounded
+    // histogram jobs: ≤65536-row exchange per level, depth ≤4 on any
+    // 64-bit domain); the returned plan is the 3-row local result — the
+    // documented driver-scalar pattern (DimLookup-style bounded collect)
+    "q88_exact_quantile" -> 0,
+    // q89 = candidates-only exact count: the MG pass runs at construction
+    // (agg exchange bounded to ≤k pairs/partition); the returned plan is
+    // InSet-filter + ONE ≤k-key groupBy exchange + TakeOrdered (no sort
+    // exchange — limit(k) pins it)
+    "q89_heavy_hitters" -> 1,
     // q80 = ONE corpus-wide anchor-hash agg exchange + the shuffle_hash
     // text re-read (two candidate-/table-sized doc_id exchanges — the
     // broadcast form died at the 100x slice's driver heap) + the
