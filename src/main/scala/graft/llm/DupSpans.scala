@@ -125,27 +125,29 @@ object DupSpans {
       .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
         .hint("shuffle_hash"),
         Seq("doc_id"))
-      .select(col("doc_id"), col("pos"), col("h"),
+      .select(col("doc_id"), col("pos"),
         substring_index_safe(col("__text"), col("pos"), L).as("gram"))
     // Verification is a WINDOW over the candidate set, not an agg +
-    // self-join: min/max(doc_id) over (partition by h, gram) computes the
+    // self-join: min/max(doc_id) over (partition by gram) computes the
     // cross-doc test in the same pass that keeps the anchor rows, so the
     // candidate pipeline (explode → hash agg → broadcast semi → text
     // join) plans ONCE — the agg/join form replayed that whole subtree,
     // including the corpus-wide hash exchange, a second time for the
-    // join's right side (measured 2× the shuffle at the 10× slice). The
-    // exchange is KEYED on the 8-byte hash (explicit repartition);
-    // HashPartitioning(h) satisfies the (h, gram) window's clustering
-    // requirement, so gram equality is verified with a LOCAL sort inside
-    // the hash partitions — collision rejection without a string-keyed
-    // exchange (grouping by (h, gram) rather than gram alone is the same
-    // partition law: equal grams always share h).
-    val wg = Window.partitionBy(col("h"), col("gram"))
+    // join's right side (measured 2× the shuffle at the 10× slice).
+    // MEASURED (r12): the gram-keyed exchange is the fast form. The
+    // hash-keyed variant (explicit repartition(h) + window over (h,
+    // gram)) was tried to shrink the exchange KEY to 8 bytes, but the
+    // rows carry the gram string either way, so the byte saving was nil
+    // and the isolated 10×-slice walls went 6.3→15.3 s (q80) / 7.3→14.7 s
+    // (q83) — the user-specified repartition pins 32 post-shuffle
+    // partitions and blocks AQE's coalesce/skew replan of the candidate
+    // exchange, and the extra h column rides every window row. Reverting
+    // to the gram-keyed window restored 10.6/9.4 s in the same
+    // environment window (unchanged-query smear band 1.2–1.75×).
+    val wg = Window.partitionBy(col("gram"))
     candAnchors
-      .repartition(col("h"))
       .withColumn("g_min", min(col("doc_id")).over(wg))
       .withColumn("g_max", max(col("doc_id")).over(wg))
-      .drop("h")
   }
 
   /** Maximal disjoint spans per doc from (doc_id, pos) anchors covering
