@@ -97,9 +97,12 @@ object ExactQuantile {
       if (cnt <= resolveLimit) {
         // bounded direct selection: TakeOrdered keeps r smallest (heap
         // per partition, no exchange), the max of those is the r-th.
-        return base.filter(col("x").between(lo, hi))
+        val row = base.filter(col("x").between(lo, hi))
           .orderBy(col("x")).limit(r.toInt)
-          .agg(max(col("x"))).head().getLong(0)
+          .agg(max(col("x"))).head()
+        if (row.isNullAt(0)) throw new IllegalStateException(
+          s"resolve found no rows in [$lo,$hi] for rank $r — source mutated?")
+        return row.getLong(0)
       }
       val span = hi - lo // >= 1, no overflow past the guard
       val width = span / buckets + 1L // ceil((span+1)/buckets), overflow-free
@@ -110,7 +113,10 @@ object ExactQuantile {
         val (b, c) = hist(i)
         if (r <= cum + c) {
           val nLo = lo + b * width
-          val nHi = math.min(hi, nLo + width - 1L)
+          // bucket top, overflow-safe: nLo + width - 1 wraps when hi sits
+          // within one width of Long.MaxValue on a misaligned range (e.g.
+          // domain [1, MaxValue]); hi - nLo >= 0 always, so compare spans.
+          val nHi = if (hi - nLo < width) hi else nLo + width - 1L
           return solve(nLo, nHi, r - cum, c)
         }
         cum += c
@@ -125,5 +131,182 @@ object ExactQuantile {
       val k = math.max(1L, (bp.toLong * n + 9999L) / 10000L)
       bp -> solve(lo0, hi0, k, n)
     }
+  }
+
+  /** PER-GROUP exact basis-point quantiles — the grouped form of
+    * [[quantilesBp]] (the reference's metric blocks are per-group;
+    * fact_cliente_venta.py:29–84 aggregates per client grain).
+    *
+    * Same histogram-refinement law, batched across groups so the pass
+    * count stays bounded by the DOMAIN, not by the group count:
+    *
+    *   - every level is ONE exchange of ≤ buckets × |active ranges|
+    *     (pid, bucket, count) rows — all groups' histograms computed in
+    *     the same scan (the per-group range map rides a broadcast join),
+    *     map-side partial agg keeps per-partition output ≤ that bound;
+    *   - ranges are deduped per level, so multiple targets (bps) of one
+    *     group share histograms exactly as the global form memoizes;
+    *   - ranges whose span would overflow Long split at zero into two
+    *     probes of the same target, walked in order — the zero-split
+    *     guard without a separate counting pass;
+    *   - once a target's candidate range holds ≤ resolveLimit rows it
+    *     leaves the loop; ALL such targets resolve afterwards in ONE
+    *     batched pass (broadcast the ≤ |targets| range table, window
+    *     row_number per range id — each window partition is
+    *     ≤ resolveLimit rows by construction, never a full-group sort).
+    *
+    * Driver state: ≤ buckets × |active ranges| histogram rows per level
+    * plus |groups| × |bps| target states — the documented bounded-
+    * collect pattern, guarded by `maxGroups` (the DimLookup cap
+    * contract: beyond it, per-group exact quantiles belong in the
+    * window/row_number form, which shuffles the full input once instead
+    * of scanning it depth-times).
+    *
+    * Groups are the DISTINCT non-null values of `groupCol`; rows with a
+    * null group or null value are ignored (matching a SQL oracle that
+    * filters both). Output: (groupCol, cuantil_bp, valor), one row per
+    * group × bp, value = the group's k-th smallest with
+    * k = max(1, ceil(bp·n_g/10000)). */
+  def quantilesBpByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                         bps: Seq[Int], buckets: Int = 4096,
+                         resolveLimit: Int = 65536,
+                         maxGroups: Int = 65536): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(resolveLimit >= 1, s"resolveLimit must be >= 1, got $resolveLimit")
+    require(bps.forall(bp => bp >= 1 && bp <= 10000),
+      s"basis points must be in [1, 10000], got $bps")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val gField = df.schema(groupCol)
+    val base = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+
+    val heads = base.groupBy(col("g"))
+      .agg(min(col("x")), max(col("x")), count(lit(1))).collect()
+    require(heads.length <= maxGroups,
+      s"${heads.length} groups exceed maxGroups=$maxGroups — use the " +
+        "window/row_number form for high-cardinality grouping")
+
+    final case class St(g: Any, bp: Int, var lo: Long, var hi: Long,
+                        var r: Long, var cnt: Long)
+    val done = mutable.ArrayBuffer.empty[(Any, Int, Long)]
+    val toResolve = mutable.ArrayBuffer.empty[St]
+    var active = mutable.ArrayBuffer.empty[St]
+    heads.foreach { h =>
+      val (g, lo, hi, n) = (h.get(0), h.getLong(1), h.getLong(2), h.getLong(3))
+      bps.foreach { bp =>
+        val k = math.max(1L, (bp.toLong * n + 9999L) / 10000L)
+        val st = St(g, bp, lo, hi, k, n)
+        if (lo == hi) done += ((g, bp, lo))
+        else if (n <= resolveLimit) toResolve += st
+        else active += st
+      }
+    }
+
+    val gType = gField.dataType
+    // one histogram level over ALL active ranges: broadcast the range
+    // table, bucket each row by its own range's width, ONE bounded
+    // exchange of (pid, bucket, count)
+    def level(states: mutable.ArrayBuffer[St]): mutable.ArrayBuffer[St] = {
+      // dedup ranges; overflow ranges split at zero into ordered probes
+      val ranges = states.map(s => (s.g, s.lo, s.hi)).distinct
+      val probeRows = mutable.ArrayBuffer.empty[Row]
+      val probesOf = mutable.Map.empty[(Any, Long, Long), Seq[(Long, Long, Long, Long)]]
+      var pid = 0L
+      ranges.foreach { case (g, lo, hi) =>
+        val subs = if (hi - lo < 0L) Seq((lo, -1L), (0L, hi)) else Seq((lo, hi))
+        probesOf((g, lo, hi)) = subs.map { case (plo, phi) =>
+          val width = (phi - plo) / buckets + 1L
+          val p = (pid, plo, phi, width); pid += 1
+          probeRows += Row(p._1, g, plo, phi, width)
+          p
+        }
+      }
+      val probeSchema = StructType(Seq(
+        StructField("pid", LongType, nullable = false),
+        StructField("pg", gType),
+        StructField("plo", LongType, nullable = false),
+        StructField("phi", LongType, nullable = false),
+        StructField("pw", LongType, nullable = false)))
+      val probesDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(probeRows.toSeq, 1), probeSchema)
+      val hist: Map[Long, Array[(Long, Long)]] = base
+        .join(broadcast(probesDf), col("g") === col("pg"))
+        .filter(col("x").between(col("plo"), col("phi")))
+        .groupBy(col("pid"), expr("(x - plo) div pw").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (p, rows) =>
+          p -> rows.map(t => (t._2, t._3)).sortBy(_._1) }
+      val still = mutable.ArrayBuffer.empty[St]
+      states.foreach { st =>
+        val subs = probesOf((st.g, st.lo, st.hi))
+        var cum = 0L
+        var found = false
+        subs.foreach { case (p, plo, phi, width) =>
+          if (!found) hist.getOrElse(p, Array.empty).foreach { case (b, c) =>
+            if (!found && st.r <= cum + c) {
+              val nLo = plo + b * width
+              // overflow-safe bucket top (phi - nLo >= 0 always)
+              val nHi = if (phi - nLo < width) phi else nLo + width - 1L
+              st.r -= cum; st.lo = nLo; st.hi = nHi; st.cnt = c
+              found = true
+            } else if (!found) cum += c
+          }
+        }
+        if (!found) throw new IllegalStateException(
+          s"rank ${st.r} beyond histogram mass $cum for group ${st.g} in " +
+            s"[${st.lo},${st.hi}] — source mutated?")
+        if (st.lo == st.hi) done += ((st.g, st.bp, st.lo))
+        else if (st.cnt <= resolveLimit) toResolve += st
+        else still += st
+      }
+      still
+    }
+    while (active.nonEmpty) active = level(active)
+
+    // batched resolve: ONE pass for every pending target — broadcast the
+    // (rid, g, lo, hi, r) table, row_number per rid (each partition holds
+    // <= resolveLimit rows), keep the r-th
+    if (toResolve.nonEmpty) {
+      val rSchema = StructType(Seq(
+        StructField("rid", LongType, nullable = false),
+        StructField("rg", gType),
+        StructField("rlo", LongType, nullable = false),
+        StructField("rhi", LongType, nullable = false),
+        StructField("rr", LongType, nullable = false)))
+      val rRows = toResolve.zipWithIndex.map { case (st, i) =>
+        Row(i.toLong, st.g, st.lo, st.hi, st.r) }
+      val rDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rRows.toSeq, 1), rSchema)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("rid")).orderBy(col("x"))
+      val got = base
+        .join(broadcast(rDf), col("g") === col("rg"))
+        .filter(col("x").between(col("rlo"), col("rhi")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === col("rr"))
+        .select(col("rid"), col("x"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      toResolve.zipWithIndex.foreach { case (st, i) =>
+        val v = got.getOrElse(i.toLong, throw new IllegalStateException(
+          s"resolve found no rank-${st.r} row for group ${st.g} in " +
+            s"[${st.lo},${st.hi}] — source mutated?"))
+        done += ((st.g, st.bp, v))
+      }
+    }
+
+    val outSchema = StructType(Seq(
+      gField.copy(name = groupCol),
+      StructField("cuantil_bp", IntegerType, nullable = false),
+      StructField("valor", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        done.map { case (g, bp, v) => Row(g, bp, v) }.toSeq, 1),
+      outSchema)
   }
 }

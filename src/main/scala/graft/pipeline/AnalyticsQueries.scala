@@ -361,8 +361,54 @@ object AnalyticsQueries {
       |WHERE r.rn = GREATEST(1, (CAST(t.cuantil_bp AS BIGINT) * n.c + 9999) // 10000)
       |ORDER BY cuantil_bp""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** PER-GROUP exact price percentiles — q88's order statistics at the
+    * grouped grain the reference's metric blocks publish (per supplier
+    * nation here): ExactQuantile.quantilesBpByGroup batches all 25
+    * nations' histogram refinements into ONE bounded exchange per level
+    * (≤ buckets × active ranges rows, the per-nation range table rides a
+    * broadcast join into the fact scan), then resolves every sub-65536
+    * candidate range in ONE batched window pass — never a per-group sort,
+    * never a full-column exchange, depth still bounded by the value
+    * DOMAIN. The supplier dim joins broadcast before the quantile scans.
+    * Exact long micros, basis-point ranks in integer arithmetic — the
+    * q88 zero-ambiguity contract per group. */
+  def q91GroupQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CurrencyMicros, ExactQuantile}
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        CurrencyMicros.micros(col("l_extendedprice")).as("x"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").as("nacion"))
+    val v = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("nacion"), col("x"))
+    ExactQuantile.quantilesBpByGroup(v, "nacion", "x", Seq(5000, 9000, 9900))
+      .select(col("nacion"), col("cuantil_bp"),
+        col("valor").as("valor_micros"))
+      .orderBy(col("nacion"), col("cuantil_bp"))
+  }
+
+  val q91Sql: String =
+    """WITH v AS (
+      |  SELECT s.s_nationkey AS nacion,
+      |    CAST(CAST(l.l_extendedprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS x
+      |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  WHERE l.l_extendedprice IS NOT NULL),
+      |n AS (SELECT nacion, count(*) AS c FROM v GROUP BY nacion),
+      |ranked AS (
+      |  SELECT nacion, x,
+      |    row_number() OVER (PARTITION BY nacion ORDER BY x) AS rn
+      |  FROM v),
+      |t(cuantil_bp) AS (VALUES (5000), (9000), (9900))
+      |SELECT r.nacion, t.cuantil_bp AS cuantil_bp, r.x AS valor_micros
+      |FROM t, n, ranked r
+      |WHERE r.nacion = n.nacion
+      |  AND r.rn = GREATEST(1, (CAST(t.cuantil_bp AS BIGINT) * n.c + 9999) // 10000)
+      |ORDER BY r.nacion, cuantil_bp""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_group_quantile"    -> (q91GroupQuantile _),
     "q88_exact_quantile"    -> (q88ExactQuantile _),
     "q42_scd2_history"      -> (q42Scd2History _),
     "q43_rollup"            -> (q43Rollup _),
@@ -374,6 +420,7 @@ object AnalyticsQueries {
     "q52_cohort_retention"  -> (q52CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q91_group_quantile"    -> q91Sql,
     "q88_exact_quantile"    -> q88Sql,
     "q42_scd2_history"      -> q42Sql,
     "q43_rollup"            -> q43Sql,

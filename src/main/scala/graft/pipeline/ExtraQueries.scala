@@ -204,8 +204,44 @@ object ExtraQueries {
       |ORDER BY frecuencia DESC, termino ASC
       |LIMIT 200""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** PER-GROUP exact heavy hitters — q89's two bounded passes keyed by
+    * language (q67's top-terms-per-source shape WITH guarantees): for
+    * every lang, every term whose in-language frequency·(k+1) exceeds
+    * that language's token count, with exact counts. Pass 1 runs
+    * mg_candidates under groupBy(lang) (exchange ≤ k pairs per
+    * partition-group; driver state ≤ |langs|·k — the DimLookup capped
+    * collect); pass 2 semi-joins the stream against the broadcast
+    * (lang, term) candidate table BEFORE the exchange, so the count
+    * shuffle carries ≤ |langs|·k keys, then the per-group integer
+    * threshold count·(k+1) > n_lang cuts the superset exactly —
+    * operators/HeavyHitters.exactPerGroup. Tokenization identical to
+    * q33/q89. */
+  def q93GroupHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("termino"))
+      .filter(length(col("termino")) > 0)
+    graft.operators.HeavyHitters.exactPerGroup(tokens, "lang", "termino",
+      k = 40)
+  }
+
+  val q93Sql: String =
+    """WITH tok AS (
+      |  SELECT lang,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS termino
+      |  FROM documents),
+      |tt AS (SELECT lang, termino FROM tok WHERE length(termino) > 0),
+      |n AS (SELECT lang, count(*) AS c FROM tt GROUP BY lang)
+      |SELECT tt.lang, tt.termino, count(*) AS frecuencia
+      |FROM tt JOIN n ON n.lang = tt.lang
+      |GROUP BY tt.lang, tt.termino, n.c
+      |HAVING count(*) * 41 > n.c
+      |ORDER BY tt.lang ASC, frecuencia DESC, tt.termino ASC""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_group_heavy_hitters" -> (q93GroupHeavyHitters _),
     "q89_heavy_hitters"   -> (q89HeavyHitters _),
     "q27_hierarchy_union" -> (q27HierarchyUnion _),
     "q28_running_balance" -> (q28RunningBalance _),
@@ -216,6 +252,7 @@ object ExtraQueries {
     "q33_vocabulary"      -> (q33Vocabulary _))
 
   val oracles: Map[String, String] = Map(
+    "q93_group_heavy_hitters" -> q93Sql,
     "q89_heavy_hitters"   -> q89Sql,
     "q27_hierarchy_union" -> q27Sql,
     "q28_running_balance" -> q28Sql,

@@ -83,6 +83,96 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got === Seq(("a", 100L)))
   }
 
+  // ---------------------------------------------------------- grouped
+  private def bruteGrouped(rows: Seq[(String, String)],
+                           k: Int): Seq[(String, String, Long)] =
+    rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      brute(rs.map(_._2), k).map { case (t, c) => (g, t, c) }
+    }.sortBy { case (g, t, c) => (g, -c, t) }
+
+  private def checkGrouped(rows: Seq[(String, String)], k: Int,
+                           parts: Int = 4): Unit = {
+    val df = rows.toDF("grp", "item").repartition(parts)
+    val got = HeavyHitters.exactPerGroup(df, "grp", "item", k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got === bruteGrouped(rows, k), s"k=$k parts=$parts")
+  }
+
+  test("grouped: equals per-group brute force, independent thresholds") {
+    val rnd = new scala.util.Random(17)
+    // group A zipf-ish, group B uniform (no hitters), group C majority
+    val rows =
+      Seq.fill(8000)(("A", s"t${(math.pow(rnd.nextDouble(), 3) * 300).toInt}")) ++
+      (1 to 3000).map(i => ("B", s"u${i % 1500}")) ++
+      (Seq.fill(900)(("C", "MAJ")) ++ (1 to 600).map(i => ("C", s"c$i")))
+    checkGrouped(rows, k = 10)
+    checkGrouped(rows, k = 3)
+  }
+
+  test("grouped: per-group adversarial tails — each group's hitter diluted") {
+    // each group has one 30%-mass hitter drowned in its own singleton
+    // tail; candidates must survive per group even though other groups'
+    // tails dominate every partition
+    val rnd = new scala.util.Random(31)
+    val rows = rnd.shuffle(
+      (0 until 4).flatMap { gi =>
+        Seq.fill(1500)((s"g$gi", s"HH$gi")) ++
+          (1 to 3500).map(i => (s"g$gi", s"x${gi}_$i"))
+      })
+    checkGrouped(rows, k = 3, parts = 8)
+    assert(bruteGrouped(rows, 3).map(_._2).sorted ===
+      Seq("HH0", "HH1", "HH2", "HH3"))
+  }
+
+  test("grouped: answer partitioning-independent even when candidate sets differ") {
+    val rnd = new scala.util.Random(8)
+    val rows = Seq.fill(6000)(
+      (s"s${rnd.nextInt(3)}", s"w${(math.pow(rnd.nextDouble(), 2) * 90).toInt}"))
+    val perPart = Seq(1, 4, 16).map { p =>
+      val df = rows.toDF("grp", "item").repartition(p)
+      // candidate sets (pass 1) genuinely differ across partitionings...
+      val cands = df.groupBy(col("grp"))
+        .agg(expr("mg_candidates(item, 6)").as("s"))
+        .collect().map(r => r.getString(0) ->
+          r.getStruct(1).getSeq[String](1).toSet).toMap
+      // ...but the thresholded exact answer must not
+      val ans = HeavyHitters.exactPerGroup(df, "grp", "item", 6)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      (cands, ans)
+    }
+    assert(perPart.map(_._2).distinct.size === 1)
+    assert(perPart.head._2 === bruteGrouped(rows, 6))
+    assert(perPart.map(_._1).distinct.size > 1,
+      "test vacuous: candidate sets identical under all partitionings")
+  }
+
+  test("grouped: nulls in group or item ignored; empty candidates schema") {
+    val rows: Seq[(Option[String], Option[String])] =
+      Seq.fill(50)((Some("a"), Some("hit"))) ++
+        Seq.fill(10)((None, Some("hit"))) ++
+        Seq.fill(10)((Some("a"), None)) ++ Seq.fill(9)((Some("b"), Some("z")))
+    val df = rows.toDF("grp", "item")
+    val got = HeavyHitters.exactPerGroup(df, "grp", "item", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    // group a: n=50 non-null, hit=50 qualifies; group b: z=9, 9*3 > 9 ok
+    assert(got === Seq(("a", "hit", 50L), ("b", "z", 9L)))
+    val empty = HeavyHitters.exactPerGroup(
+      Seq.empty[(String, String)].toDF("grp", "item"), "grp", "item", 5)
+    assert(empty.columns.toSeq === Seq("grp", "item", "frecuencia"))
+    assert(empty.count() === 0)
+  }
+
+  test("grouped: maxGroups guard bites") {
+    val df = (1 to 20).map(i => (s"g$i", "x")).toDF("grp", "item")
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.exactPerGroup(df, "grp", "item", 2, maxGroups = 5)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+  }
+
   test("mg_candidates superset guarantee holds under forced merges") {
     // every item with freq > n/(k+1) must be in the candidate array no
     // matter how partial buffers merged.
