@@ -293,10 +293,32 @@ object DupSpans {
     * untouched docs pass through with n_cut = 0. The rebuild is pure
     * Column algebra over the per-doc sorted span array (bounded by the
     * doc's own length), so the whole transform stays executor-side; no
-    * driver text surgery, no UDF. */
+    * driver text surgery, no UDF.
+    *
+    * `winnowWindow > 1` runs the cut over the WINNOWED anchor subset
+    * ([[winnowedAnchors]]) — the q84 scale lever applied to the
+    * transform itself (~(w+1)/2 × smaller corpus-wide exchange). The
+    * relaxed contract, both directions pinned by spec against the exact
+    * form (DupSpansSpec):
+    *   - every duplicated span of code-point length >= L + w - 1 is
+    *     still CUT in every non-owner document (the shared region holds
+    *     a full window of identical gram hashes, selection is a pure
+    *     function of the window, so both docs anchor the same gram);
+    *   - a cut region may RETAIN up to w - 1 characters at EACH edge
+    *     (the first selected in-span anchor sits up to w - 1 positions
+    *     in from the left edge, and the last selected gram can end up
+    *     to w - 1 short of the right edge; the interior is contiguous
+    *     for w <= L because consecutive selections are <= w apart), and
+    *     spans shorter than L + w - 1 are cut only if they happen to
+    *     anchor.
+    * The canonical-owner rule is UNCHANGED: g_min over the SELECTED
+    * grams — still exactly one surviving copy of every cut region, and
+    * owner choice is a pure function of the corpus (winnow selection
+    * does not depend on partitioning). */
   def dropSpans(docs: DataFrame, textCol: String, idCol: String,
-                L: Int): DataFrame = {
-    val cutAnchors = candidateAnchorsWithOwner(docs, textCol, idCol, L)
+                L: Int, winnowWindow: Int = 1): DataFrame = {
+    val cutAnchors = candidateAnchorsWithOwner(docs, textCol, idCol, L,
+        winnowWindow)
       .filter(col("g_min") =!= col("g_max") && col("doc_id") =!= col("g_min"))
       .select(col("doc_id"), col("pos"))
     val spansPerDoc = islandSpans(cutAnchors, L)

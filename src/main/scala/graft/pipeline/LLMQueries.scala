@@ -1527,8 +1527,13 @@ object LLMQueries {
   // min as before, expressed as a 16-row window frame; rows past the last
   // full window are excluded (the kernel's windows are full windows; a
   // doc with < 16 grams keeps only its j = 1 truncated window).
-  val q84Sql: String =
-    """WITH RECURSIVE pw(k, bp, ib) AS (
+  /** The winnowed-selection CTE chain shared by q84 (detect) and q90
+    * (apply): Karp–Rabin hashes in HUGEINT mod-2^64 arithmetic, SWA'03
+    * rightmost-min selection, ending in `g` = (doc_id, pos, gram) over
+    * the SELECTED positions only. Single-sourced so the two oracles can
+    * never drift on the selection law. */
+  private val winnowGramCtes: String =
+    """pw(k, bp, ib) AS (
       |  SELECT 0, 1::HUGEINT, 1::HUGEINT
       |  UNION ALL
       |  SELECT k + 1, (bp * 1000003) % 18446744073709551616::HUGEINT,
@@ -1576,7 +1581,10 @@ object LLMQueries {
       |  FROM selk WHERE j <= greatest(m - 15, 1)),
       |g AS (
       |  SELECT doc_id, pos, substr(text, CAST(pos AS INT), 48) AS gram
-      |  FROM sel),
+      |  FROM sel)""".stripMargin
+
+  val q84Sql: String =
+    s"""WITH RECURSIVE $winnowGramCtes,
       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
       |a AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
       |cov AS (
@@ -1643,7 +1651,133 @@ object LLMQueries {
       |WHERE d.doc_id % 10 = 3
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** REAL IMA ADPCM audio decode (r13 — the last cheap codec-free audio
+    * family after q79's PCM16 and q87's G.711): 4-bit block-compressed
+    * WAVs (format 0x11) synthesized with HOSTILE block sizes (down to
+    * one data word = 9 samples per block, so the predictor/index reset
+    * at every block header — where ADPCM implementations break — fires
+    * constantly), decoded by MediaHeaders.decodeImaAdpcm through the
+    * published IMA step/index tables, reduced to the q79 window stats.
+    * The oracle replays the ENTIRE recurrence in SQL — a recursive CTE
+    * steps predictor/index per nibble with the same integer deltas,
+    * clamps, nibble order and per-block resets — so a wrong table entry,
+    * a missed clamp, a swapped nibble, or a broken block reset diverges
+    * on peak / sum-of-squares / checksum. Zero shuffle, scan-fused. */
+  def q92AdpcmWindows(spark: SparkSession, dir: String): DataFrame = {
+    val synthUdf = udf((id: Long) => MediaSynth.synthAdpcm(id))
+    val withBin = Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("payload", synthUdf(col("doc_id")))
+    Multimodal.pcmWindows(withBin, "payload")()
+      .select(col("doc_id"), col("sample_rate"), col("canales"),
+        col("codec"), col("ventana"), col("n_muestras"), col("pico"),
+        col("suma_cuadrados"), col("suma_ponderada"))
+  }
+
+  val q92Sql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 12 WHEN 2 THEN 36
+      |      ELSE 132 END AS ba,
+      |    2 + (doc_id * 3) % 6 AS nb
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, CAST(1 + 2 * (ba - 4) AS BIGINT) AS spb,
+      |    unnest(range(0, nb)) AS blk
+      |  FROM p),
+      |dec(doc_id, blk, spb, j, pred, idx) AS (
+      |  SELECT doc_id, blk, spb, CAST(0 AS BIGINT),
+      |    CAST((doc_id * 29 + blk * 37) % 65536 - 32768 AS BIGINT),
+      |    CAST((doc_id + blk * 17) % 89 AS BIGINT)
+      |  FROM b
+      |  UNION ALL
+      |  SELECT doc_id, blk, spb, j + 1,
+      |    GREATEST(-32768, LEAST(32767,
+      |      pred + CASE WHEN nib >= 8 THEN -delta ELSE delta END)),
+      |    GREATEST(0, LEAST(88, idx +
+      |      [-1,-1,-1,-1,2,4,6,8][CAST(nib % 8 AS INT) + 1]))
+      |  FROM (
+      |    SELECT doc_id, blk, spb, j, pred, idx, nib,
+      |      (step >> 3)
+      |        + CASE WHEN nib % 2 = 1 THEN step >> 2 ELSE 0 END
+      |        + CASE WHEN (nib // 2) % 2 = 1 THEN step >> 1 ELSE 0 END
+      |        + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END AS delta
+      |    FROM (
+      |      SELECT doc_id, blk, spb, j, pred, idx,
+      |        (doc_id * 7 + blk * 11 + j * 13) % 16 AS nib,
+      |        [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+      |         34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,
+      |         157,173,190,209,230,253,279,307,337,371,408,449,494,544,
+      |         598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,
+      |         1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,
+      |         5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,
+      |         15289,16818,18500,20350,22385,24623,27086,29794,32767
+      |        ][CAST(idx AS INT) + 1] AS step
+      |      FROM dec WHERE j < spb - 1) n0) n1),
+      |m AS (SELECT doc_id, blk * spb + j AS k, pred AS muestra FROM dec)
+      |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(1 AS INTEGER) AS canales, 'adpcm' AS codec,
+      |  CAST(k // 512 AS INTEGER) AS ventana,
+      |  CAST(count(*) AS INTEGER) AS n_muestras,
+      |  CAST(max(abs(muestra)) AS INTEGER) AS pico,
+      |  CAST(sum(muestra * muestra) AS BIGINT) AS suma_cuadrados,
+      |  CAST(sum(muestra * (k % 512 + 1)) AS BIGINT) AS suma_ponderada
+      |FROM m GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  /** WINNOWED apply-side dedup (r13 — the q84 scale lever plumbed into
+    * the q83 TRANSFORM, the repo's largest 100× wall): every document is
+    * rewritten with its duplicated spans cut, but the anchor pass keeps
+    * only the SWA'03 rightmost-min gram per 16-position window, so the
+    * corpus-wide exchange is ~8× smaller than q83's. The relaxed cut
+    * contract (spec-pinned against the exact form in DupSpansSpec):
+    * every shared span of code-point length >= 48 + 16 - 1 = 63 is still
+    * cut in every non-owner document, except that up to 15 characters
+    * may survive at each edge (the selected anchor sits up to w-1 in
+    * from the left, and its 48-gram can end up to w-1 short of the
+    * right); shorter spans are cut only if they happen to anchor. The
+    * canonical-owner rule is UNCHANGED — min doc_id over the SELECTED
+    * grams — so exactly one copy of each cut region survives and the
+    * choice is a pure function of the corpus. The oracle composes the
+    * q84 selection CTEs (single-sourced string) with the q83 cut/rebuild
+    * CTEs, so a selection defect or a boundary off-by-one diverges on
+    * the full rebuilt text. */
+  def q90DupDropWinnowed(spark: SparkSession, dir: String): DataFrame =
+    DupSpans.dropSpans(Tables.documents(spark, dir), "text", "doc_id",
+      L = 48, winnowWindow = 16)
+
+  val q90Sql: String =
+    s"""WITH RECURSIVE $winnowGramCtes,
+      |own AS (
+      |  SELECT gram, min(doc_id) AS owner, count(DISTINCT doc_id) AS nd
+      |  FROM g GROUP BY gram),
+      |cuts AS (
+      |  SELECT g.doc_id, g.pos FROM g JOIN own USING (gram)
+      |  WHERE own.nd >= 2 AND g.doc_id <> own.owner),
+      |cutpos AS (
+      |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+      |  FROM cuts, LATERAL (SELECT unnest(range(cuts.pos, cuts.pos + 48)) AS p) u),
+      |allpos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    substr(text, CAST(i AS INT), 1) AS ch
+      |  FROM documents, LATERAL (
+      |    SELECT unnest(range(1, length(text) + 1)) AS i) t),
+      |kept AS (
+      |  SELECT a.doc_id, COALESCE(string_agg(a.ch, '' ORDER BY a.i), '') AS new_text
+      |  FROM allpos a LEFT JOIN cutpos c ON c.doc_id = a.doc_id AND c.p = a.i
+      |  WHERE c.p IS NULL GROUP BY a.doc_id),
+      |nc AS (SELECT doc_id, count(*) AS n_cut FROM cutpos GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(nc.n_cut, 0) AS n_cut,
+      |  COALESCE(k.new_text, '') AS new_text
+      |FROM documents d
+      |LEFT JOIN nc ON nc.doc_id = d.doc_id
+      |LEFT JOIN kept k ON k.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_adpcm_windows"    -> (q92AdpcmWindows _),
+    "q90_dup_drop_winnowed" -> (q90DupDropWinnowed _),
     "q87_g711_windows"     -> (q87G711Windows _),
     "q86_ann_pq_filtered"  -> ((s, d) => q86AnnPqFiltered(s, d)),
     "q85_incremental_spans" -> (q85IncrementalSpans _),
@@ -1677,6 +1811,8 @@ object LLMQueries {
     "q69_cluster_medoids" -> ((s, d) => q69ClusterMedoids(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q92_adpcm_windows"    -> q92Sql,
+    "q90_dup_drop_winnowed" -> q90Sql,
     "q87_g711_windows"     -> q87Sql,
     "q86_ann_pq_filtered"  -> q86Sql,
     "q85_incremental_spans" -> q85Sql,

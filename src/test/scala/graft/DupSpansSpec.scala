@@ -229,6 +229,78 @@ class DupSpansSpec extends AnyFunSuite {
     assert(got == List((1L, 0L, "ABCD"), (2L, 4L, "")))
   }
 
+  // ---------------------------------------------- dropSpans (winnowed)
+  /** Independent reference for the winnowed apply: cut positions = chars
+    * covered by a winnow-SELECTED gram whose owner (min doc_id over the
+    * docs that SELECTED it) is another document — the same ownership law
+    * as the engine, recomputed from bruteWinnow. */
+  private def bruteWinnowDrop(docs: Map[Long, String], L: Int,
+                              w: Int): Map[Long, (Long, String)] = {
+    val selected = docs.toSeq.flatMap { case (id, t) =>
+      bruteWinnow(t, L, w).map { case (p, _) =>
+        (id, p, t.substring(p - 1, p - 1 + L)) } }
+    val byGram = selected.groupBy(_._3)
+    docs.map { case (id, t) =>
+      val cut = selected.collect { case (d, p, g)
+        if d == id && byGram(g).map(_._1).distinct.size >= 2 &&
+          byGram(g).map(_._1).min != id => p }
+        .flatMap(p => p until p + L).toSet
+      id -> (cut.size.toLong,
+        t.zipWithIndex.collect { case (c, i) if !cut.contains(i + 1) => c }
+          .mkString)
+    }
+  }
+
+  test("dropSpans winnowed: equals the independent brute reference") {
+    // mixed corpus: a long shared span (>= L + w - 1, must cut), a short
+    // shared gram (may or may not anchor), an internal repeat (never
+    // cuts), a clean doc — plus ownership chains across three docs
+    val docs = Map(
+      1L -> ("alpha START-OF-A-LONG-SHARED-REGION-123456 tail one"),
+      2L -> ("two START-OF-A-LONG-SHARED-REGION-123456 mid SHORTDUP x"),
+      3L -> ("three SHORTDUP and then something else entirely here"),
+      4L -> ("clean document with no duplication whatsoever in it"),
+      5L -> ("repeatrepeatrepeatrepeat internal only internal only"))
+    val L = 6; val w = 4
+    val expect = bruteWinnowDrop(docs, L, w)
+    val got = DupSpans.dropSpans(docsDf(docs.toSeq: _*), "text", "doc_id",
+        L, winnowWindow = w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("dropSpans winnowed: spans >= L + w - 1 cut except <= w - 1 chars per edge") {
+    val span = "GUARANTEED-CUT-SPAN-abcdefghijklmnop" // length 36
+    val L = 8; val w = 4 // threshold L + w - 1 = 11 << 36
+    val d = docsDf(
+      1L -> ("owner doc " + span + " keeps it"),
+      2L -> ("the copy " + span + " loses it"))
+    val got = DupSpans.dropSpans(d, "text", "doc_id", L, winnowWindow = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    val owner = got.find(_._1 == 1L).get
+    val copy = got.find(_._1 == 2L).get
+    assert(owner._2 == 0L && owner._3 == "owner doc " + span + " keeps it")
+    // the guaranteed-cut interior: span minus w-1 chars at each edge
+    val interior = span.substring(w - 1, span.length - (w - 1))
+    assert(!copy._3.contains(interior), s"interior survived: ${copy._3}")
+    assert(copy._2 >= span.length - 2L * (w - 1), s"n_cut ${copy._2}")
+    // and the non-span text survives
+    assert(copy._3.startsWith("the copy ") && copy._3.endsWith(" loses it"))
+  }
+
+  test("dropSpans winnowed: w = 1 degenerates to the exact form") {
+    val d = docsDf(
+      1L -> "ABCDEFGHxx",
+      2L -> "yyABCDEFGHzz",
+      3L -> "no dup here")
+    val exact = DupSpans.dropSpans(d, "text", "doc_id", 4)
+      .collect().map(_.toSeq).toList
+    val win1 = DupSpans.dropSpans(d, "text", "doc_id", 4, winnowWindow = 1)
+      .collect().map(_.toSeq).toList
+    assert(exact == win1)
+  }
+
   // -------------------------------------------------------- dup spans
   private def docsDf(rows: (Long, String)*) = {
     val s = spark
