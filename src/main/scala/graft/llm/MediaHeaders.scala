@@ -277,10 +277,11 @@ object MediaHeaders {
     * fields plus the data chunk's (offset, length), with the payload
     * FULLY present — format policy (which codecs decode) stays with the
     * callers. None on non-WAV, missing chunks, or truncation. */
-  private def wavLayout(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
+  private def wavLayout(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Int)] = {
     if (b == null || !isWav(b)) return None
     var i = 12L
     var fmtCode = 0; var channels = 0; var rate = 0; var bits = 0
+    var blockAlign = 0
     var dataOff = -1; var dataLen = -1
     while (i + 8 <= b.length) {
       val at = i.toInt
@@ -289,6 +290,7 @@ object MediaHeaders {
         fmtCode = leU16(b, at + 8)
         channels = leU16(b, at + 10)
         rate = leU32(b, at + 12).toInt
+        blockAlign = leU16(b, at + 20)
         bits = leU16(b, at + 22)
       } else if (tag(b, at, "data")) {
         if (at + 8 + size > b.length) return None // truncated payload
@@ -297,29 +299,126 @@ object MediaHeaders {
       i += 8L + size + (size & 1L)
     }
     if (rate <= 0 || channels <= 0 || dataOff < 0) None
-    else Some((fmtCode, bits, rate, channels, dataOff, dataLen))
+    else Some((fmtCode, bits, rate, channels, dataOff, dataLen, blockAlign))
   }
 
   /** [[wavLayout]] restricted to complete 16-bit PCM payloads — the
     * frame-slice path's contract (block align = 2·channels). */
   private def pcmLayout(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
     wavLayout(b) match {
-      case Some((1, 16, rate, channels, dataOff, dataLen))
+      case Some((1, 16, rate, channels, dataOff, dataLen, _))
         if (dataLen & 1) == 0 => Some((rate, channels, dataOff, dataLen))
       case _ => None
     }
 
+  // IMA/DVI ADPCM (WAV format 0x11) — the published normative tables
+  // (IMA Digital Audio Pack, "Recommended Practices for Enhancing
+  // Digital Audio Compatibility", rev 3.00 §4; same tables in RFC 3551's
+  // DVI4 description). Unlike G.711 these are defined AS tables (the
+  // step sizes approximate a 1.1x geometric ramp with normative
+  // roundings), so they are transcribed, not derived — every entry is
+  // exercised by the q92 oracle's SQL replay of the same recurrence.
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private[graft] val ImaIndexTable: Array[Int] = Array(
+    -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA nibble step, bit-exact shared law with the q92 SQL oracle:
+    * delta = (step>>3) + n0·(step>>2) + n1·(step>>1) + n2·step, sign
+    * from bit 3, predictor clamped to i16, index clamped to [0, 88]. */
+  @inline private def imaStep(nib: Int, pred: Int, idx: Int): (Int, Int) = {
+    val step = ImaStepTable(idx)
+    var delta = step >> 3
+    if ((nib & 1) != 0) delta += step >> 2
+    if ((nib & 2) != 0) delta += step >> 1
+    if ((nib & 4) != 0) delta += step
+    val p0 = if ((nib & 8) != 0) pred - delta else pred + delta
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, idx + ImaIndexTable(nib)))
+    (p, i)
+  }
+
+  /** Decode a complete IMA ADPCM data chunk (format 0x11, 4-bit). Block
+    * structure per the IMA/Microsoft layout: each `blockAlign`-sized
+    * block opens with a 4-byte header PER CHANNEL (initial predictor as
+    * LE i16 — which IS the block's first output sample — then step index
+    * u8, reserved u8), followed by 4-byte data words interleaved one
+    * word per channel (8 nibbles = 8 samples each, LOW nibble first).
+    * The predictor/index state RESETS at every block header — the
+    * property hostile block sizes exercise. Refuses (None): data not a
+    * whole number of blocks, a block too small for its headers, data
+    * bytes not whole 4-byte words per channel, or a header step index
+    * past 88. */
+  private def decodeImaAdpcm(b: Array[Byte], rate: Int, channels: Int,
+                             dataOff: Int, dataLen: Int,
+                             blockAlign: Int): Option[PcmAudio] = {
+    val headBytes = 4 * channels
+    if (blockAlign < headBytes + 4 * channels) return None
+    if ((blockAlign - headBytes) % (4 * channels) != 0) return None
+    if (dataLen <= 0 || dataLen % blockAlign != 0) return None
+    val nBlocks = dataLen / blockAlign
+    val samplesPerBlock = 1 + (blockAlign - headBytes) * 2 / channels
+    val out = new Array[Short](nBlocks * samplesPerBlock * channels)
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    var blk = 0
+    while (blk < nBlocks) {
+      val blockOff = dataOff + blk * blockAlign
+      val outBase = blk * samplesPerBlock * channels
+      var c = 0
+      while (c < channels) {
+        val h = blockOff + 4 * c
+        pred(c) = (u8(b, h) | (u8(b, h + 1) << 8)).toShort.toInt // LE i16
+        idx(c) = u8(b, h + 2)
+        if (idx(c) > 88) return None
+        out(outBase + c) = pred(c).toShort // header sample = sample 0
+        c += 1
+      }
+      val words = (blockAlign - headBytes) / (4 * channels)
+      var w = 0
+      while (w < words) {
+        c = 0
+        while (c < channels) {
+          val wordOff = blockOff + headBytes + (w * channels + c) * 4
+          var j = 0
+          while (j < 8) {
+            val byte = u8(b, wordOff + j / 2)
+            val nib = if ((j & 1) == 0) byte & 0x0f else (byte >> 4) & 0x0f
+            val (p, i) = imaStep(nib, pred(c), idx(c))
+            pred(c) = p; idx(c) = i
+            val s = 1 + w * 8 + j // sample index within block, channel c
+            out(outBase + s * channels + c) = p.toShort
+            j += 1
+          }
+          c += 1
+        }
+        w += 1
+      }
+      blk += 1
+    }
+    Some(PcmAudio(rate, channels, out, "adpcm"))
+  }
+
   /** Decode the full linear sample stream; None under the refuse
-    * contract (non-WAV, truncated, unsupported codec). Three codec-free
+    * contract (non-WAV, truncated, unsupported codec). Four codec-free
     * wire formats decode for real: PCM16 (format 1, 16-bit, even data
-    * length — LE i16 bytes ARE the samples) and the two G.711 companded
+    * length — LE i16 bytes ARE the samples), the two G.711 companded
     * families (μ-law format 7 / A-law format 6, 8-bit — one table lookup
-    * per byte, the public ITU expansion). Anything else — IEEE float,
-    * ADPCM, a 16-bit G.711 claim, an odd PCM16 chunk — refuses rather
-    * than guessing. */
+    * per byte, the public ITU expansion), and IMA/DVI ADPCM (format
+    * 0x11, 4-bit — block-reset predictor recurrence over the published
+    * step/index tables, r13). Anything else — IEEE float, MS-ADPCM
+    * (format 2), a non-4-bit IMA claim, a 16-bit G.711 claim, an odd
+    * PCM16 chunk, a partial ADPCM block — refuses rather than
+    * guessing. */
   def decodePcm(b: Array[Byte]): Option[PcmAudio] =
     wavLayout(b) match {
-      case Some((1, 16, rate, channels, dataOff, dataLen))
+      case Some((1, 16, rate, channels, dataOff, dataLen, _))
         if (dataLen & 1) == 0 =>
         val n = dataLen / 2
         val out = new Array[Short](n)
@@ -330,7 +429,7 @@ object MediaHeaders {
           k += 1
         }
         Some(PcmAudio(rate, channels, out, "pcm16"))
-      case Some((fmt, 8, rate, channels, dataOff, dataLen))
+      case Some((fmt, 8, rate, channels, dataOff, dataLen, _))
         if fmt == 6 || fmt == 7 =>
         val table = if (fmt == 7) UlawTable else AlawTable
         val out = new Array[Short](dataLen)
@@ -340,6 +439,8 @@ object MediaHeaders {
           k += 1
         }
         Some(PcmAudio(rate, channels, out, if (fmt == 7) "ulaw" else "alaw"))
+      case Some((17, 4, rate, channels, dataOff, dataLen, blockAlign)) =>
+        decodeImaAdpcm(b, rate, channels, dataOff, dataLen, blockAlign)
       case _ => None
     }
 

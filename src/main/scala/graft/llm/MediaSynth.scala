@@ -303,6 +303,72 @@ object MediaSynth {
   def g711Code(id: Long, k: Long): Int =
     math.floorMod(id * 11L + k * 29L, 256L).toInt
 
+  // ---------------------------------------------------- IMA ADPCM (q92)
+  // Block-structured 4-bit ADPCM WAVs (format 0x11) with HOSTILE block
+  // sizes — the predictor/index state resets at every block header, which
+  // is exactly where ADPCM implementations break, so blocks are kept
+  // short (down to ONE data word = 9 samples/block) and both the header
+  // predictor and the nibble stream are closed forms of (id, block, j):
+  // the DuckDB oracle replays the full recurrence (step table, clamps,
+  // nibble order, block resets) in SQL integer arithmetic.
+
+  /** Hostile block-align cycle: 8 (one data word — reset every 9
+    * samples), 12, 36, 132 bytes. */
+  def adpcmBlockAlign(id: Long): Int =
+    Array(8, 12, 36, 132)(math.floorMod(id, 4L).toInt)
+  def adpcmBlocks(id: Long): Long = 2L + math.floorMod(id * 3L, 6L)
+  /** Samples per block (mono): header sample + 2 per data byte. */
+  def adpcmSamplesPerBlock(id: Long): Int = 1 + (adpcmBlockAlign(id) - 4) * 2
+  def adpcmTotalSamples(id: Long): Long =
+    adpcmBlocks(id) * adpcmSamplesPerBlock(id)
+  /** Block header: initial predictor (i16) — also the block's sample 0. */
+  def adpcmPred0(id: Long, blk: Long): Int =
+    (math.floorMod(id * 29L + blk * 37L, 65536L) - 32768L).toInt
+  /** Block header: initial step index, exercising the whole [0, 88] table. */
+  def adpcmIdx0(id: Long, blk: Long): Int =
+    math.floorMod(id + blk * 17L, 89L).toInt
+  /** The j-th wire nibble of a block (j = 0 drives sample 1). */
+  def adpcmNibble(id: Long, blk: Long, j: Long): Int =
+    math.floorMod(id * 7L + blk * 11L + j * 13L, 16L).toInt
+
+  /** A complete mono IMA ADPCM WAV: RIFF/fmt(0x11, 4-bit, with the
+    * cbSize=2 samples-per-block extension)/data, whole blocks only. */
+  def synthAdpcm(id: Long): Array[Byte] = {
+    val ba = adpcmBlockAlign(id)
+    val nb = adpcmBlocks(id).toInt
+    val spb = adpcmSamplesPerBlock(id)
+    val dataBytes = nb * ba
+    val o = new ByteArrayOutputStream(46 + dataBytes)
+    def leU32i(v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    "RIFF".foreach(c => o.write(c.toInt)); leU32i(40L + dataBytes)
+    "WAVE".foreach(c => o.write(c.toInt))
+    // fmt size 20 = 16 base + 2 (cbSize field itself) + cbSize=2 ext
+    "fmt ".foreach(c => o.write(c.toInt)); leU32i(20L)
+    leU16(o, 0x11); leU16(o, 1)                  // IMA ADPCM, mono
+    leU32i(8000L); leU32i(8000L * ba / spb)      // rate, avg byte rate
+    leU16(o, ba); leU16(o, 4)                    // block align, bits
+    leU16(o, 2); leU16(o, spb)                   // cbSize, samples/block
+    "data".foreach(c => o.write(c.toInt)); leU32i(dataBytes.toLong)
+    var blk = 0
+    while (blk < nb) {
+      val p0 = adpcmPred0(id, blk.toLong)
+      o.write(p0 & 0xff); o.write((p0 >> 8) & 0xff) // predictor LE i16
+      o.write(adpcmIdx0(id, blk.toLong)); o.write(0) // index, reserved
+      var m = 0
+      while (m < ba - 4) {
+        val lo = adpcmNibble(id, blk.toLong, 2L * m)
+        val hi = adpcmNibble(id, blk.toLong, 2L * m + 1)
+        o.write(lo | (hi << 4)) // LOW nibble first
+        m += 1
+      }
+      blk += 1
+    }
+    o.toByteArray
+  }
+
   /** A complete G.711 WAV: RIFF/fmt/data with 8-bit companded bytes
     * (block align = channels, bits = 8, rate 8000 — the G.711 wire). */
   def synthG711(id: Long): Array[Byte] = {

@@ -206,6 +206,135 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.decodePcm(pcm8).isEmpty)
   }
 
+  // ---------------------------------------------------------- IMA ADPCM
+  /** Hand-assembled IMA ADPCM WAV: per block, per-channel 4-byte headers
+    * then the raw data words — no shared code with the decoder. */
+  private def adpcmWav(channels: Int, ba: Int,
+                       blocks: Seq[(Seq[(Int, Int)], Array[Byte])],
+                       bits: Int = 4, fmtCode: Int = 0x11): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    val dataBytes = blocks.map(b => 4 * channels + b._2.length).sum
+    "RIFF".foreach(c => o.write(c.toInt)); le32(36L + dataBytes)
+    "WAVE".foreach(c => o.write(c.toInt))
+    "fmt ".foreach(c => o.write(c.toInt)); le32(16L)
+    le16(fmtCode); le16(channels)
+    le32(8000L); le32(4000L)
+    le16(ba); le16(bits)
+    "data".foreach(c => o.write(c.toInt)); le32(dataBytes.toLong)
+    blocks.foreach { case (heads, data) =>
+      heads.foreach { case (pred, idx) => le16(pred & 0xffff); o.write(idx); o.write(0) }
+      data.foreach(b => o.write(b & 0xff))
+    }
+    o.toByteArray
+  }
+
+  /** Independent reference recurrence, straight from the published IMA
+    * algorithm (re-derived here, not shared with the decoder). */
+  private def imaRef(nibs: Seq[Int], pred0: Int, idx0: Int): Seq[Int] = {
+    val step = MediaHeaders.ImaStepTable; val adj = MediaHeaders.ImaIndexTable
+    var p = pred0; var i = idx0
+    nibs.map { n =>
+      val s = step(i)
+      var d = s >> 3
+      if ((n & 1) != 0) d += s >> 2
+      if ((n & 2) != 0) d += s >> 1
+      if ((n & 4) != 0) d += s
+      p = math.max(-32768, math.min(32767, if ((n & 8) != 0) p - d else p + d))
+      i = math.max(0, math.min(88, i + adj(n)))
+      p
+    }
+  }
+
+  test("adpcm: hand-computed vector decodes bit-exactly") {
+    // one mono block, blockAlign 8: header (pred 0, idx 0), nibbles
+    // [2,7,9,0,15,4,8,3] packed low-first -> bytes 72 09 4F 38. Samples
+    // worked by hand through the published recurrence.
+    val wav = adpcmWav(1, 8, Seq((Seq((0, 0)),
+      Array(0x72, 0x09, 0x4f, 0x38).map(_.toByte))))
+    val pcm = MediaHeaders.decodePcm(wav)
+      .getOrElse(fail("refused a well-formed ADPCM WAV"))
+    assert(pcm.codec == "adpcm" && pcm.sampleRate == 8000 && pcm.channels == 1)
+    assert(pcm.samples.toSeq == Seq(0, 3, 14, 8, 9, -14, 17, 13, 38)
+      .map(_.toShort))
+  }
+
+  test("adpcm: block headers reset state — synth round-trip, many seeds") {
+    (0L until 16L).foreach { id =>
+      val pcm = MediaHeaders.decodePcm(MediaSynth.synthAdpcm(id))
+        .getOrElse(fail(s"id=$id refused a well-formed ADPCM WAV"))
+      val spb = MediaSynth.adpcmSamplesPerBlock(id)
+      val nb = MediaSynth.adpcmBlocks(id).toInt
+      assert(pcm.samples.length == nb * spb, s"id=$id length")
+      (0 until nb).foreach { blk =>
+        // sample 0 of every block IS the header predictor (the reset)
+        assert(pcm.samples(blk * spb).toInt ==
+          MediaSynth.adpcmPred0(id, blk.toLong), s"id=$id blk=$blk reset")
+        // the rest of the block matches the independent reference
+        val nibs = (0 until spb - 1).map(j =>
+          MediaSynth.adpcmNibble(id, blk.toLong, j.toLong))
+        val expect = imaRef(nibs, MediaSynth.adpcmPred0(id, blk.toLong),
+          MediaSynth.adpcmIdx0(id, blk.toLong))
+        (1 until spb).foreach { s =>
+          assert(pcm.samples(blk * spb + s).toInt == expect(s - 1),
+            s"id=$id blk=$blk s=$s")
+        }
+      }
+    }
+  }
+
+  test("adpcm: stereo interleave — duplicated channels decode to L == R == mono") {
+    // both channels carry identical headers and identical data words:
+    // any interleave defect (word order, per-channel state mixup) breaks
+    // the L == R symmetry or the match with the mono decode
+    val word = Array(0x72, 0x09, 0x4f, 0x38).map(_.toByte)
+    val stereo = adpcmWav(2, 16,
+      Seq((Seq((100, 20), (100, 20)), word ++ word)))
+    val mono = adpcmWav(1, 8, Seq((Seq((100, 20)), word)))
+    val ps = MediaHeaders.decodePcm(stereo).getOrElse(fail("stereo refused"))
+    val pm = MediaHeaders.decodePcm(mono).getOrElse(fail("mono refused"))
+    assert(ps.channels == 2 && ps.samples.length == 2 * pm.samples.length)
+    (0 until pm.samples.length).foreach { s =>
+      assert(ps.samples(2 * s) == pm.samples(s), s"L s=$s")
+      assert(ps.samples(2 * s + 1) == pm.samples(s), s"R s=$s")
+    }
+  }
+
+  test("adpcm: step/index tables pin the published IMA landmarks") {
+    val t = MediaHeaders.ImaStepTable
+    assert(t.length == 89 && t(0) == 7 && t(8) == 16 && t(16) == 34 &&
+      t(44) == 494 && t(88) == 32767)
+    assert(t.sliding(2).forall(p => p(1) > p(0)), "strictly increasing")
+    assert(MediaHeaders.ImaIndexTable.toSeq ==
+      Seq(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8))
+  }
+
+  test("adpcm refuse contract: partial block, bad bits, bad index, bad align") {
+    val good = MediaSynth.synthAdpcm(3L)
+    assert(MediaHeaders.decodePcm(good).isDefined)
+    // a non-4-bit IMA claim refuses
+    val b16 = good.clone(); b16(34) = 16
+    assert(MediaHeaders.decodePcm(b16).isEmpty)
+    // MS-ADPCM (format 2) refuses — only IMA decodes
+    val ms = good.clone(); ms(20) = 2
+    assert(MediaHeaders.decodePcm(ms).isEmpty)
+    // data chunk not a whole number of blocks refuses: blockAlign says
+    // 12 but only 8 bytes (one short block) ship
+    val word = Array(0x11, 0x22, 0x33, 0x44).map(_.toByte)
+    val partial = adpcmWav(1, 12, Seq((Seq((0, 0)), word)))
+    assert(MediaHeaders.decodePcm(partial).isEmpty)
+    // header step index past 88 refuses
+    val badIdx = adpcmWav(1, 8, Seq((Seq((0, 89)), word)))
+    assert(MediaHeaders.decodePcm(badIdx).isEmpty)
+    // block align not whole 4-byte words per channel refuses
+    val badAlign = adpcmWav(1, 10, Seq((Seq((0, 0)), word.take(2) ++ word)))
+    assert(MediaHeaders.decodePcm(badAlign).isEmpty)
+  }
+
   test("wavFrameSlice: block-aligned real audio at the timestamp, clipped at the end") {
     // pick a stereo seed (blockAlign 4) with a known rate
     val id = 1L // channels = 1 + 1%2 = 2, rate = 8000*(1+1%4) = 16000

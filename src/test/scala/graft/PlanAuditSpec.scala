@@ -141,6 +141,21 @@ class PlanAuditSpec extends AnyFunSuite {
     // q83 = q80's candidate pipeline + cut-span islands + per-doc span
     // arrays + the text-rebuild join + presentation sort
     "q83_dup_drop" -> 7,
+    // q90 = q83's exact shape over the winnowed anchor subset (the q84
+    // lever applied to the TRANSFORM: same exchange count, the
+    // corpus-wide anchor exchange ~8× fewer bytes)
+    "q90_dup_drop_winnowed" -> 7,
+    // q91 = grouped q88: every histogram level and the batched resolve
+    // run at construction (each ONE bounded exchange); the returned plan
+    // is the ≤ groups×bps-row local result + its presentation sort
+    "q91_group_quantile" -> 1,
+    // q92 = ADPCM synth + block-reset predictor decode + window stats,
+    // pure map stage (the q79/q87 shape)
+    "q92_adpcm_windows" -> 0,
+    // q93 = grouped q89: pass 1 (grouped MG agg) runs at construction;
+    // the returned plan is broadcast-candidate semi + ONE ≤ groups×k-key
+    // groupBy exchange + broadcast n-join + presentation sort
+    "q93_group_heavy_hitters" -> 2,
     // q81 = ONE source exchange carrying bounded top-k partials + the
     // presentation sort over the (sources × k)-row result
     "q81_weighted_sample" -> 2,
