@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BottomKSample(exprs(0), exprs(1), intLit(exprs(2))).toAggregateExpression()),
     "mg_candidates" -> (exprs =>
       MgCandidates(exprs(0), intLit(exprs(1))).toAggregateExpression()),
+    "md5_low64" -> (exprs => Md5Low64Expr(exprs.head)),
+    "hll_registers" -> (exprs =>
+      HllRegisters(exprs(0), intLit(exprs(1))).toAggregateExpression()),
     "multi_distinct_count" -> (exprs =>
       MultiDistinctCount(exprs).toAggregateExpression()),
     "bitmap_distinct" -> (exprs =>

@@ -14,7 +14,7 @@ object GraftFunctions {
     "bloom_agg", "bloom_might_contain", "lsh_probe_buckets",
     "lsh_probe_buckets_margin", "cdc_boundaries", "multi_distinct_count",
     "bitmap_distinct", "gram_hashes", "gram_hashes_winnowed", "top_k_double",
-    "mg_candidates")
+    "mg_candidates", "md5_low64", "hll_registers")
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -46,6 +46,10 @@ object GraftFunctions {
         intLit(exprs(2))).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("mg_candidates",
       exprs => MgCandidates(exprs(0), intLit(exprs(1))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("md5_low64",
+      exprs => Md5Low64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("hll_registers",
+      exprs => HllRegisters(exprs(0), intLit(exprs(1))).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignatureExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("simhash64",

@@ -79,6 +79,24 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Low 64 bits of md5 as a signed long — the portable cross-engine
+  * hash family (DuckDB: md5_number_lower), surfaced as a scalar so
+  * sketches (functions/HllRegisters) hash with the exact value the
+  * SQL oracle can replay. */
+case class Md5Low64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5_low64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.md5Low64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.md5Low64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Low64Expr =
+    copy(child = newChild)
+}
+
 case class MaxWordFreqExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "max_word_freq"

@@ -239,8 +239,157 @@ object ExtraQueries {
       |HAVING count(*) * 41 > n.c
       |ORDER BY tt.lang ASC, frecuencia DESC, tt.termino ASC""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** APPROXIMATE distinct via HyperLogLog (r13 — the sketch path next
+    * to q33's exact vocabulary and q2's bitmap_distinct): estimated
+    * distinct 3-word shingles per language, with the exact count
+    * alongside as the diagnostic. The scale argument is q89's, for
+    * cardinality instead of frequency: exact distinct over an unbounded
+    * key domain shuffles the whole domain — the `hll_registers`
+    * aggregate (functions/HllRegisters) carries ONE 512-byte mergeable
+    * buffer per (lang, partition) instead, at ~4.6% fixed error
+    * (p = 9). Every emitted value is bit-reproducible in the DuckDB
+    * oracle: registers from the md5-low64 hash family (bucket by
+    * integer division, rho by exact bit length), the harmonic
+    * denominator kept as an exact integer (DECIMAL(38,0)/HUGEINT) with
+    * ONE correctly-rounded cast, and the estimate a fixed chain of
+    * correctly-rounded double ops — operators/ApproxDistinct. The
+    * exact column is the only key-domain exchange in the plan, and it
+    * exists purely as the comparison; the sketch column is the 100 TB
+    * path. */
+  def q94HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(graft.llm.Shingles.shingles(col("text"), 3)).as("sh"))
+    val est = graft.operators.ApproxDistinct
+      .estimateByGroup(sh, Seq("lang"), "sh", p = 9)
+    val exact = sh.groupBy(col("lang"))
+      .agg(countDistinct(col("sh")).as("n_exact"))
+    est.join(exact, Seq("lang"))
+      .select(col("lang"), col("n_exact"), col("v_zero"), col("s_scaled"),
+        col("est_distinct"))
+      .orderBy(col("lang"))
+  }
+
+  val q94Sql: String =
+    """WITH shing AS (
+      |  SELECT lang, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 3, 0) + 2),
+      |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')))) AS sh
+      |  FROM documents),
+      |h AS (SELECT lang, sh, CAST(md5_number_lower(sh) AS HUGEINT) AS u FROM shing),
+      |br AS (
+      |  SELECT lang, u // (1::HUGEINT << 55) AS idx,
+      |    CASE WHEN u % (1::HUGEINT << 55) = 0 THEN 56
+      |         ELSE 56 - length(bin(u % (1::HUGEINT << 55))) END AS rho
+      |  FROM h),
+      |regs AS (SELECT lang, idx, max(rho) AS mj FROM br GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT lang, count(*) AS n_present,
+      |    sum(1::HUGEINT << CAST(56 - mj AS INT)) AS s_present
+      |  FROM regs GROUP BY lang),
+      |ex AS (SELECT lang, count(DISTINCT sh) AS n_exact FROM shing GROUP BY lang),
+      |fin AS (
+      |  SELECT a.lang, ex.n_exact,
+      |    CAST(512 - a.n_present AS INTEGER) AS v_zero,
+      |    CAST(a.s_present + (512 - a.n_present) * (1::HUGEINT << 56) AS DOUBLE) AS s_scaled
+      |  FROM agg a JOIN ex USING (lang))
+      |SELECT lang, n_exact, v_zero, s_scaled,
+      |  CASE WHEN (0.7213/(1.0 + 1.079/512.0)) * 512.0 * 512.0 * 72057594037927936.0 / s_scaled <= 1280.0
+      |            AND v_zero > 0
+      |       THEN 512.0 * ln(512.0 / v_zero)
+      |       ELSE (0.7213/(1.0 + 1.079/512.0)) * 512.0 * 512.0 * 72057594037927936.0 / s_scaled END AS est_distinct
+      |FROM fin ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  /** Table profiler (r13 — the data-catalog statistics the reference
+    * delegates to its crawler layer, as an ENGINE operator): for a
+    * chosen column set of `orders`, one scan melts (column, value
+    * rendered as string) and bounded aggregates emit per column — row
+    * count, null count, HLL-estimated distinct (p = 7, the q94 sketch
+    * over the portable md5-low64 family), lexicographic min/max of the
+    * rendered value. Scale shape: the melt explodes 5 rows per input
+    * row but every aggregate is a map-side partial, so the ONE exchange
+    * carries 5 bounded rows (count/nulls/128-byte registers/min/max)
+    * per partition — never a key-domain shuffle, never a per-column
+    * rescan. Low-cardinality columns land in HLL's linear-counting
+    * branch (the one ln call); the estimate is emitted ROUNDED TO A
+    * BIGINT, so a last-ulp libm divergence cannot surface (a
+    * transcendental never sits on .5) — the raw-branch path stays the
+    * exact-integer/CR-double chain q94 pins. Rendering is CAST AS
+    * STRING on both engines (longs and ISO dates render identically),
+    * so the profile is schema-agnostic and cross-engine stable. */
+  def q96TableProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ApproxDistinct
+    val o = Tables.orders(spark, dir)
+    val p = 7
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_orderkey", "o_orderdate")
+    val melted = o.select(explode(array(cols.map(c =>
+        struct(lit(c).as("columna"), col(c).cast("string").as("valor"))): _*))
+        .as("kv"))
+      .select(col("kv.columna").as("columna"), col("kv.valor").as("valor"))
+    melted.groupBy(col("columna")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("valor").isNull, 1L).otherwise(0L)).as("n_null"),
+        ApproxDistinct.registers(
+          ApproxDistinct.md5Low64(col("valor")), p).as("__regs"),
+        min(col("valor")).as("min_valor"),
+        max(col("valor")).as("max_valor"))
+      .withColumn("__v", ApproxDistinct.vZero(col("__regs")))
+      .withColumn("__s", ApproxDistinct.sScaled(col("__regs"), p))
+      .select(col("columna"), col("n"), col("n_null"),
+        round(ApproxDistinct.estimate(col("__s"), col("__v"), p))
+          .cast("long").as("est_distinct"),
+        col("min_valor"), col("max_valor"))
+      .orderBy(col("columna"))
+  }
+
+  val q96Sql: String =
+    """WITH m AS (
+      |  SELECT 'o_custkey' AS columna, CAST(o_custkey AS VARCHAR) AS valor FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      |  UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders),
+      |h AS (
+      |  SELECT columna, CAST(md5_number_lower(valor) AS HUGEINT) AS u
+      |  FROM m WHERE valor IS NOT NULL),
+      |br AS (
+      |  SELECT columna, u // (1::HUGEINT << 57) AS idx,
+      |    CASE WHEN u % (1::HUGEINT << 57) = 0 THEN 58
+      |         ELSE 58 - length(bin(u % (1::HUGEINT << 57))) END AS rho
+      |  FROM h),
+      |regs AS (SELECT columna, idx, max(rho) AS mj FROM br GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT columna, count(*) AS np,
+      |    sum(1::HUGEINT << CAST(58 - mj AS INT)) AS sp
+      |  FROM regs GROUP BY 1),
+      |base AS (
+      |  SELECT columna, count(*) AS n,
+      |    CAST(sum(CASE WHEN valor IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |    min(valor) AS min_valor, max(valor) AS max_valor
+      |  FROM m GROUP BY 1),
+      |fin AS (
+      |  SELECT b.columna, b.n, b.n_null,
+      |    CAST(128 - a.np AS INTEGER) AS v_zero,
+      |    CAST(a.sp + (128 - a.np) * (1::HUGEINT << 58) AS DOUBLE) AS s_scaled,
+      |    b.min_valor, b.max_valor
+      |  FROM base b JOIN agg a USING (columna)),
+      |est AS (
+      |  SELECT *,
+      |    (0.7213/(1.0 + 1.079/128.0)) * 128.0 * 128.0 * 288230376151711744.0 / s_scaled AS raw
+      |  FROM fin)
+      |SELECT columna, n, n_null,
+      |  CAST(round(CASE WHEN raw <= 320.0 AND v_zero > 0
+      |       THEN 128.0 * ln(128.0 / v_zero) ELSE raw END) AS BIGINT) AS est_distinct,
+      |  min_valor, max_valor
+      |FROM est ORDER BY columna""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_table_profile"   -> (q96TableProfile _),
+    "q94_hll_distinct"    -> (q94HllDistinct _),
     "q93_group_heavy_hitters" -> (q93GroupHeavyHitters _),
     "q89_heavy_hitters"   -> (q89HeavyHitters _),
     "q27_hierarchy_union" -> (q27HierarchyUnion _),
@@ -252,6 +401,8 @@ object ExtraQueries {
     "q33_vocabulary"      -> (q33Vocabulary _))
 
   val oracles: Map[String, String] = Map(
+    "q96_table_profile"   -> q96Sql,
+    "q94_hll_distinct"    -> q94Sql,
     "q93_group_heavy_hitters" -> q93Sql,
     "q89_heavy_hitters"   -> q89Sql,
     "q27_hierarchy_union" -> q27Sql,
