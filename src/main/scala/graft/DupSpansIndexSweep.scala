@@ -14,14 +14,19 @@ import graft.sources.TxnTable
   * accumulated per-cell files with a post-compaction probe equality
   * check. The claims measured, not argued:
   *
-  *   - per-cycle walls are FLAT IN CHURN: the flag probes the index
-  *     (cell-pruned read, churn-sized semi joins) and the append hashes
-  *     only the increment — neither re-anchors the corpus, so cycle N
-  *     costs what cycle 1 cost even though the standing index grew;
-  *   - appends accumulate one file set per commit per cell — compaction
-  *     restores per-cell file counts without changing ANY probe result
-  *     (the post-compaction flag is value-equal to the pre-compaction
-  *     flag AND to the inline twin over the full standing union).
+  *   - per-cycle walls are CHURN + FILE-COUNT bound, never corpus
+  *     bound: the flag probes the index (cell-pruned read, churn-sized
+  *     semi joins) and the append hashes only the increment — neither
+  *     re-anchors the corpus. The r13 sweep CAUGHT the file-count term
+  *     dominating (pre-fix appends wrote tasks×cells files per commit;
+  *     flag walls climbed 23→42 s over six 500-doc cycles at 10× while
+  *     data grew ~1%/cycle), which is why build/append now key their
+  *     write exchange on celda — one file per cell per commit;
+  *   - appends still accumulate one file per cell per commit —
+  *     compaction (celda-keyed, then vacuum) restores one file per
+  *     cell without changing ANY probe result (the post-compaction
+  *     flag is value-equal to the pre-compaction flag AND to the
+  *     inline twin over the full standing union).
   *
   * Mirrors the SCALE_SWEEP_r9_stream artifact format. Reference analog:
   * the daily ingest maintenance loop
@@ -67,13 +72,10 @@ object DupSpansIndexSweep {
       val r = body
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    def indexFiles: Int = {
-      def walk(f: java.io.File): Int =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1 else 0
-      walk(new java.io.File(s"$root/anchors"))
-    }
+    // LIVE files = current-manifest entries (what a probe opens); the
+    // directory additionally holds prior-version files until vacuum
+    def indexFiles: Int =
+      TxnTable(spark, s"$root/anchors").entries().size
     def runFlag(inc: DataFrame, standingText: DataFrame): (Seq[Seq[Any]], Double) =
       timed {
         DupSpansIndex.flag(inc, standingText, root, "text", "doc_id",
@@ -117,6 +119,7 @@ object DupSpansIndexSweep {
         .compact(targetFiles = p.nCells, partitionBy = Seq("celda")): Unit
     }
     val postFiles = indexFiles
+    val vacuumed = TxnTable(spark, s"$root/anchors").vacuum().size
     val (postFlag, postS) = runFlag(probeInc, standingText)
 
     val probeEqual = preFlag == postFlag
@@ -134,11 +137,12 @@ object DupSpansIndexSweep {
 "params":{"L":${p.L},"w":${p.w},"nCells":${p.nCells}},
 "build_s":${j(buildS)},
 "cycle_rows":$cyclesJson,
-"compaction":{"pre_files":$preFiles,"post_files":$postFiles,
+"compaction":{"live_files_pre":$preFiles,"live_files_post":$postFiles,
+"vacuumed_dead_files":$vacuumed,
 "compact_s":${j(compactS)},"probe_pre_s":${j(preS)},
 "probe_post_s":${j(postS)},"probe_equal_post_compaction":$probeEqual,
 "probe_equals_inline_twin":$inlineEqual,"inline_twin_s":${j(inlineS)}},
-"note":"build once over the standing corpus, then daily flag+append cycles of ~1% churn each; flag probes the cell-pruned standing index and append hashes only the increment, so per-cycle walls stay flat while the index grows. After the cycles, TxnTable.compact merges the accumulated per-cell append files; the held-out probe is value-equal pre/post compaction and equal to the inline corpus-union twin (exactness anchored at sweep scale)."}"""
+"note":"build once over the standing corpus, then daily flag+append cycles of ~1% churn each; flag probes the cell-pruned standing index and append hashes only the increment — neither re-anchors the corpus, so cycle cost is churn + the per-cell file count (each append adds ONE file per touched cell after the celled-write fix; the pre-fix form added tasks-per-cell and the flag wall climbed 23->42 s over six cycles from file tax alone). TxnTable.compact(celda-keyed) then restores one file per cell; vacuum retires the dead versions; the held-out probe is value-equal pre/post compaction and equal to the inline corpus-union twin (exactness anchored at sweep scale)."}"""
         .replace("\n", " ")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc + "\n")
     println(doc)

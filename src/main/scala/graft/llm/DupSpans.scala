@@ -226,15 +226,20 @@ object DupSpans {
       winnowWindow)
   }
 
-  /** The shared increment-flag core: `corpusAnchors` is (doc_id, pos, h)
-    * — computed inline ([[flagIncrement]]) or read from the standing
-    * inverted file ([[DupSpansIndex.flag]]); `corpusText` resolves
-    * candidate corpus grams by doc_id (only hash-hit documents' text is
-    * touched — at scale a stats-pruned [[graft.sources.TxnTable]] read). */
-  private[llm] def flagAgainst(increment: DataFrame, corpusText: DataFrame,
-                               corpusAnchors: DataFrame, textCol: String,
-                               idCol: String, L: Int, nCharsCol: String,
-                               winnowWindow: Int): DataFrame = {
+  /** VERIFIED increment-vs-corpus duplicate anchors — the shared core of
+    * the flag ([[flagAgainst]]) and apply ([[dropAgainst]]) sides:
+    * (doc_id, pos) for every increment anchor whose ACTUAL L-gram occurs
+    * in the standing corpus. `corpusAnchors` is (doc_id, pos, h) —
+    * computed inline ([[flagIncrement]]/[[dropIncrement]]) or read from
+    * the standing inverted file ([[DupSpansIndex.flag]]/
+    * [[DupSpansIndex.drop]]); `corpusText` resolves candidate corpus
+    * grams by doc_id (only hash-hit documents' text is touched — at
+    * scale a stats-pruned [[graft.sources.TxnTable]] read). */
+  private[llm] def incrementDupAnchors(increment: DataFrame,
+                                       corpusText: DataFrame,
+                                       corpusAnchors: DataFrame,
+                                       textCol: String, idCol: String,
+                                       L: Int, winnowWindow: Int): DataFrame = {
     val incA =
       if (winnowWindow <= 1) anchors(increment, textCol, idCol, L)
       else winnowedAnchors(increment, textCol, idCol, L, winnowWindow)
@@ -262,8 +267,16 @@ object DupSpans {
     val incG = withGram(candInc, increment)
     val corG = withGram(candCor, corpusText).select(col("h"), col("gram"))
     // verified: the increment anchor's ACTUAL gram occurs in the corpus
-    val dupA = incG.join(corG, Seq("h", "gram"), "left_semi")
+    incG.join(corG, Seq("h", "gram"), "left_semi")
       .select(col("doc_id"), col("pos"))
+  }
+
+  private[llm] def flagAgainst(increment: DataFrame, corpusText: DataFrame,
+                               corpusAnchors: DataFrame, textCol: String,
+                               idCol: String, L: Int, nCharsCol: String,
+                               winnowWindow: Int): DataFrame = {
+    val dupA = incrementDupAnchors(increment, corpusText, corpusAnchors,
+      textCol, idCol, L, winnowWindow)
     val agg = islandSpans(dupA, L)
       .withColumn("span_chars", col("fin") - col("ini"))
       .groupBy(col("doc_id"))
@@ -321,6 +334,17 @@ object DupSpans {
         winnowWindow)
       .filter(col("g_min") =!= col("g_max") && col("doc_id") =!= col("g_min"))
       .select(col("doc_id"), col("pos"))
+    cutAndRebuild(docs, textCol, idCol, cutAnchors, L)
+  }
+
+  /** The shared rebuild tail of the apply side ([[dropSpans]] /
+    * [[dropAgainst]]): island-merge `cutAnchors` (doc_id, pos) into
+    * disjoint spans and rewrite every doc in `docs` with those spans
+    * cut — (doc_id, n_cut, new_text), untouched docs passing through
+    * with n_cut = 0. Pure Column algebra over the per-doc sorted span
+    * array; executor-side, no UDF. */
+  private def cutAndRebuild(docs: DataFrame, textCol: String, idCol: String,
+                            cutAnchors: DataFrame, L: Int): DataFrame = {
     val spansPerDoc = islandSpans(cutAnchors, L)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("ini"), col("fin")))).as("sp"),
@@ -347,4 +371,46 @@ object DupSpans {
           .otherwise(array_join(pieces, "")).as("new_text"))
       .orderBy(col("doc_id"))
   }
+
+  /** The APPLY side of increment-vs-corpus dedup — the daily-ingest
+    * transform ([[flagIncrement]]'s rewrite twin): each increment
+    * document is emitted with every span whose L-gram occurs in the
+    * STANDING corpus cut out. The ownership rule is the asymmetric
+    * contract's: the corpus owns — an increment anchor whose gram the
+    * corpus holds is always cut (the surviving copy is the corpus
+    * one), increment-internal duplication is untouched (run
+    * [[dropSpans]] WITHIN the increment for that), and corpus ×
+    * corpus is never compared.
+    *
+    * Output: (doc_id, n_cut, new_text) for EVERY increment document.
+    * Scale shape identical to [[flagIncrement]] (churn-bounded probe
+    * semis, grams only for hash hits, (h, gram) collision-proof
+    * verify) plus the [[dropSpans]] rebuild (per-doc Column algebra,
+    * executor-side). `winnowWindow > 1` winnows BOTH sides — the q84
+    * lever; every shared span >= L + w - 1 still cut, up to w - 1
+    * chars may survive at each edge (the [[dropSpans]] relaxed
+    * contract), selection a pure function of the text so both sides
+    * anchor the same grams.
+    *
+    * This inline form anchors the corpus itself; production reads the
+    * standing inverted file instead — [[DupSpansIndex.drop]], spec-
+    * pinned equal — so a daily apply hashes only its own churn. */
+  def dropIncrement(increment: DataFrame, corpus: DataFrame,
+                    textCol: String, idCol: String, L: Int,
+                    winnowWindow: Int = 1): DataFrame = {
+    val corA =
+      if (winnowWindow <= 1) anchors(corpus, textCol, idCol, L)
+      else winnowedAnchors(corpus, textCol, idCol, L, winnowWindow)
+    dropAgainst(increment, corpus, corA, textCol, idCol, L, winnowWindow)
+  }
+
+  /** Apply-side core over precomputed corpus anchors (inline or from
+    * the standing index) — see [[incrementDupAnchors]]. */
+  private[llm] def dropAgainst(increment: DataFrame, corpusText: DataFrame,
+                               corpusAnchors: DataFrame, textCol: String,
+                               idCol: String, L: Int,
+                               winnowWindow: Int): DataFrame =
+    cutAndRebuild(increment, textCol, idCol,
+      incrementDupAnchors(increment, corpusText, corpusAnchors, textCol,
+        idCol, L, winnowWindow), L)
 }

@@ -86,6 +86,20 @@ object DupSpansIndex {
     a.withColumn("celda", pmod(col("h"), lit(p.nCells.toLong)).cast("int"))
   }
 
+  // Writes exchange the anchor rows ON celda first: without it every
+  // write task emits a file into every cell it touches — 32 tasks × 64
+  // cells = ~2048 files PER COMMIT, and the probe's per-file open tax
+  // then grows with every append (measured by the r13 maintenance
+  // sweep: per-cycle flag walls climbed 23 s → 42 s over six 500-doc
+  // appends at the 10× slice from file count alone — the data grew
+  // ~1%/cycle). The exchange is churn-sized 8-byte-hash rows (corpus-
+  // sized only at build), i.e. trivial next to 32× fewer files; cells
+  // hash onto tasks, so each cell's rows land in exactly ONE task →
+  // one file per cell per commit. nCells therefore sizes BOTH probe
+  // pruning granularity and per-commit file count — at larger corpora
+  // raise nCells, not files-per-cell.
+  private def celled(a: DataFrame): DataFrame = a.repartition(col("celda"))
+
   /** Build the standing inverted file over `docs`; returns the published
     * version. One anchor pass + one partitioned write. */
   def build(docs: DataFrame, textCol: String, idCol: String, root: String,
@@ -93,7 +107,7 @@ object DupSpansIndex {
     val p = Params(L, w, nCells)
     writeParams(root, p)
     table(docs.sparkSession, root)
-      .overwrite(anchorsOf(docs, textCol, idCol, p), Seq("celda"))
+      .overwrite(celled(anchorsOf(docs, textCol, idCol, p)), Seq("celda"))
   }
 
   /** Append an increment's anchors — O(churn·L) hashing, one append
@@ -102,7 +116,7 @@ object DupSpansIndex {
              root: String): Long = {
     val p = readParams(root)
     table(increment.sparkSession, root)
-      .append(anchorsOf(increment, textCol, idCol, p), Seq("celda"))
+      .append(celled(anchorsOf(increment, textCol, idCol, p)), Seq("celda"))
   }
 
   /** Flag an increment against the STANDING index: per increment doc,
@@ -115,17 +129,39 @@ object DupSpansIndex {
     * corpus documents only. */
   def flag(increment: DataFrame, corpusText: DataFrame, root: String,
            textCol: String, idCol: String, nCharsCol: String): DataFrame = {
+    val (p, standing) = standingFor(increment, root, textCol, idCol)
+    DupSpans.flagAgainst(increment, corpusText, standing, textCol, idCol,
+      p.L, nCharsCol, p.w)
+  }
+
+  /** APPLY an increment against the STANDING index: each increment doc
+    * rewritten with every span the corpus already holds cut out —
+    * [[DupSpans.dropIncrement]] semantics (the corpus owns; zeros-cut
+    * pass-through for clean docs) with the corpus anchor pass replaced
+    * by the same probed-cell index read as [[flag]]. The daily-ingest
+    * TRANSFORM: O(churn·L) hashing, cell-pruned standing scan, per-doc
+    * Column rebuild — never a corpus re-anchor. */
+  def drop(increment: DataFrame, corpusText: DataFrame, root: String,
+           textCol: String, idCol: String): DataFrame = {
+    val (p, standing) = standingFor(increment, root, textCol, idCol)
+    DupSpans.dropAgainst(increment, corpusText, standing, textCol, idCol,
+      p.L, p.w)
+  }
+
+  /** Shared probe resolution: params + the standing anchors restricted
+    * to the cells the increment's own hashes populate (<= nCells ints
+    * cross the driver — the IVF probed-cell access pattern). */
+  private def standingFor(increment: DataFrame, root: String,
+                          textCol: String, idCol: String): (Params, DataFrame) = {
     val spark = increment.sparkSession
     val p = readParams(root)
     val t = table(spark, root)
-    // bounded probe resolution: <= nCells distinct cells cross the driver
     val probedCells = anchorsOf(increment, textCol, idCol, p)
       .select(col("celda")).distinct()
       .collect().map(_.getInt(0)).toSet
     val standing = t.readParts()(part =>
         celdaOf(part).forall(probedCells.contains))
       .select(col("doc_id"), col("pos"), col("h"))
-    DupSpans.flagAgainst(increment, corpusText, standing, textCol, idCol,
-      p.L, nCharsCol, p.w)
+    (p, standing)
   }
 }

@@ -1775,7 +1775,60 @@ object LLMQueries {
       |LEFT JOIN kept k ON k.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** INCREMENT apply-side dedup (r13 — q85's rewrite twin, the
+    * daily-ingest TRANSFORM): the increment slice (doc_id % 10 == 3,
+    * the q60/q85 convention) is rewritten with every span the STANDING
+    * corpus already holds cut out — the corpus owns, so every verified
+    * increment anchor cuts; increment-internal duplication is
+    * untouched and corpus × corpus is never compared. Winnowed on both
+    * sides (w = 16, the q84/q90 lever): shared spans >= 63 code points
+    * are guaranteed cut with up to 15 chars surviving at each edge,
+    * and the anchor exchanges are ~8× smaller. Output (doc_id, n_cut,
+    * new_text) for EVERY increment doc. This inline form anchors the
+    * corpus because the oracle needs a self-contained plan; production
+    * reads the standing inverted file instead (DupSpansIndex.drop,
+    * spec-pinned equal), so a daily apply hashes only its own churn.
+    * The oracle composes the q84 winnowed-selection CTEs
+    * (single-sourced string) with the q85 asymmetric-match rule and
+    * the q90 cut/rebuild CTEs — full rebuilt-text compare. */
+  def q95IncrementDrop(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val inc = col("doc_id") % 10 === 3
+    DupSpans.dropIncrement(d.filter(inc), d.filter(!inc), "text", "doc_id",
+      L = 48, winnowWindow = 16)
+  }
+
+  val q95Sql: String =
+    s"""WITH RECURSIVE $winnowGramCtes,
+      |ca AS (
+      |  SELECT g.doc_id, g.pos FROM g
+      |  WHERE g.doc_id % 10 = 3
+      |    AND g.gram IN (SELECT gram FROM g WHERE doc_id % 10 <> 3)),
+      |cutpos AS (
+      |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+      |  FROM ca, LATERAL (SELECT unnest(range(ca.pos, ca.pos + 48)) AS p) u),
+      |allpos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    substr(text, CAST(i AS INT), 1) AS ch
+      |  FROM documents, LATERAL (
+      |    SELECT unnest(range(1, length(text) + 1)) AS i) t
+      |  WHERE doc_id % 10 = 3),
+      |kept AS (
+      |  SELECT a.doc_id, COALESCE(string_agg(a.ch, '' ORDER BY a.i), '') AS new_text
+      |  FROM allpos a LEFT JOIN cutpos c ON c.doc_id = a.doc_id AND c.p = a.i
+      |  WHERE c.p IS NULL GROUP BY a.doc_id),
+      |nc AS (SELECT doc_id, count(*) AS n_cut FROM cutpos GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(nc.n_cut, 0) AS n_cut,
+      |  COALESCE(k.new_text, '') AS new_text
+      |FROM documents d
+      |LEFT JOIN nc ON nc.doc_id = d.doc_id
+      |LEFT JOIN kept k ON k.doc_id = d.doc_id
+      |WHERE d.doc_id % 10 = 3
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_increment_drop"   -> (q95IncrementDrop _),
     "q92_adpcm_windows"    -> (q92AdpcmWindows _),
     "q90_dup_drop_winnowed" -> (q90DupDropWinnowed _),
     "q87_g711_windows"     -> (q87G711Windows _),
@@ -1812,6 +1865,7 @@ object LLMQueries {
 
   val oracles: Map[String, String] = Map(
     "q92_adpcm_windows"    -> q92Sql,
+    "q95_increment_drop"   -> q95Sql,
     "q90_dup_drop_winnowed" -> q90Sql,
     "q87_g711_windows"     -> q87Sql,
     "q86_ann_pq_filtered"  -> q86Sql,

@@ -503,7 +503,16 @@ final case class TxnTable(spark: SparkSession, root: String,
     * (compaction); readers switch to the compacted files atomically. */
   def compact(targetFiles: Int = 1, partitionBy: Seq[String] = Nil): Long = {
     val base = version()
-    val compacted = read().repartition(targetFiles)
+    // partitioned tables key the exchange on the partition columns: a
+    // round-robin repartition spreads every partition's rows over every
+    // task, and the dynamic-partition write then emits tasks × partitions
+    // files — the exact small-file tax compaction exists to pay down
+    // (measured by the r13 DupSpansIndex sweep: targetFiles=64 over 64
+    // celda partitions wrote 64×64 = 4096 files in the round-robin form,
+    // one per cell in this form)
+    val compacted =
+      if (partitionBy.isEmpty) read().repartition(targetFiles)
+      else read().repartition(targetFiles, partitionBy.map(col): _*)
     commit(stage(compacted, partitionBy), base)
   }
 

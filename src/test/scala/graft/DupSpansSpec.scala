@@ -392,6 +392,86 @@ class DupSpansSpec extends AnyFunSuite {
     }
   }
 
+  // Independent brute reference for the increment APPLY side: an
+  // increment position is cut iff a selected increment anchor covering
+  // it has its gram among the corpus's SELECTED grams (the corpus owns).
+  private def bruteIncDrop(inc: Map[Long, String], cor: Map[Long, String],
+                           L: Int, w: Int): Map[Long, (Long, String)] = {
+    val corGrams = cor.values.flatMap(t =>
+      bruteWinnow(t, L, w).map { case (p, _) => t.substring(p - 1, p - 1 + L) })
+      .toSet
+    inc.map { case (id, t) =>
+      val cut = bruteWinnow(t, L, w)
+        .collect { case (p, _) if corGrams.contains(t.substring(p - 1, p - 1 + L)) => p }
+        .flatMap(p => p until p + L).toSet
+      id -> (cut.size.toLong,
+        t.zipWithIndex.collect { case (c, i) if !cut.contains(i + 1) => c }
+          .mkString)
+    }
+  }
+
+  test("dropIncrement: corpus owns — inc-vs-corpus spans cut, inc-internal dup kept") {
+    // doc 13 shares a region with corpus doc 1 (must cut, corpus keeps);
+    // docs 23/33 share a gram only with EACH OTHER (inc-internal — must
+    // NOT cut); doc 43 is clean and passes through byte-identical
+    val corpus = docsDf(1L -> "ABCDEFGHxx", 2L -> "unrelated corpus text")
+    val inc = docsDf(
+      13L -> "yyABCDEFGH",
+      23L -> "WWWWQQQQRRRR",
+      33L -> "zzWWWWQQQQ",
+      43L -> "totally clean")
+    val got = DupSpans.dropIncrement(inc, corpus, "text", "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(got == List((13L, 8L, "yy"), (23L, 0L, "WWWWQQQQRRRR"),
+      (33L, 0L, "zzWWWWQQQQ"), (43L, 0L, "totally clean")), s"got $got")
+  }
+
+  test("dropIncrement: equals the independent brute reference (exact and winnowed)") {
+    val cor = Map(
+      1L -> "alpha START-OF-A-LONG-SHARED-REGION-123456 tail one",
+      2L -> "corpus also holds SHORTDUP and other content here")
+    val inc = Map(
+      13L -> "copy START-OF-A-LONG-SHARED-REGION-123456 suffix",
+      23L -> "has SHORTDUP twice via SHORTDUP repetition",
+      33L -> "an entirely clean increment document sits here")
+    for (w <- Seq(1, 4)) {
+      val expect = bruteIncDrop(inc, cor, L = 6, w = w)
+      val got = DupSpans.dropIncrement(docsDf(inc.toSeq: _*),
+          docsDf(cor.toSeq: _*), "text", "doc_id", L = 6, winnowWindow = w)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+      assert(got == expect, s"w=$w")
+      assert(got(13L)._1 > 0L, "the shared region must cut")
+    }
+  }
+
+  test("DupSpansIndex.drop: persisted apply == inline dropIncrement twin") {
+    val corpus = docsDf(
+      1L -> ("corpus body one " + "SHARED-REGION-ALPHA-0123456789 " + "tail"),
+      2L -> ("another corpus doc with " + "SHARED-REGION-BETA-abcdefghij"),
+      3L -> "nothing in common at all")
+    val inc = docsDf(
+      13L -> ("inc doc " + "SHARED-REGION-ALPHA-0123456789 " + "suffix"),
+      23L -> ("prefix " + "SHARED-REGION-BETA-abcdefghij" + " more"),
+      33L -> "a clean increment document")
+    for (w <- Seq(1, 4)) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_spandrop_w$w").toString
+      graft.llm.DupSpansIndex.build(corpus, "text", "doc_id", root,
+        L = 8, w = w, nCells = 8)
+      val viaIndex = graft.llm.DupSpansIndex
+        .drop(inc, corpus, root, "text", "doc_id")
+        .collect().map(_.toSeq).toList
+      val inline = DupSpans.dropIncrement(inc, corpus, "text", "doc_id",
+          L = 8, winnowWindow = w)
+        .collect().map(_.toSeq).toList
+      assert(viaIndex == inline, s"w=$w")
+      assert(viaIndex.exists(r => r(1).asInstanceOf[Long] > 0L))
+      // clean doc passes through byte-identical
+      assert(viaIndex.find(_.head == 33L).get(2) == "a clean increment document")
+    }
+  }
+
   test("DupSpansIndex: append keeps the index equal to a full rebuild on the union") {
     val corpus = docsDf(
       1L -> "day zero corpus content SHARED-SPAN-XYZVW here",
