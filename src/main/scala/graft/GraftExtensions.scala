@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "md5_low64" -> (exprs => Md5Low64Expr(exprs.head)),
     "hll_registers" -> (exprs =>
       HllRegisters(exprs(0), intLit(exprs(1))).toAggregateExpression()),
+    "hll_merge" -> (exprs =>
+      HllMerge(exprs(0), intLit(exprs(1))).toAggregateExpression()),
     "multi_distinct_count" -> (exprs =>
       MultiDistinctCount(exprs).toAggregateExpression()),
     "bitmap_distinct" -> (exprs =>

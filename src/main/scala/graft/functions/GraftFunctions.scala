@@ -14,7 +14,7 @@ object GraftFunctions {
     "bloom_agg", "bloom_might_contain", "lsh_probe_buckets",
     "lsh_probe_buckets_margin", "cdc_boundaries", "multi_distinct_count",
     "bitmap_distinct", "gram_hashes", "gram_hashes_winnowed", "top_k_double",
-    "mg_candidates", "md5_low64", "hll_registers")
+    "mg_candidates", "md5_low64", "hll_registers", "hll_merge")
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -50,6 +50,8 @@ object GraftFunctions {
       exprs => Md5Low64Expr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hll_registers",
       exprs => HllRegisters(exprs(0), intLit(exprs(1))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("hll_merge",
+      exprs => HllMerge(exprs(0), intLit(exprs(1))).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignatureExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("simhash64",

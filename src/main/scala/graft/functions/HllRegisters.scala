@@ -107,3 +107,80 @@ case class HllRegisters(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllRegisters =
     copy(child = newChildren.head)
 }
+
+/** Merge PERSISTED HLL sketches: aggregates ARRAY<INT> register rows
+  * (as [[HllRegisters]] emits them) by register-wise max — the
+  * sketch-table pattern: materialize one register array per (day,
+  * dimension) once, then answer any rollup window by MERGING the stored
+  * sketches instead of rescanning the raw data. Because register-wise
+  * max is the same commutative idempotent monoid HllRegisters merges
+  * with, merge-of-sketches == sketch-of-union EXACTLY (register
+  * equality, not approximately), so estimates off the rollup are
+  * bit-identical to estimates off the raw union — spec-pinned.
+  * Rows whose length differs from 2^p (a mixed-p table) fail loudly. */
+case class HllMerge(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hll_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) if p >= 4 && p <= 16 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(IntegerType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"hll_merge needs 4 <= p <= 16, got $p")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"hll_merge expects ARRAY<INT> registers, got ${other.sql}")
+  }
+
+  private val m = 1 << p
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == m,
+        s"hll_merge(p=$p) expects ${m} registers, got ${arr.numElements()}")
+      var i = 0
+      while (i < m) {
+        val r = arr.getInt(i)
+        if (r > buf(i)) buf(i) = r.toByte
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (other(i) > buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any =
+    new GenericArrayData(buf.map(_.toInt))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllMerge =
+    copy(child = newChildren.head)
+}

@@ -47,6 +47,16 @@ object ApproxDistinct {
     call_function("hll_registers", hash, lit(p))
   }
 
+  /** Merge PERSISTED sketch rows (register arrays) by register-wise
+    * max — the sketch-table rollup: store one register array per (day,
+    * dim) and answer any window by merging sketches, never rescanning
+    * raw data. merge-of-sketches == sketch-of-union EXACTLY (same
+    * monoid), spec-pinned. */
+  def mergeRegisters(regs: Column, p: Int): Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function("hll_merge", regs, lit(p))
+  }
+
   /** v_zero: number of empty registers. */
   def vZero(regs: Column): Column =
     size(filter(regs, r => r === lit(0))).cast(IntegerType)

@@ -102,6 +102,38 @@ class HllSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch table: hll_merge of per-day sketches == sketch of the raw union") {
+    // the production rollup: one register array per (day, lang) stored
+    // once; a window query merges the stored sketches — register-equal
+    // to sketching the raw union, so estimates are bit-identical
+    val s = spark
+    import s.implicits._
+    val raw = (1 to 3000).map { i =>
+      (s"d${i % 5}", if (i % 2 == 0) "es" else "en", s"user-${i % 700}")
+    }
+    val df = raw.toDF("dia", "lang", "user")
+    val daily = df.groupBy(col("dia"), col("lang"))
+      .agg(ApproxDistinct.registers(
+        ApproxDistinct.md5Low64(col("user")), 9).as("regs"))
+    val merged = daily.groupBy(col("lang"))
+      .agg(ApproxDistinct.mergeRegisters(col("regs"), 9).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val direct = df.groupBy(col("lang"))
+      .agg(ApproxDistinct.registers(
+        ApproxDistinct.md5Low64(col("user")), 9).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(merged == direct)
+  }
+
+  test("hll_merge: a mixed-p sketch row fails loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Seq(1, 2, 3)).toDF("regs") // length 3 != 2^9
+    intercept[Exception] {
+      df.agg(ApproxDistinct.mergeRegisters(col("regs"), 9)).head()
+    }
+  }
+
   test("merge tree: union of sketches == sketch of union (register-wise max)") {
     val s = spark
     import s.implicits._
