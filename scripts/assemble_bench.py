@@ -6,7 +6,7 @@ signal and per-query scaling exponents are visible.
 
 Usage: assemble_bench.py <bench_sf01.json> <baseline_sf01.json>
                          <bench_sf1.json> <baseline_sf1.json> <out.json>
-                         [stream_floor.json]
+                         [stream_floor.json] [batch_floor_10x.json]
 (bench files = the Bench stdout JSON line, possibly log-prefixed)
 
 r12: besides the raw `over_2x_baseline_at_sf1` flag list, the artifact
@@ -28,7 +28,7 @@ def bench(path):
     return json.loads(line[line.index('{'):])
 
 
-def main(b01, d01, b1, d1, out, floor_path=None):
+def main(b01, d01, b1, d1, out, floor_path=None, batch_floor_path=None):
     s01, s1 = bench(b01), bench(b1)
     k01, k1 = json.load(open(d01)), json.load(open(d1))
     floor_adjudicated = set()
@@ -79,6 +79,14 @@ def main(b01, d01, b1, d1, out, floor_path=None):
     # streaming queries and sub-second-wall floor rows (both walls under
     # 1 s at the 10x slice — ratio noise over a dispatch floor)
     sf1q = blocks["sf1_10x_slice"]["queries_spark_s"]
+    # batch analog (r12 verdict item 3): a BatchFloorProbe artifact over
+    # the same 10x slice carries each probed query's MEASURED dispatch
+    # constant; subtracting it re-tests the >1s arm by measurement
+    batch_dispatch = {}
+    if batch_floor_path:
+        bf = json.load(open(batch_floor_path))
+        batch_dispatch = {k: v["dispatch_s"]
+                          for k, v in bf.get("queries", {}).items()}
     adjudication = {}
     for k in over2x:
         if k in floor_adjudicated:
@@ -86,6 +94,11 @@ def main(b01, d01, b1, d1, out, floor_path=None):
         elif sf1q.get(k, 99.0) < 1.0:
             adjudication[k] = (f"sub-second floor row (spark "
                                f"{sf1q.get(k):.2f}s at 10x)")
+        elif k in batch_dispatch and \
+                sf1q.get(k, 99.0) - batch_dispatch[k] < 1.0:
+            adjudication[k] = (
+                f"batch-floor artifact: wall {sf1q.get(k):.2f}s minus "
+                f"measured dispatch {batch_dispatch[k]:.2f}s is sub-second")
     actionable = sorted(set(over2x) - set(adjudication))
     doc = {
         "round": int(os.environ.get("GRAFT_ROUND", "8")),
@@ -109,4 +122,4 @@ def main(b01, d01, b1, d1, out, floor_path=None):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:7])
+    main(*sys.argv[1:8])
