@@ -51,8 +51,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // streaming state stores commit per partition per batch; size them
-      // to stateful-key cardinality, not batch scan width (StreamConf)
-      .config("spark.graft.stream.statePartitions", "8")
+      // to stateful-key cardinality, not batch scan width (StreamConf).
+      // r13 A/B over the 4 streaming queries (same window, min-of-3 each):
+      // parts=32 14.9 s, 16 12.3 s, 8 7.3–7.7 s, 4 6.1 s, 2 6.8 s — the
+      // per-store-instance tax (provider init + per-batch commit, ×4
+      // stores for a stream-stream join) dominates far below the shuffle
+      // width, and 4 is the measured knee at this state size. Production
+      // sizes this by stateful-key cardinality/arrival rate via the same
+      // conf; env-overridable here for A/B probes.
+      .config("spark.graft.stream.statePartitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
       // single-node scan splits: ~2 of the lake's 16 MB row groups per
       // task — same deployment-sizing rationale as GraftSession.local
       .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)

@@ -44,6 +44,29 @@ object GraftSession {
     // hundred MB of build map at worst, the standard budget for >= 4 GB
     // executors, which GraftSession targets.
     .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    // The driver-side compiled-codegen cache (janino class cache) holds
+    // 100 entries by default — a STATIC conf sized for a driver running a
+    // handful of distinct plans. A catalog/pipeline session executes
+    // hundreds of distinct codegen units (each WholeStageCodegen span,
+    // each unsafe projection), so at 100 entries the cache thrashes
+    // across queries and every COLD execution re-invokes janino (tens of
+    // ms per unit, driver CPU, serial — the bench's run-1 vs warm-run gap,
+    // e.g. q5 0.59 s -> 0.34 s, is about half recompile). Compiled classes
+    // are a few KB each; 10k entries is single-digit MB of driver memory.
+    // Steady-state (min-of-N) walls are unchanged — this removes the
+    // first-execution tax of a >100-unit catalog, not per-run cost.
+    .config("spark.sql.codegen.cache.maxEntries", "10000")
+    // Every SQL execution — and every AQE stage materialization — posts a
+    // listener event carrying the FULL formatted plan string, built on
+    // the DRIVER'S CRITICAL PATH even with the UI disabled (thread dumps
+    // of a q34 loop caught `QueryExecution.explainString` /
+    // `PlanStringConcat.toString` in 2 of 6 samples; the conformance
+    // closures render 6,000+-line plans, re-stringified per stage). The
+    // string is diagnostic only — truncating it changes no plan and no
+    // result. 32 KB keeps enough head for log forensics while bounding
+    // the per-stage driver stall to O(1); the default is 2 GB.
+    .config("spark.sql.maxPlanStringLength",
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", (32 * 1024).toString))
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             shufflePartitions: Int = 32): SparkSession = {

@@ -440,7 +440,9 @@ class LLMSpec extends AnyFunSuite {
     // into an m-node PATH; one-hop propagation alone would need m rounds,
     // so this pins the star-contraction round count (~log2(300) ≈ 9)
     val chain = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (lbl, rounds) = ConnectedComponents.labelsWithRounds(chain)
+    // maxDriverEdges = 0 forces the distributed path: this test pins the
+    // CONTRACTION round law, which the driver fast path would bypass
+    val (lbl, rounds) = ConnectedComponents.labelsWithRounds(chain, maxDriverEdges = 0L)
     assert(rounds <= 12, s"expected O(log n) rounds for a 300-node path, got $rounds")
     val out = ConnectedComponents.components(chain)
       .as[(Long, Long, Long)].collect()
@@ -448,6 +450,27 @@ class LLMSpec extends AnyFunSuite {
     assert(out.forall { case (_, survivor, size) => survivor == 1L && size == 300L },
       s"non-converged labels: ${out.filter(_._2 != 1L).take(5).mkString(",")}")
     assert(lbl.filter(col("label") =!= 1L).isEmpty)
+  }
+
+  test("connected components: driver fast path equals the distributed fixpoint") {
+    import graft.operators.ConnectedComponents
+    // r13 bounded driver union-find: same labels as star contraction on a
+    // graph mixing a chain, a clique, a self-pair-only node, a cross edge
+    // and duplicate/reversed edges (the shapes whose union order differs
+    // most between the two algorithms)
+    val edges = ((1L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L), (100L, 102L),
+        (200L, 200L), (40L, 100L), (300L, 301L), (301L, 300L)))
+      .toDF("id_a", "id_b")
+    val fast = ConnectedComponents.labels(edges)
+      .as[(Long, Long)].collect().toSet
+    val dist = ConnectedComponents.labels(edges, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(fast == dist, s"driver path diverged: ${(fast diff dist).take(5)} vs ${(dist diff fast).take(5)}")
+    // self-pair-only node labels itself on both paths
+    assert(fast.contains((200L, 200L)))
+    // the cap gates the collect: at cap 0 the distributed path ran (above);
+    // at cap >= |edges| the driver path ran — both already asserted equal
   }
 
   test("connected components: far-end label injection stays logarithmic") {
@@ -461,7 +484,7 @@ class LLMSpec extends AnyFunSuite {
     // restructures the edges and stays O(log n).
     val path = (100L until 400L).map(i => (i, i + 1))
     val edges = (path ++ Seq((400L, 1L), (1L, 2L))).toDF("id_a", "id_b")
-    val (lbl, rounds) = ConnectedComponents.labelsWithRounds(edges)
+    val (lbl, rounds) = ConnectedComponents.labelsWithRounds(edges, maxDriverEdges = 0L)
     assert(rounds <= 12, s"expected O(log n) rounds, got $rounds")
     val bad = lbl.filter(col("label") =!= 1L)
     assert(bad.isEmpty,
