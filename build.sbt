@@ -27,4 +27,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // shuffle/spill scratch dir override for I/O A/B probes (e.g. tmpfs)
+  sys.env.get("SPARK_GRAFT_LOCAL_DIR").map(d => s"-Dspark.local.dir=$d").toSeq ++
+  // JVM temp dir on RAM-backed storage when the host offers it: streaming
+  // temp checkpoints (offset/commit logs + state-store deltas, each with a
+  // ChecksumFileSystem .crc sibling) land under java.io.tmpdir, and this
+  // host pays ~135 µs per file op under concurrency on ext4 (see
+  // Bench.buildSession). A/B over the 4 streaming queries (min-merged 2×,
+  // same window): 9.77 s -> 7.99 s. Env-overridable; falls back to the
+  // JVM default when /dev/shm is absent. The dir must exist at JVM start,
+  // so it is created here at sbt load.
+  sys.env.get("SPARK_GRAFT_TMPDIR").orElse {
+    val shm = new java.io.File("/dev/shm/graft-jtmp")
+    if (new java.io.File("/dev/shm").isDirectory && shm.getParentFile.canWrite) {
+      shm.mkdirs(); Some(shm.getAbsolutePath)
+    } else None
+  }.map(d => s"-Djava.io.tmpdir=$d").toSeq
