@@ -31,7 +31,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object StreamFloorProbe {
   private final case class Batch(rows: Long, trigger: Long, addBatch: Long,
-                                 other: Long)
+                                 other: Long, phases: Map[String, Long])
 
   private final class Capture extends StreamingQueryListener {
     val batches = new java.util.concurrent.ConcurrentLinkedQueue[Batch]()
@@ -43,8 +43,19 @@ object StreamFloorProbe {
       def ms(k: String): Long = Option(d.get(k)).map(_.longValue).getOrElse(0L)
       val trigger = ms("triggerExecution")
       val add = ms("addBatch")
+      import scala.jdk.CollectionConverters._
+      val phases = d.asScala.map { case (k, v) => k -> v.longValue }.toMap ++
+        // state-operator internals (summed over operators): where the
+        // state stage's task time goes — update/remove/commit vs compute
+        p.stateOperators.toSeq.flatMap(s => Seq(
+          "state.allUpdatesTimeMs" -> s.allUpdatesTimeMs,
+          "state.allRemovalsTimeMs" -> s.allRemovalsTimeMs,
+          "state.commitTimeMs" -> s.commitTimeMs,
+          "state.numRowsTotal" -> s.numRowsTotal,
+          "state.memoryUsedBytes" -> s.memoryUsedBytes))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
       batches.add(Batch(p.numInputRows, trigger, add,
-        math.max(0L, trigger - add))): Unit
+        math.max(0L, trigger - add), phases)): Unit
     }
   }
 
@@ -54,14 +65,27 @@ object StreamFloorProbe {
     val slices = Seq(
       "sf0.1" -> "/root/testdata/sf0.1",
       "10x" -> sys.env.getOrElse("SPARK_GRAFT_SLICE_10X", "/tmp/graft_scaled_10x"))
+      .filter(s => new java.io.File(s._2).isDirectory)
     val names = Seq("q14_stream_tumbling", "q37_stream_sessionize",
       "q41_stream_join", "q59_stream_dedup")
 
-    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+    // session parity with Bench.buildSession (r14): statePartitions
+    // default 4 (the bench value — override via SPARK_GRAFT_STREAM_PARTS
+    // for sweeps), same scratch-dir rule, so the floor decomposition
+    // attributes the SAME walls the bench reports
+    val b0 = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.graft.stream.statePartitions", "8")
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-scratch")
+      else None
+    }.foreach(d => b0.config("spark.local.dir", d))
+    val spark = graft.core.GraftSession.tuned(b0
+      .config("spark.graft.stream.statePartitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -87,6 +111,12 @@ object StreamFloorProbe {
         val trig = batches.map(_.trigger).sum
         val add = batches.map(_.addBatch).sum
         val other = batches.map(_.other).sum
+        // wall − Σtrigger = everything OUTSIDE micro-batch execution:
+        // per-run define (schema read), query start (checkpoint dir,
+        // offset/commit log init, state provider load), stop, and the
+        // final memory-sink table scan — the per-RUN constants VERDICT
+        // r13 item 2 asks to decompose
+        val outside = wall - trig / 1000.0
         results(s"${sliceName}.$name") = mutable.LinkedHashMap(
           "wall_s" -> f"$wall%.3f".toDouble,
           "walls_all_runs" -> attempts.map(a => f"${a._1}%.3f".toDouble),
@@ -95,16 +125,20 @@ object StreamFloorProbe {
           "trigger_ms_total" -> trig,
           "addbatch_ms_total" -> add,
           "bookkeeping_ms_total" -> other,
+          "outside_trigger_s" -> f"$outside%.3f".toDouble,
           "bookkeeping_frac" -> (if (trig > 0) f"${other.toDouble / trig}%.3f".toDouble else 0.0),
           "batches" -> batches.map(b => mutable.LinkedHashMap(
             "rows" -> b.rows, "trigger_ms" -> b.trigger,
-            "addbatch_ms" -> b.addBatch, "other_ms" -> b.other)))
+            "addbatch_ms" -> b.addBatch, "other_ms" -> b.other,
+            "phases_ms" -> mutable.LinkedHashMap(
+              b.phases.toSeq.sortBy(_._1): _*))))
         println(f"[stream-floor] $sliceName $name wall=$wall%.2fs " +
-          f"batches=${batches.size} rows=$rows trig=${trig}ms add=${add}ms")
+          f"batches=${batches.size} rows=$rows trig=${trig}ms add=${add}ms " +
+          f"outside=$outside%.2fs")
       }
     }
     // cross-slice exponents on the min walls (10x input step)
-    val exps = names.map { n =>
+    val exps = if (slices.size < 2) Seq.empty else names.map { n =>
       val w1 = results(s"sf0.1.$n").asInstanceOf[mutable.LinkedHashMap[String, Any]]("wall_s").asInstanceOf[Double]
       val w10 = results(s"10x.$n").asInstanceOf[mutable.LinkedHashMap[String, Any]]("wall_s").asInstanceOf[Double]
       val a1 = results(s"sf0.1.$n").asInstanceOf[mutable.LinkedHashMap[String, Any]]("addbatch_ms_total").asInstanceOf[Long]

@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
   *     ≤ B rows after map-side partial agg), walk the cumulative counts
   *     on the driver to find the bucket holding the target rank, recurse
   *     into it with the rank rebased.
-  *   resolve: once a candidate range holds ≤ `resolveLimit` rows, take
-  *     the r-th smallest directly (TakeOrdered — a bounded heap per
-  *     partition, no exchange).
+  *   resolve: once a candidate range holds ≤ `resolveLimit` rows the
+  *     target pends; ALL pending targets then resolve in ONE batched
+  *     job (r14): ranges are identical-or-disjoint (every target walks
+  *     the same memoized bucket tree), a when-chain assigns range ids,
+  *     and row_number per id — each window partition ≤ resolveLimit
+  *     rows by construction — selects the target ranks. One bounded
+  *     exchange replaces one TakeOrdered job PER target.
   *
   * Depth is bounded by the DOMAIN, not the row count: each level divides
   * the candidate value-range by B, so a full 64-bit domain resolves in
@@ -82,28 +86,26 @@ object ExactQuantile {
           .agg(count(lit(1)).as("c"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
 
-    /** r-th smallest value among rows with x in [lo, hi] (1-based;
-      * caller guarantees 1 <= r <= cnt = |rows in range|). */
-    def solve(lo: Long, hi: Long, r: Long, cnt: Long): Long = {
-      if (lo == hi) return lo
+    /** Descend the histogram tree for the r-th smallest value among rows
+      * with x in [lo, hi] (1-based; caller guarantees 1 <= r <= cnt).
+      * Returns Right(value) when the range narrows to one value, or
+      * Left((lo, hi, r)) once the range holds <= resolveLimit rows —
+      * those pend and resolve BATCHED below (r13 ran one TakeOrdered job
+      * per target; targets that diverge after the shared level-1
+      * histogram each paid a full job dispatch for a <=65536-row
+      * selection). */
+    def descend(lo: Long, hi: Long, r: Long, cnt: Long)
+        : Either[(Long, Long, Long), Long] = {
+      if (lo == hi) return Right(lo)
       // span that would overflow Long (a range straddling most of the
       // 64-bit domain): split at zero, route the rank by the negative
       // side's count, recurse — at most once, both halves then fit.
       if (hi - lo < 0L) {
         val cNeg = base.filter(col("x").between(lo, -1L)).count()
-        return if (r <= cNeg) solve(lo, -1L, r, cNeg)
-        else solve(0L, hi, r - cNeg, cnt - cNeg)
+        return if (r <= cNeg) descend(lo, -1L, r, cNeg)
+        else descend(0L, hi, r - cNeg, cnt - cNeg)
       }
-      if (cnt <= resolveLimit) {
-        // bounded direct selection: TakeOrdered keeps r smallest (heap
-        // per partition, no exchange), the max of those is the r-th.
-        val row = base.filter(col("x").between(lo, hi))
-          .orderBy(col("x")).limit(r.toInt)
-          .agg(max(col("x"))).head()
-        if (row.isNullAt(0)) throw new IllegalStateException(
-          s"resolve found no rows in [$lo,$hi] for rank $r — source mutated?")
-        return row.getLong(0)
-      }
+      if (cnt <= resolveLimit) return Left((lo, hi, r))
       val span = hi - lo // >= 1, no overflow past the guard
       val width = span / buckets + 1L // ceil((span+1)/buckets), overflow-free
       val hist = histogram(lo, hi, width)
@@ -117,7 +119,7 @@ object ExactQuantile {
           // within one width of Long.MaxValue on a misaligned range (e.g.
           // domain [1, MaxValue]); hi - nLo >= 0 always, so compare spans.
           val nHi = if (hi - nLo < width) hi else nLo + width - 1L
-          return solve(nLo, nHi, r - cum, c)
+          return descend(nLo, nHi, r - cum, c)
         }
         cum += c
         i += 1
@@ -127,9 +129,50 @@ object ExactQuantile {
         s"rank $r beyond histogram mass $cum in [$lo,$hi] — source mutated?")
     }
 
-    bps.map { bp =>
+    val states = bps.map { bp =>
       val k = math.max(1L, (bp.toLong * n + 9999L) / 10000L)
-      bp -> solve(lo0, hi0, k, n)
+      bp -> descend(lo0, hi0, k, n)
+    }
+    // Batched resolve: ONE bounded job for every pending target. Pending
+    // ranges are identical or disjoint (every target walks the same
+    // memoized bucket tree), so exact-equality dedup is complete and a
+    // when-chain assigns each row its range id; row_number per rid (each
+    // partition <= resolveLimit rows by construction) selects the target
+    // ranks. The OR-of-BETWEENs filter keeps parquet min/max pruning —
+    // the deep ranges are slivers of the domain, same pushdown the
+    // per-target jobs had.
+    val pend = states.collect { case (bp, Left(p)) => (bp, p) }
+    val ranges = pend.map(_._2).map(p => (p._1, p._2)).distinct
+    val ridOf: Map[(Long, Long), Int] = ranges.zipWithIndex.toMap
+    val resolved: Map[(Int, Long), Long] = if (pend.isEmpty) Map.empty else {
+      val ranksOf: Map[Int, Seq[Long]] = pend
+        .groupBy(p => ridOf((p._2._1, p._2._2)))
+        .map { case (i, ps) => i -> ps.map(_._2._3).distinct }
+      val inRange = ranges
+        .map { case (lo, hi) => col("x").between(lo, hi) }.reduce(_ || _)
+      val ridCol = ranges.zipWithIndex.foldLeft(
+        lit(null).cast(org.apache.spark.sql.types.LongType)) {
+        case (acc, ((lo, hi), i)) =>
+          when(col("x").between(lo, hi), lit(i.toLong)).otherwise(acc)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("rid")).orderBy(col("x"))
+      val keep = ranksOf.toSeq.map { case (i, rs) =>
+        col("rid") === i.toLong && col("rn").isin(rs: _*) }.reduce(_ || _)
+      base.filter(inRange)
+        .select(col("x"), ridCol.as("rid"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(keep)
+        .select(col("rid"), col("rn"), col("x"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    states.map {
+      case (bp, Right(v)) => bp -> v
+      case (bp, Left((lo, hi, r))) =>
+        bp -> resolved.getOrElse((ridOf((lo, hi)), r),
+          throw new IllegalStateException(
+            s"resolve found no rows in [$lo,$hi] for rank $r — source mutated?"))
     }
   }
 
@@ -270,17 +313,30 @@ object ExactQuantile {
     while (active.nonEmpty) active = level(active)
 
     // batched resolve: ONE pass for every pending target — broadcast the
-    // (rid, g, lo, hi, r) table, row_number per rid (each partition holds
-    // <= resolveLimit rows), keep the r-th
+    // range table, row_number per rid (each partition holds
+    // <= resolveLimit rows), keep the target ranks.
+    // One rid per DISTINCT (g, lo, hi): targets of one group routinely
+    // share a candidate range (always, when the group resolved straight
+    // from the heads pass — e.g. every group at small slices), and a rid
+    // per TARGET re-shipped every matching row through the join and the
+    // window exchange once per bp (measured ×|bps| exchange rows at
+    // sf0.1: 1.8M for 600k source rows). Ranges of one group are
+    // identical or disjoint by construction (all targets descend the
+    // same memoized histogram tree), so exact-equality dedup is
+    // complete; the rank SET rides the broadcast row and (rid, rank)
+    // maps back to its bps on the driver — two bps of a tiny group can
+    // legitimately share the same rank, so the map is rank -> bps.
     if (toResolve.nonEmpty) {
+      val byRange = toResolve.groupBy(st => (st.g, st.lo, st.hi)).toSeq
       val rSchema = StructType(Seq(
         StructField("rid", LongType, nullable = false),
         StructField("rg", gType),
         StructField("rlo", LongType, nullable = false),
         StructField("rhi", LongType, nullable = false),
-        StructField("rr", LongType, nullable = false)))
-      val rRows = toResolve.zipWithIndex.map { case (st, i) =>
-        Row(i.toLong, st.g, st.lo, st.hi, st.r) }
+        StructField("rranks", ArrayType(LongType, containsNull = false),
+          nullable = false)))
+      val rRows = byRange.zipWithIndex.map { case (((g, lo, hi), sts), i) =>
+        Row(i.toLong, g, lo, hi, sts.map(_.r).distinct.sorted.toSeq) }
       val rDf = spark.createDataFrame(
         spark.sparkContext.parallelize(rRows.toSeq, 1), rSchema)
       val w = org.apache.spark.sql.expressions.Window
@@ -288,15 +344,18 @@ object ExactQuantile {
       val got = base
         .join(broadcast(rDf), col("g") === col("rg"))
         .filter(col("x").between(col("rlo"), col("rhi")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === col("rr"))
-        .select(col("rid"), col("x"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      toResolve.zipWithIndex.foreach { case (st, i) =>
-        val v = got.getOrElse(i.toLong, throw new IllegalStateException(
-          s"resolve found no rank-${st.r} row for group ${st.g} in " +
-            s"[${st.lo},${st.hi}] — source mutated?"))
-        done += ((st.g, st.bp, v))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(array_contains(col("rranks"), col("rn")))
+        .select(col("rid"), col("rn"), col("x"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      byRange.zipWithIndex.foreach { case ((_, sts), i) =>
+        sts.foreach { st =>
+          val v = got.getOrElse((i.toLong, st.r),
+            throw new IllegalStateException(
+              s"resolve found no rank-${st.r} row for group ${st.g} in " +
+                s"[${st.lo},${st.hi}] — source mutated?"))
+          done += ((st.g, st.bp, v))
+        }
       }
     }
 

@@ -16,6 +16,14 @@ import graft.core.Tables
   * bounded input.
   */
 object EventsStream {
+  // schema METADATA memo keyed on (path, mtime, length): every bounded
+  // run re-derived the source schema with a fresh spark.read.parquet
+  // footer read on the driver (~40-60 ms/run, r14 floor probe's
+  // outside-trigger share). A rewritten file misses the key; entries are
+  // a few KB of StructType. Results never cache here — schema only.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** File-source stream over the events table with the nanos→µs timestamp
     * conversion applied. The lake stores one parquet file per table; the
     * file stream source expects a directory or glob, so the file is
@@ -23,7 +31,11 @@ object EventsStream {
   private[streaming] def rawStream(spark: SparkSession, dir: String): DataFrame = {
     val path = Tables.path(dir, "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val schemaKey = s"$path:${f.lastModified}:${f.length}"
+    if (schemaCache.size > 64) schemaCache.clear()
+    val schema = schemaCache.computeIfAbsent(schemaKey,
+      _ => spark.read.parquet(path).schema)
     val raw = spark.readStream.schema(schema)
       .option("basePath", dir).parquet(s"$dir/events.parque[t]")
     // same ts normalization as Tables.events: nanos-as-long and naive-µs
@@ -44,11 +56,20 @@ object EventsStream {
                      windowLength: String = "1 hour"): DataFrame =
       StreamConf.withStatePartitions(spark) {
     val stream = rawStream(spark, dir)
+    // exact long-micros sum in the hot agg (operators/CurrencyMicros —
+    // bit-identical to sum(CAST(value AS DECIMAL(38,6))) on the lake's
+    // currency-grid values, the same contract batch q13/q50/q53 already
+    // ride): the decimal(38,6) sum paid a per-row double→BigDecimal
+    // allocation inside the micro-batch AND stored a 16-byte decimal in
+    // every state row; the long sum stays in whole-stage codegen and
+    // halves the state value width. Decimal reconstruction happens once
+    // per GROUP at read-back below.
+    import graft.operators.CurrencyMicros
     val agg = stream
       .withWatermark("ts", "1 minute")
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_eventos"),
-           sum(col("value").cast(DecimalType(38, 6))).as("imp_valor"))
+           sum(CurrencyMicros.micros(col("value"))).as("__micros"))
     val name = "graft_tumbling_" + java.lang.Integer.toHexString(dir.hashCode).replace('-', '_')
     val q = agg.writeStream
       .outputMode("complete")
@@ -57,11 +78,12 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // Output policy: exact decimal sum inside the streaming agg, double in
+    // Output policy: exact micros sum inside the streaming agg, double in
     // the emitted schema (portable across readers, matches the oracle cast).
     spark.table(name)
       .select(col("w.start").as("ventana"), col("event_type"),
-              col("n_eventos"), col("imp_valor").cast("double").as("imp_valor"))
+              col("n_eventos"),
+              CurrencyMicros.toAmount(col("__micros")).as("imp_valor"))
   }
 
   /** Production sink path: the same watermarked tumbling rollup written to
@@ -151,6 +173,7 @@ object EventsStream {
   def dedupedRun(spark: SparkSession, dir: String,
                  watermarkDelay: String = "90 days"): DataFrame =
       StreamConf.withStatePartitions(spark) {
+      StreamConf.withoutNoDataBatch(spark) {
     val s = rawStream(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts"))
@@ -160,7 +183,7 @@ object EventsStream {
       .queryName(name).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name)
-  }
+  } }
 
   /** Stream-stream interval join: pair each `typeA` event with the same
     * user's `typeB` events landing within `windowSeconds` AFTER it (the
@@ -214,6 +237,7 @@ object EventsStream {
                      windowSeconds: Long = 3600,
                      watermarkDelay: String = "30 minutes"): DataFrame =
       StreamConf.withStatePartitions(spark) {
+      StreamConf.withoutNoDataBatch(spark) {
     val joined = intervalJoinFrame(spark, dir, typeA, typeB,
       windowSeconds, watermarkDelay)
     val name = "graft_sjoin_" + java.lang.Integer.toHexString(
@@ -222,7 +246,7 @@ object EventsStream {
       .queryName(name).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name)
-  }
+  } }
 
   /** Production sink path for the interval join: same watermarked
     * stream-stream inner join as [[intervalJoined]], written APPEND-mode

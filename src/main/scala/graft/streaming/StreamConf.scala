@@ -36,4 +36,33 @@ object StreamConf {
         spark.conf.set(ShuffleKey, n)
         try body finally spark.conf.set(ShuffleKey, prev)
     }
+
+  private val NoDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+  /** Runs `body` with the post-data no-data micro-batch disabled,
+    * restoring the session value afterwards (the stream clones its
+    * session at start, so the scoped set binds the whole run).
+    *
+    * ONLY for bounded AvailableNow runs whose sinks already hold every
+    * output row once the data batches finish: append-mode dropDuplicates
+    * emits at arrival, stream-stream INNER joins emit at match time —
+    * for those, the extra no-data batch after the last data batch exists
+    * to advance the watermark and evict state, re-executing the full
+    * plan for zero output rows (r14 floor probe: 0.53 s of q41's 1.83 s
+    * wall, 0.18 s of q59's 1.11 s — walCommit + commitOffsets + a
+    * no-input addBatch). A continuous deployment keeps the default: the
+    * no-data batch is what bounds state between data arrivals.
+    *
+    * NOT for event-time TIMEOUT emission (q37's sessionizer fires
+    * timeouts in the post-data batch) and NOT for watermark-gated
+    * append aggregations (file-sink tumbling emits a window only once
+    * the watermark passes its end). */
+  def withoutNoDataBatch[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.getOption(NoDataKey)
+    spark.conf.set(NoDataKey, "false")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(NoDataKey, v)
+      case None    => spark.conf.unset(NoDataKey)
+    }
+  }
 }
