@@ -280,12 +280,17 @@ object Bench {
     // The driver's log capture keeps only a short stdout tail, and the
     // full-telemetry line above has outgrown it (BENCH_rN.json has carried
     // parsed:null since round 1). Repeat the REQUIRED fields as a compact
-    // line LAST — 2-decimal wall seconds keep all 76 queries under 2000
-    // chars — so a tail-bounded parser still gets a complete JSON object.
-    // The full line (and the file below) stays the precise record.
+    // line LAST so a tail-bounded parser still gets a complete JSON
+    // object. The full line (and the file below) stays the precise
+    // record. Size budget (r14): the line is ~2.38 KB at 96 queries and
+    // CANNOT go under ~2.3 KB — the query NAMES alone (quoted + colon)
+    // are 1.83 KB and renaming is contract-banned — so the remaining
+    // levers are value bytes: integral walls print bare (no ".0"
+    // padding; a bare integer is a valid JSON number) and 2-decimal
+    // rounding stays.
     def r2(d: Double): String = {
       val v = math.rint(d * 100) / 100
-      if (v == v.toLong) v.toLong + ".0" else v.toString
+      if (v == v.toLong) v.toLong.toString else v.toString
     }
     val qs2 = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + r2(v.min) }
       .mkString("{", ",", "}")
