@@ -82,6 +82,16 @@ class ExactQuantileSpec extends AnyFunSuite {
     check(Seq(5L, 9L), Seq(1))
   }
 
+  test("duplicate ranks across targets share one batched resolve (r14)") {
+    // n=2: bps 1/2500/5000 all rank 1, bp 10000 ranks 2 — the batched
+    // resolve must fan the shared (range, rank) back to every bp
+    check(Seq(10L, 20L), Seq(1, 2500, 5000, 10000))
+    // and the same through forced recursion where targets diverge into
+    // DISJOINT pending ranges (multi-entry when-chain)
+    val xs = (1L to 300L).map(_ * 1000L)
+    check(xs, Seq(100, 5000, 5001, 9900), buckets = 4, resolveLimit = 8)
+  }
+
   test("nulls ignored, empty input returns empty") {
     val df = Seq[Option[Long]](None, Some(4L), None, Some(2L)).toDF("x")
     assert(ExactQuantile.quantilesBp(df, "x", Seq(5000)) === Seq(5000 -> 2L))
