@@ -219,23 +219,28 @@ object TextHash {
     var hi = bytes.length
     while (lo < hi && bytes(lo) == ' ') lo += 1
     while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
-    val out = new java.util.ArrayList[Long]()
+    // growable primitive buffer — a boxed ArrayList here charged every
+    // token a Long allocation across every kernel of this family
+    var out = new Array[Long](16)
+    var n = 0
+    def add(v: Long): Unit = {
+      if (n == out.length) out = java.util.Arrays.copyOf(out, n << 1)
+      out(n) = v
+      n += 1
+    }
     var i = lo
     var tokStart = lo
     while (i < hi) {
       if (isWs(bytes(i))) {
-        out.add((tokStart.toLong << 32) | (i & 0xffffffffL))
+        add((tokStart.toLong << 32) | (i & 0xffffffffL))
         while (i < hi && isWs(bytes(i))) i += 1
         tokStart = i
       } else i += 1
     }
     // final token: the remainder, or (with a trailing/empty input) an empty
     // token — Java split with limit -1 keeps it
-    out.add((tokStart.toLong << 32) | (hi & 0xffffffffL))
-    val arr = new Array[Long](out.size())
-    var j = 0
-    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
-    arr
+    add((tokStart.toLong << 32) | (hi & 0xffffffffL))
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 
   private def isWs(c: Byte): Boolean =
@@ -253,6 +258,9 @@ object TextHash {
     val nShingles = math.max(n - k, 0) + 1
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
+    // hashInt(i, Seed) is shingle-invariant: computed once here instead of
+    // numHashes times PER SHINGLE (it was ~40% of the inner loop)
+    val iSeed = hashIntTable(numHashes)
     // reusable shingle buffer: max total words bytes + separators
     var maxLen = 0
     var t = 0
@@ -278,13 +286,31 @@ object TextHash {
       val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed)
       var i = 0
       while (i < numHashes) {
-        val hi = XXH64.hashLong(h, XXH64.hashInt(i, Seed))
+        val hi = XXH64.hashLong(h, iSeed(i))
         if (hi < sig(i)) sig(i) = hi
         i += 1
       }
       s += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** hashInt(i, Seed) for i < n — the per-permutation seeds of the minhash
+    * family. Values are identical to the inline form; the table exists so
+    * the per-shingle loop does one hashLong per permutation, not
+    * hashLong + hashInt. Cached for the catalog's n; any other n computes
+    * a throwaway table (same values). */
+  @volatile private var hashIntCache: Array[Long] = new Array[Long](0)
+  private def hashIntTable(n: Int): Array[Long] = {
+    val cached = hashIntCache
+    if (cached.length >= n) cached
+    else {
+      val t = new Array[Long](n)
+      var i = 0
+      while (i < n) { t(i) = XXH64.hashInt(i, Seed); i += 1 }
+      hashIntCache = t
+      t
+    }
   }
 
   /** Distinct k-word shingles in first-occurrence order — the native twin
@@ -502,11 +528,21 @@ object TextHash {
     val toks = tokenize(bytes)
     val n = toks.length
     val votes = new Array[Int](64)
+    val md = md5Local.get()
+    val digestBuf = new Array[Byte](16)
     var t = 0
     while (t < n) {
       val ws = (toks(t) >>> 32).toInt
       val we = (toks(t) & 0xffffffffL).toInt
-      val h = md5Low64(UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, ws, we)))
+      // same bytes MD5 hashes in md5Low64, fed in place — the word is a
+      // slice of `bytes`, so the copyOfRange + UTF8String wrapper per
+      // word bought nothing
+      md.reset()
+      md.update(bytes, ws, we - ws)
+      md.digest(digestBuf, 0, 16)
+      var h = 0L
+      var i = 15
+      while (i >= 8) { h = (h << 8) | (digestBuf(i) & 0xffL); i -= 1 }
       var j = 0
       while (j < 64) {
         votes(j) += ((h >>> j) & 1L).toInt
