@@ -258,14 +258,35 @@ object ExtraQueries {
     * exists purely as the comparison; the sketch column is the 100 TB
     * path. */
   def q94HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ApproxDistinct
+    val p = 9
     val sh = Tables.documents(spark, dir)
       .select(col("lang"),
         explode(graft.llm.Shingles.shingles(col("text"), 3)).as("sh"))
-    val est = graft.operators.ApproxDistinct
-      .estimateByGroup(sh, Seq("lang"), "sh", p = 9)
-    val exact = sh.groupBy(col("lang"))
-      .agg(countDistinct(col("sh")).as("n_exact"))
-    est.join(exact, Seq("lang"))
+    // sketch + exact diagnostic from ONE shingle pass (r14 sweep —
+    // guide §1.2: don't compute things twice): the previous
+    // est-join-exact form planned documents TWICE (2 scans, 2 shingle
+    // Generates, 4 Exchanges, broadcast join). HLL registers are
+    // idempotent per value — each register is the max rho over the
+    // hashes that land in its bucket, and deduplication changes
+    // multiplicities, never the hash set — so registers over the
+    // DISTINCT (lang, sh) rows are bit-identical to registers over the
+    // raw stream, and n_exact is a plain count of the same rows. The
+    // (lang, sh) exchange below is the one the exact branch already
+    // paid; the register aggregation now rides it instead of re-scanning
+    // the corpus. (A single mixed countDistinct+registers aggregate was
+    // measured first: Catalyst's distinct rewrite Expands 2× and
+    // serializes what AQE ran as two concurrent subtrees — 0.75→1.42 s,
+    // rejected.)
+    val agg = sh.distinct().groupBy(col("lang")).agg(
+      ApproxDistinct.registers(
+        ApproxDistinct.md5Low64(col("sh")), p).as("__regs"),
+      count(lit(1)).as("n_exact"))
+    agg
+      .withColumn("v_zero", ApproxDistinct.vZero(col("__regs")))
+      .withColumn("s_scaled", ApproxDistinct.sScaled(col("__regs"), p))
+      .withColumn("est_distinct",
+        ApproxDistinct.estimate(col("s_scaled"), col("v_zero"), p))
       .select(col("lang"), col("n_exact"), col("v_zero"), col("s_scaled"),
         col("est_distinct"))
       .orderBy(col("lang"))
@@ -325,17 +346,35 @@ object ExtraQueries {
     val p = 7
     val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
       "o_orderkey", "o_orderdate")
-    val melted = o.select(explode(array(cols.map(c =>
-        struct(lit(c).as("columna"), col(c).cast("string").as("valor"))): _*))
-        .as("kv"))
-      .select(col("kv.columna").as("columna"), col("kv.valor").as("valor"))
-    melted.groupBy(col("columna")).agg(
-        count(lit(1)).as("n"),
-        sum(when(col("valor").isNull, 1L).otherwise(0L)).as("n_null"),
+    // One GLOBAL aggregate over the un-melted rows (r14 sweep — guide
+    // §2.3 aggregate before you generate): the melt form pushed 5× the
+    // row count through Generate and the hash aggregate just to key the
+    // same 25 aggregate buffers by column name. Here each input row
+    // updates the same buffers directly; the per-column rows are
+    // generated AFTER aggregation, from one row. Every aggregate is the
+    // same function over the same rendered values, so the emitted
+    // profile is identical; n = count(*) per column in the melt == one
+    // shared count(*) here. The n > 0 guard reproduces the melt form's
+    // empty-table behavior (no rows) exactly.
+    val aggExprs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      val v = col(c).cast("string")
+      Seq(
+        sum(when(v.isNull, 1L).otherwise(0L)).as(s"__null_$c"),
         ApproxDistinct.registers(
-          ApproxDistinct.md5Low64(col("valor")), p).as("__regs"),
-        min(col("valor")).as("min_valor"),
-        max(col("valor")).as("max_valor"))
+          ApproxDistinct.md5Low64(v), p).as(s"__regs_$c"),
+        min(v).as(s"__min_$c"),
+        max(v).as(s"__max_$c"))
+    }
+    o.agg(aggExprs.head, aggExprs.tail: _*)
+      .filter(col("__n") > 0L)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("columna"), col("__n").as("n"),
+          col(s"__null_$c").as("n_null"), col(s"__regs_$c").as("__regs"),
+          col(s"__min_$c").as("min_valor"),
+          col(s"__max_$c").as("max_valor"))): _*)).as("kv"))
+      .select(col("kv.columna").as("columna"), col("kv.n").as("n"),
+        col("kv.n_null").as("n_null"), col("kv.__regs").as("__regs"),
+        col("kv.min_valor").as("min_valor"), col("kv.max_valor").as("max_valor"))
       .withColumn("__v", ApproxDistinct.vZero(col("__regs")))
       .withColumn("__s", ApproxDistinct.sScaled(col("__regs"), p))
       .select(col("columna"), col("n"), col("n_null"),

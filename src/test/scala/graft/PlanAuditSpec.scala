@@ -156,18 +156,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // the returned plan is broadcast-candidate semi + ONE ≤ groups×k-key
     // groupBy exchange + broadcast n-join + presentation sort
     "q93_group_heavy_hitters" -> 2,
-    // q94 = the hll register agg is ONE lang-keyed exchange of 512-byte
-    // buffers; the exact-distinct comparison column adds its two-phase
-    // distinct (the key-domain exchange the sketch exists to delete —
-    // it rides along only as the diagnostic); + presentation sort
-    "q94_hll_distinct" -> 4,
+    // q94 (r14) = ONE shingle pass: the (lang, sh) distinct exchange
+    // (the key-domain shuffle the exact diagnostic column requires —
+    // registers are idempotent per value, so they aggregate over the
+    // deduped rows bit-identically), the lang-keyed register/count agg
+    // exchange, + presentation sort. The r13 est-join-exact form paid 5
+    // (two scans, two agg chains, a broadcast join)
+    "q94_hll_distinct" -> 3,
     // q95 = q85's increment-probe core (the shuffle_hash form, same 13
     // count — see q85) with the report tail swapped for the q83/q90
     // cut-island window + per-doc span agg + text-rebuild join + sort
     "q95_increment_drop" -> 13,
-    // q96 = melted profile: ONE agg exchange of 5 bounded rows per
-    // partition + the presentation sort
-    "q96_table_profile" -> 2,
+    // q96 (r14) = un-melted profile: ONE global-agg exchange of one
+    // 25-buffer row per partition; the 5 per-column rows generate from
+    // the single aggregated row, so the presentation sort collapses to
+    // a local sort of 5 rows (the r13 melt form pushed 5× the input
+    // rows through Generate + a keyed agg: 2 exchanges)
+    "q96_table_profile" -> 1,
     // q81 = ONE source exchange carrying bounded top-k partials + the
     // presentation sort over the (sources × k)-row result
     "q81_weighted_sample" -> 2,
