@@ -38,6 +38,14 @@ ADJUDICATION = {
     "q83_dup_drop": "examined r13/r14: same adjudication as q80 (the transform twin)",
     "q34_decontaminate": "floor (adjudicated r12/r13): two-phase bloom build+probe job floor; task_sec 0.16 vs 0.8 wall",
     "q75_conf_fact_cli_venta": "examined r13/r14: real decimal compute, 17-19x parallel at 100x; closure restructure = oracle-drift risk vs second-order gain",
+    "q10_asof_rate": "floor: as-of join, 2 stages; final-window min carries residual contention (+0.1 s vs window1's 0.38) — same-code windows swing +-30% on sub-second rows (measured, see report)",
+    "q38_dedup_components": "examined r14: r13's driver union-find carried; 0.85-1.0 s = the bounded collect + one agg exchange, 100x slice healthy (SCALE_RELATIONAL)",
+    "q77_ann_pq": "floor: scan-fused PQ/ADC projections, single argmin exchange; 0.4 task-s single-task kernel at this SF (r13 adjudication re-measured)",
+    "q84_dup_spans_winnowed": "examined r14: q80's shape over the 8x-thinner winnowed anchors; improved 0.92->0.68 with no code change (r13 window inflation); 100x wall 5.3 s at 586 task-s = 110x parallel",
+    "q85_incremental_spans": "examined r14: 1.60->0.93; churn-bounded asymmetric spans, 17 stages are the declared probe pipeline; 100x 6.5 s at 307 task-s",
+    "q8_customer_metrics": "examined r13/r14: one-pass multi_distinct_count form (3 variants value-pinned in PlanAuditSpec); 100x 5.5 s at 145 task-s = 27x parallel",
+    "q90_dup_drop_winnowed": "examined r14: q83's transform over winnowed anchors; 0.73->0.58, no code change; 100x 5.9 s",
+    "q95_increment_drop": "examined r14: q85's probe core + q90's report tail; 0.59 merged; 100x 2.05 s (r13: 4.25)",
 }
 
 STREAMING = {"q14_stream_tumbling", "q37_stream_sessionize",
